@@ -1,38 +1,49 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query on sf0.001; ``queries()`` maps
+every implemented operator/query to a (spark, sf_dir) -> DataFrame
+callable; ``oracle_sql()`` gives the equivalent DuckDB SQL (the full
+star-schema derivation is inlined as a WITH chain so the oracle derives
+everything from the raw parquet fixtures independently).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from adi_226_datawarehouse_project_spark.model.star import (  # noqa: E402
+    oracle_with_chain,
+    register_star_views,
+)
+from adi_226_datawarehouse_project_spark.plans.golden import GOLDEN_QUERIES  # noqa: E402
+
+
+def _golden(name: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_star_views(spark, sf_dir)
+        return spark.sql(GOLDEN_QUERIES[name])
+
+    return run
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: star-join %-of-total-by-borough (reference analysis
+    query #1) over the full derived warehouse at sf0.001."""
+    return _golden("g01_complaints_by_borough_pct")(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name in GOLDEN_QUERIES:
+        out[name] = _golden(name)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: oracle_with_chain(sql) for name, sql in GOLDEN_QUERIES.items()}

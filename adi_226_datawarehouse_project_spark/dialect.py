@@ -1,0 +1,100 @@
+"""Two-dialect SQL rendering: Spark SQL and DuckDB.
+
+Every derived table and query in the engine is defined once as SQL text
+rendered per dialect, so the Spark implementation and its DuckDB oracle
+are generated from the same logical definition. Only genuinely
+divergent scalar functions live here (timestamp parse/format patterns,
+day-of-week conventions, regexp-replace flags); everything else is the
+common ANSI subset both engines accept.
+
+Conventions enforced for oracle-comparability:
+- every numeric output column is BIGINT or DOUBLE (never DECIMAL/
+  HUGEINT: DuckDB SUM(int)->HUGEINT and Spark decimal-literal division
+  both break schema parity) — use :func:`sum_bigint` / ``as_double``;
+- timestamps are compared after CAST to STRING or DATE where feasible;
+- day_of_week follows the Redshift convention (0=Sunday..6=Saturday,
+  reference `nyc_hybrid_etl_pipeline.py:94-95`).
+"""
+
+from __future__ import annotations
+
+SPARK = "spark"
+DUCKDB = "duckdb"
+
+# (java pattern for Spark, C pattern for DuckDB) — the four formats the
+# reference's parse_timestamp handles (`glue_job_clean_311.py:40-46`).
+TS_FORMATS: list[tuple[str, str]] = [
+    ("yyyy-MM-dd'T'HH:mm:ss.SSS", "%Y-%m-%dT%H:%M:%S.%g"),
+    ("yyyy-MM-dd'T'HH:mm:ss", "%Y-%m-%dT%H:%M:%S"),
+    ("MM/dd/yyyy hh:mm:ss a", "%m/%d/%Y %I:%M:%S %p"),
+    ("M/d/yyyy h:mm:ss a", "%-m/%-d/%Y %-I:%M:%S %p"),
+]
+
+
+def parse_timestamp(dialect: str, expr: str) -> str:
+    """Multi-format robust timestamp parse: COALESCE over try-parses.
+
+    Mirrors reference `glue_job_clean_311.py:40-46` (F.coalesce over
+    four to_timestamp formats), with try_* semantics so unparseable
+    strings yield NULL instead of failing.
+    """
+    if dialect == SPARK:
+        parts = [f'try_to_timestamp({expr}, "{j}")' for j, _ in TS_FORMATS]
+    else:
+        parts = [f"try_strptime({expr}, '{c}')" for _, c in TS_FORMATS]
+    return "coalesce(" + ", ".join(parts) + ")"
+
+
+def to_utc(dialect: str, expr: str, tz: str = "America/New_York") -> str:
+    """Interpret a wall-clock timestamp as `tz` local time → UTC
+    (reference `glue_job_clean_311.py:120-121` to_utc_timestamp)."""
+    if dialect == SPARK:
+        return f"to_utc_timestamp({expr}, '{tz}')"
+    # DuckDB: timezone(tz, TIMESTAMP) interprets the naive ts in tz and
+    # returns TIMESTAMPTZ; cast back to naive-UTC timestamp.
+    return f"cast(timezone('{tz}', {expr}) as timestamp)"
+
+
+def yyyymmdd_key(dialect: str, expr: str) -> str:
+    """Date → YYYYMMDD integer key (`nyc_hybrid_etl_pipeline.py:86`)."""
+    if dialect == SPARK:
+        return f"cast(date_format({expr}, 'yyyyMMdd') as int)"
+    return f"cast(strftime({expr}, '%Y%m%d') as int)"
+
+
+def month_name(dialect: str, expr: str) -> str:
+    return f"date_format({expr}, 'MMMM')" if dialect == SPARK else f"monthname({expr})"
+
+
+def day_name(dialect: str, expr: str) -> str:
+    return f"date_format({expr}, 'EEEE')" if dialect == SPARK else f"dayname({expr})"
+
+
+def dow_sunday0(dialect: str, expr: str) -> str:
+    """Day-of-week, 0=Sunday (Redshift EXTRACT(DOW) convention)."""
+    if dialect == SPARK:
+        return f"(dayofweek({expr}) - 1)"  # Spark: 1=Sunday
+    return f"dayofweek({expr})"  # DuckDB: 0=Sunday
+
+
+def regexp_replace_all(dialect: str, expr: str, pattern: str, replacement: str) -> str:
+    """Global regexp replace (Spark is global by default; DuckDB needs
+    the 'g' flag)."""
+    if dialect == SPARK:
+        return f"regexp_replace({expr}, '{pattern}', '{replacement}')"
+    return f"regexp_replace({expr}, '{pattern}', '{replacement}', 'g')"
+
+
+def sum_bigint(dialect: str, expr: str) -> str:
+    """SUM over integers with BIGINT (not HUGEINT) output."""
+    return f"cast(sum({expr}) as bigint)"
+
+
+def as_double(expr: str) -> str:
+    return f"cast({expr} as double)"
+
+
+def hour_interval(expr: str) -> str:
+    """n-hours interval arithmetic, portable form (both engines accept
+    `ts + n * INTERVAL '1' HOUR`)."""
+    return f"({expr}) * INTERVAL '1' HOUR"

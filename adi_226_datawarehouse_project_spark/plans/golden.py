@@ -1,0 +1,204 @@
+"""The golden analytical query suite — the reference's ten notebook
+queries (`src/Analysis/*.ipynb`) re-targeted at the synthetic star
+schema. Each query is dialect-shared SQL (identical text runs on Spark
+and DuckDB unless noted) so correctness is verified by exact
+hash-match against the DuckDB oracle.
+
+Deterministic deviations from the reference SQL (each deliberate,
+value-preserving in spirit):
+- ORDER BY gains natural-key tiebreakers wherever a LIMIT follows —
+  reference top-k is nondeterministic under ties.
+- DECIMAL casts → DOUBLE (`TRY_CAST(price AS DECIMAL(18,2))` →
+  try_cast DOUBLE): the engine keeps typed doubles end-to-end.
+- Money aggregates (`avg`/`sum` over price/revenue) run through an
+  exact integer-cents path (`_cents`): summing doubles is
+  order-dependent at the ulp level and Spark/DuckDB would disagree in
+  the last bits; summing BIGINT cents is exact in both engines, so the
+  final divide produces bit-identical doubles.
+- `WHERE d.year >= 2023` (q9) → `>= 1998`: the synthetic shipdates
+  span 1995-2001.
+- HAVING thresholds are kept (fixture density was designed so they
+  select non-trivially — see model/fixtures.py spatial layout).
+
+Scale notes: q1-q3/q9-q10 are star joins of a big fact against tiny
+dims — Catalyst broadcasts every dim (verified in tests); the window
+in q1/q9 runs over the *aggregated* frame (5-3000 rows), never the
+fact. q4-q8 join on geohash — at 100 TB that is the one shuffle-heavy
+join family; the fixture's folded grid creates realistic skew that AQE
+skew-join handles (skew split verified at bench SF).
+"""
+
+from __future__ import annotations
+
+# Exact-integer cents of a dirty price string/double expression: the
+# double is within 1e-10 of true cents, so round-then-cast recovers the
+# exact integer identically in both engines.
+def _cents(expr: str) -> str:
+    return f"CAST(round(({expr}) * 100, 0) AS BIGINT)"
+
+
+def _avg_money(expr: str, alias: str) -> str:
+    return (
+        f"round(CAST(CAST(sum({_cents(expr)}) AS BIGINT) AS DOUBLE)"
+        f" / count({expr}) / 100.0, 2) AS {alias}"
+    )
+
+
+_PRICE = "try_cast(f.price AS DOUBLE)"
+_PRICE_OK = (
+    "f.price NOT IN ('NaN', 'nan', '', 'INF', '-INF')"
+    " AND try_cast(f.price AS DOUBLE) IS NOT NULL"
+)
+
+GOLDEN_QUERIES: dict[str, str] = {
+    # ---- 311 Complaints Analysis (1).ipynb ----
+    # cell 0: % of total by borough (W1 window-over-aggregate + J5).
+    "g01_complaints_by_borough_pct": """
+SELECT b.borough_name AS borough,
+       COUNT(*) AS total_complaints,
+       round(CAST(COUNT(*) AS DOUBLE) * 100.0
+             / CAST(SUM(COUNT(*)) OVER () AS DOUBLE), 2) AS percentage
+FROM fact_311_complaint f
+JOIN dim_311_location l ON f.location_key = l.location_key
+JOIN dim_311_borough b ON l.borough = b.borough_name
+GROUP BY b.borough_name
+ORDER BY total_complaints DESC, borough
+""",
+    # cell 1: top complaint types per borough (J6 + top-k).
+    "g02_top_complaint_types": """
+SELECT c.complaint_type_name AS complaint_type,
+       b.borough_name AS borough,
+       COUNT(*) AS complaint_count
+FROM fact_311_complaint f
+JOIN dim_311_complaint c ON f.complaint_type_key = c.complaint_type_key
+JOIN dim_311_location l ON f.location_key = l.location_key
+JOIN dim_311_borough b ON l.borough = b.borough_name
+WHERE c.complaint_type_name IS NOT NULL
+GROUP BY c.complaint_type_name, b.borough_name
+ORDER BY complaint_count DESC, complaint_type, borough
+LIMIT 20
+""",
+    # cell 2: agency resolution times (A3).
+    "g03_agency_resolution": """
+SELECT a.agency_name,
+       COUNT(*) AS total_complaints,
+       round(avg(f.duration_hours), 2) AS avg_resolution_hours,
+       round(avg(f.duration_hours) / 24, 1) AS avg_resolution_days
+FROM fact_311_complaint f
+JOIN dim_311_agency a ON f.agency_key = a.agency_key
+WHERE f.duration_hours IS NOT NULL
+GROUP BY a.agency_name
+ORDER BY total_complaints DESC, agency_name
+""",
+    # ---- Airbnb Listings Analysis.ipynb ----
+    # cell 0: price stats by borough (A4 multi-agg + J7 geohash join).
+    "g04_price_stats_by_borough": f"""
+SELECT al.borough,
+       COUNT(*) AS total_listings,
+       {_avg_money(_PRICE, "avg_price")},
+       min({_PRICE}) AS min_price,
+       max({_PRICE}) AS max_price
+FROM fact_airbnb_listings f
+JOIN dim_airbnb_location al ON f.geohash = al.geohash
+WHERE al.borough IS NOT NULL AND {_PRICE_OK}
+GROUP BY al.borough
+ORDER BY total_listings DESC, borough
+""",
+    # cell 1: room type × borough with COALESCE fallback (P14 + J8).
+    "g05_room_type_price": f"""
+SELECT coalesce(f.room_type, dp.room_type) AS room_type,
+       al.borough,
+       COUNT(*) AS listing_count,
+       {_avg_money(_PRICE, "avg_price")}
+FROM fact_airbnb_listings f
+JOIN dim_airbnb_location al ON f.geohash = al.geohash
+LEFT JOIN dim_airbnb_property dp ON f.listing_id = dp.listing_id
+WHERE al.borough IS NOT NULL AND {_PRICE_OK}
+GROUP BY coalesce(f.room_type, dp.room_type), al.borough
+ORDER BY listing_count DESC, room_type, borough
+""",
+    # cell 2: neighbourhood revenue (A5 SUM+COALESCE; round 2 not 0 —
+    # see module docstring).
+    "g06_neighbourhood_revenue": f"""
+SELECT al.neighbourhood_name AS neighbourhood,
+       al.borough,
+       COUNT(*) AS listings,
+       {_avg_money(_PRICE, "avg_price")},
+       round(CAST(CAST(sum({_cents("coalesce(f.estimated_revenue_l365d, 0)")}) AS BIGINT)
+             AS DOUBLE) / 100.0, 2) AS est_total_revenue_l365d
+FROM fact_airbnb_listings f
+JOIN dim_airbnb_location al ON f.geohash = al.geohash
+WHERE f.price NOT IN ('NaN', 'nan', '', 'INF', '-INF')
+GROUP BY al.neighbourhood_name, al.borough
+ORDER BY listings DESC, neighbourhood, borough
+LIMIT 20
+""",
+    # ---- Comined analysis.ipynb ----
+    # cell 0: drill-across airbnb-per-complaint (J9 + A6/A7).
+    "g07_airbnb_complaint_ratio": """
+SELECT al.borough,
+       al.neighbourhood_name AS neighbourhood,
+       COUNT(DISTINCT c.complaint_id) AS complaint_count,
+       COUNT(DISTINCT f.listing_id) AS airbnb_count,
+       round(CAST(COUNT(DISTINCT f.listing_id) AS DOUBLE)
+             / nullif(CAST(COUNT(DISTINCT c.complaint_id) AS DOUBLE), 0.0), 4)
+         AS airbnb_per_complaint
+FROM dim_airbnb_location al
+LEFT JOIN fact_airbnb_listings f ON f.geohash = al.geohash
+LEFT JOIN dim_311_location l311 ON l311.geohash = al.geohash
+LEFT JOIN fact_311_complaint c ON c.location_key = l311.location_key
+WHERE al.borough IS NOT NULL
+GROUP BY al.borough, al.neighbourhood_name
+HAVING COUNT(DISTINCT c.complaint_id) > 10
+ORDER BY airbnb_count DESC, al.borough, al.neighbourhood_name
+LIMIT 50
+""",
+    # cell 1: complaints-per-listing by geohash cell.
+    "g08_geohash_density": """
+SELECT al.geohash,
+       al.borough,
+       COUNT(DISTINCT c.complaint_id) AS complaints,
+       COUNT(DISTINCT f.listing_id) AS airbnb_listings,
+       round(CAST(COUNT(DISTINCT c.complaint_id) AS DOUBLE)
+             / nullif(CAST(COUNT(DISTINCT f.listing_id) AS DOUBLE), 0.0), 2)
+         AS complaints_per_listing
+FROM dim_airbnb_location al
+LEFT JOIN fact_airbnb_listings f ON f.geohash = al.geohash
+LEFT JOIN dim_311_location l311 ON l311.geohash = al.geohash
+LEFT JOIN fact_311_complaint c ON c.location_key = l311.location_key
+GROUP BY al.geohash, al.borough
+HAVING COUNT(DISTINCT f.listing_id) > 5
+ORDER BY complaints_per_listing DESC, al.geohash
+LIMIT 30
+""",
+    # cell 2: quarterly trend with window-over-aggregate (W2 + J10).
+    "g09_quarterly_trend": """
+SELECT d.quarter,
+       d.month_name,
+       l311.borough,
+       COUNT(*) AS complaints,
+       avg(COUNT(*)) OVER (PARTITION BY d.quarter) AS avg_quarterly_complaints
+FROM fact_311_complaint f
+JOIN dim_date d ON f.created_date_key = d.date_id
+JOIN dim_311_location l311 ON f.location_key = l311.location_key
+WHERE d.year >= 1998
+GROUP BY d.quarter, d.month_name, l311.borough
+ORDER BY d.quarter, l311.borough NULLS FIRST, d.month_name
+""",
+    # cell 3: weekend/weekday split (P12 CASE + F10 + J10).
+    "g10_weekend_weekday": """
+SELECT CASE WHEN d.is_weekend THEN 'Weekend' ELSE 'Weekday' END AS day_type,
+       l311.borough,
+       COUNT(*) AS complaint_count,
+       round(avg(f.duration_hours), 2) AS avg_resolution_hours
+FROM fact_311_complaint f
+JOIN dim_date d ON f.created_date_key = d.date_id
+JOIN dim_311_location l311 ON f.location_key = l311.location_key
+GROUP BY CASE WHEN d.is_weekend THEN 'Weekend' ELSE 'Weekday' END, l311.borough
+ORDER BY l311.borough NULLS FIRST, day_type
+""",
+}
+
+
+def golden_query_sql(name: str) -> str:
+    return GOLDEN_QUERIES[name]

@@ -1,0 +1,53 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing runs on ``local[N]`` but every default here is chosen to
+also hold on a multi-executor cluster: AQE on (runtime shuffle-partition
+coalescing, skew-join splitting), shuffle partitions sized explicitly,
+UTC session timezone (so results are reproducible and comparable to the
+DuckDB oracle), and Arrow enabled for the pandas-UDF slow path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "adi_226_datawarehouse_project_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine SparkSession.
+
+    Scale posture: on a real cluster only ``master`` and memory sizing
+    change; the SQL configs below are scale-independent (AQE re-plans
+    shuffle parallelism at runtime from actual map-output sizes).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # ANSI off: the engine's cleaning layer relies on null-on-error
+        # cast semantics (reference TRY_CAST behavior); explicit
+        # try_* functions are still used where intent matters.
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+    )
+    if SparkSession.getActiveSession() is None:
+        builder = builder.master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]"))
+        builder = builder.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

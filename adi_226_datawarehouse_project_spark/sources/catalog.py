@@ -1,0 +1,53 @@
+"""Catalog: the driver's synthetic parquet tables as named views.
+
+Mirrors the reference's S3-zone layout (raw/staging/gold parquet
+prefixes read with ``spark.read.parquet``, e.g. `Glue job to merge 311
+Airbnb.py:77-80`) as a single view registry. At 100 TB each of these is
+a partitioned parquet (or Iceberg/Delta) table; the reader path is
+identical — Catalyst handles partition pruning and predicate pushdown.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar parquet scan; filters/projections placed on the result
+    push down into the scan (verify via PushedFilters in .explain).
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; read it as raw nanos and truncate to
+    microseconds (exactly what DuckDB's reader does), keeping oracle
+    parity."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        from pyspark.sql import functions as F
+
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_base_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register every base table as a temp view so both the DataFrame
+    and ``spark.sql`` surfaces see the same catalog."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
