@@ -22,6 +22,9 @@ from adi_226_datawarehouse_project_spark.model.star import (  # noqa: E402
     register_star_views,
 )
 from adi_226_datawarehouse_project_spark.plans.golden import GOLDEN_QUERIES  # noqa: E402
+from adi_226_datawarehouse_project_spark.plans.operators_suite import (  # noqa: E402
+    operator_queries,
+)
 
 
 def _golden(name: str) -> Callable[[SparkSession, str], DataFrame]:
@@ -42,8 +45,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in GOLDEN_QUERIES:
         out[name] = _golden(name)
+    for name, opq in operator_queries().items():
+        out[name] = opq.spark
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: oracle_with_chain(sql) for name, sql in GOLDEN_QUERIES.items()}
+    out = {name: oracle_with_chain(sql) for name, sql in GOLDEN_QUERIES.items()}
+    for name, opq in operator_queries().items():
+        if opq.oracle is not None:
+            out[name] = opq.oracle
+    return out

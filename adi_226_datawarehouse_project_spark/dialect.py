@@ -85,6 +85,18 @@ def regexp_replace_all(dialect: str, expr: str, pattern: str, replacement: str) 
     return f"regexp_replace({expr}, '{pattern}', '{replacement}', 'g')"
 
 
+def repartition_hint(dialect: str, *cols: str) -> str:
+    """Spark REPARTITION hint (no partition count — uses
+    spark.sql.shuffle.partitions, so it scales with the cluster);
+    empty for DuckDB. Placed on materialized (cached/written) tables so
+    their stored partitioning is parallel — without it a fact cached
+    after AQE-coalesced small-SF shuffles can end up as 1-2 in-memory
+    partitions and serialize every downstream join."""
+    if dialect == SPARK:
+        return "/*+ REPARTITION(" + ", ".join(cols) + ") */ "
+    return ""
+
+
 def sum_bigint(dialect: str, expr: str) -> str:
     """SUM over integers with BIGINT (not HUGEINT) output."""
     return f"cast(sum({expr}) as bigint)"

@@ -100,9 +100,14 @@ def geohash_sql(lat_expr: str, lon_expr: str, precision: int = 7) -> str:
             terms.append(f"(cast(floor(({src}) / {1 << pos}.0) as bigint) % 2) * {1 << (4 - j)}")
         val = " + ".join(terms)
         chars.append(f"substr('{BASE32}', cast(({val}) as int) + 1, 1)")
-    # `||` (not concat): DuckDB's concat() ignores NULL args, while `||`
-    # null-propagates in both dialects — NULL lat/lon must yield NULL.
-    return "(" + " || ".join(chars) + ")"
+    # Explicit NULL guard: least()/greatest() IGNORE null args in both
+    # dialects, so NULL lat/lon would otherwise quantize to the max
+    # cell and emit a junk geohash instead of NULL.
+    concat = " || ".join(chars)
+    return (
+        f"(CASE WHEN ({lat_expr}) IS NULL OR ({lon_expr}) IS NULL "
+        f"THEN NULL ELSE ({concat}) END)"
+    )
 
 
 def geohash_col(lat: Column | str, lon: Column | str, precision: int = 7) -> Column:
@@ -131,4 +136,5 @@ def geohash_col(lat: Column | str, lon: Column | str, precision: int = 7) -> Col
             bit = F.floor(src / F.lit(float(1 << pos))).cast("bigint") % 2
             val = val + bit * F.lit(1 << (4 - j))
         chars.append(F.substr(F.lit(BASE32), val.cast("int") + 1, F.lit(1)))
-    return F.concat(*chars)
+    # Same NULL guard as geohash_sql: least() ignores NULL operands.
+    return F.when(lat_c.isNotNull() & lon_c.isNotNull(), F.concat(*chars))

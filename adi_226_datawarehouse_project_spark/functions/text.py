@@ -1,0 +1,114 @@
+"""Text-analysis column functions for large-scale training-data
+pipelines (north-star additions beyond the reference surface; operate
+on the driver's ``documents`` table).
+
+Everything is built from pyspark.sql.functions — whole-stage-codegen
+friendly, linear in input size, shuffle-free per row — so the same
+code runs unchanged over 100 TB of text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny deterministic stopword inventories for the language heuristic.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "du", "est", "que"],
+    "de": ["der", "die", "und", "das", "ein", "ist", "nicht", "mit", "den", "von"],
+    "es": ["el", "la", "de", "que", "y", "los", "un", "una", "es", "por"],
+}
+
+
+def word_tokens(col: Column | str) -> Column:
+    """Whitespace tokenization of lowercased text, empties removed."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(F.trim(c)), r"\s+"), lambda t: t != F.lit(""))
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(word_tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Sub-word-ish token estimate: count of word/number/punct chunks
+    matched by a BPE-flavored regex (each ~4 chars of a word become a
+    token, punctuation is its own token)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(
+        F.filter(
+            F.split(c, r"(?<=[\s\p{Punct}])|(?=[\s\p{Punct}])"),
+            lambda t: F.trim(t) != F.lit(""),
+        )
+    )
+
+
+def char_ngrams(col: Column | str, n: int = 3) -> Column:
+    """All character n-grams (shingles) of the lowercased text — the
+    shingle set for MinHash. Pure expression: substring over an index
+    sequence (no UDF)."""
+    c = F.col(col) if isinstance(col, str) else col
+    low = F.lower(c)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(low) - (n - 1), F.lit(1))),
+        lambda i: F.substring(low, i, F.lit(n)),
+    )
+
+
+def word_ngrams(col: Column | str, n: int = 2) -> Column:
+    """Word n-grams joined by a space."""
+    toks = word_tokens(col)
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+
+
+def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords of `lang`."""
+    toks = word_tokens(col)
+    sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return hits.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def lang_id(col: Column | str) -> Column:
+    """Heuristic language ID: highest stopword-hit count wins; 'und'
+    when nothing matches. Deterministic tie-break by language code."""
+    scores = [(lang, stopword_ratio(col, lang)) for lang in sorted(LANG_STOPWORDS)]
+    best_score = F.greatest(*[s for _, s in scores])
+    out = F.lit("und")
+    # reversed so earlier languages win ties (first greatest match).
+    for lang, score in reversed(scores):
+        out = F.when((score == best_score) & (best_score > 0), F.lit(lang)).otherwise(out)
+    return out
+
+
+def punct_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[\p{Punct}]", ""))
+    return n_punct.cast("double") / F.greatest(F.length(c), F.lit(1)).cast("double")
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: length band + low punctuation
+    + healthy stopword ratio + mean word length band. Mirrors the
+    shape of public LLM-data quality filters (C4/Gopher-style rules)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_tok = token_count(c).cast("double")
+    mean_wl = F.length(c).cast("double") / F.greatest(n_tok, F.lit(1.0))
+    len_ok = F.when((n_tok >= 5) & (n_tok <= 100000), 0.25).otherwise(0.0)
+    punct_ok = F.when(punct_ratio(c) <= 0.2, 0.25).otherwise(0.0)
+    sw_ok = F.when(stopword_ratio(c) >= 0.05, 0.25).otherwise(0.0)
+    wl_ok = F.when((mean_wl >= 2.0) & (mean_wl <= 12.0), 0.25).otherwise(0.0)
+    return len_ok + punct_ok + sw_ok + wl_ok
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Order-insensitive document fingerprint: md5 of the sorted
+    distinct token set (key-collapsing fingerprint à la OpenRefine).
+    Identical token multisets → identical fingerprint."""
+    toks = F.array_sort(F.array_distinct(word_tokens(col)))
+    return F.md5(F.array_join(toks, " "))

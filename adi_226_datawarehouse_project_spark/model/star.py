@@ -193,7 +193,7 @@ FROM (SELECT DISTINCT trim(complaint_type) AS complaint_type_name
 def fact_311_complaint_sql(d: str) -> str:
     guard = _regexp_like(d, "s.unique_key", "^[0-9]+$")
     return f"""
-SELECT CASE WHEN {guard} THEN CAST(s.unique_key AS BIGINT) END AS complaint_id,
+SELECT {D.repartition_hint(d, "geohash")}CASE WHEN {guard} THEN CAST(s.unique_key AS BIGINT) END AS complaint_id,
        s.geohash,
        CASE WHEN s.created_ts IS NOT NULL
             THEN {D.yyyymmdd_key(d, "CAST(s.created_ts AS DATE)")} END AS created_date_key,
@@ -239,9 +239,9 @@ FROM staging_airbnb
 """
 
 
-def fact_airbnb_listings_sql(d: str) -> str:  # noqa: ARG001
-    return """
-SELECT row_number() OVER (ORDER BY id NULLS FIRST) AS fact_id,
+def fact_airbnb_listings_sql(d: str) -> str:
+    return f"""
+SELECT {D.repartition_hint(d, "geohash")}row_number() OVER (ORDER BY id NULLS FIRST) AS fact_id,
        id AS listing_id, geohash, property_type, room_type, price,
        minimum_nights, number_of_reviews, number_of_reviews_l30d,
        reviews_per_month, review_scores_rating, review_scores_location,
@@ -280,10 +280,26 @@ def star_sql(d: str, name: str) -> str:
 # would silently drop their cache; switching sf_dir clears it.
 _REGISTERED: dict[int, str] = {}
 
-# The cleaning layer (timestamp parse + geohash over the dirty
-# fixtures) is the expensive recompute; cache it once per session so
-# the whole query suite reuses the columnar in-memory staging tables.
-_CACHE_TABLES = ("staging_311", "staging_airbnb")
+# Cache the whole derived warehouse (staging + dims + facts) once per
+# session: cacheTable is LAZY, so unused tables cost nothing, while the
+# 10-query golden suite reuses the materialized gold layer instead of
+# re-running the cleaning+join pipeline per query. This is the local
+# analog of the reference's medallion materialization (staging/gold S3
+# zones) — at 100 TB these are partitioned parquet/Iceberg writes.
+_CACHE_TABLES = (
+    "staging_311",
+    "staging_airbnb",
+    "dim_date",
+    "dim_311_agency",
+    "dim_311_borough",
+    "dim_311_location",
+    "dim_311_complaint",
+    "fact_311_complaint",
+    "dim_airbnb_location",
+    "dim_airbnb_property",
+    "dim_airbnb_host",
+    "fact_airbnb_listings",
+)
 
 
 def register_star_views(spark: SparkSession, sf_dir: str, cache: bool = True) -> None:

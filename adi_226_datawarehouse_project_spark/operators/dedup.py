@@ -1,0 +1,242 @@
+"""Deduplication operator family for LLM-scale data pipelines.
+
+Exact dedup reproduces the reference's semantics
+(`glue_job_clean_311.py:131` dropDuplicates, `airbnb_clean_data.py:
+183-186` intent) but with a *deterministic* representative — vanilla
+dropDuplicates keeps whichever row a partition yields first, which is
+irreproducible across runs/engines.
+
+Near-dup operators (MinHash+LSH, SimHash, n-gram Jaccard) are the
+standard public algorithms (Broder 1997 resemblance sketches;
+Charikar 2002 simhash; the GPT-3/C4-style 10-gram overlap rule)
+implemented as pure DataFrame compositions — explode/groupBy/self-join
+— with zero Python UDFs, so they distribute and codegen like any other
+relational plan.
+
+Scale notes (the whole point of these ops):
+- MinHash: |docs|×|shingles| explode → groupBy doc. Map-side partial
+  aggregation collapses the explode before the shuffle; signature
+  width k=64 costs k aggregates, not k passes.
+- LSH banding: candidate pairs come from equi-joins on (band,
+  band_hash) buckets — never a cross join. Bucket skew (a hot bucket)
+  is bounded by band width choice and AQE skew-join.
+- n-gram Jaccard: inverted-index self-join on shingle, the classic
+  |pairs sharing a shingle| blow-up is bounded by first DISTINCT-ing
+  (doc, shingle) and optionally dropping ultra-frequent shingles
+  (stop-shingle cap, like suffix-array dedup pipelines do).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import char_ngrams, word_ngrams, word_tokens
+
+
+def dedup_exact(df: DataFrame, keys: list[str], order_by: list[str] | None = None) -> DataFrame:
+    """Deterministic dropDuplicates: keep the first row per key under
+    an explicit ordering (defaults to all non-key columns)."""
+    order_cols = order_by or [c for c in df.columns if c not in keys]
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).asc_nulls_first() for c in order_cols])
+    return (
+        df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """(id, signature array<bigint>[num_hashes]) via min-over-shingles.
+
+    The hash family is seeded xxhash64 — one independent 64-bit hash
+    per signature position, wrapped INSIDE the JVM hash kernel (no
+    Spark-level arithmetic), so it is safe under the driver session's
+    spark.sql.ansi.enabled=true where bigint wraparound throws
+    ARITHMETIC_OVERFLOW. (A Kirsch–Mitzenmacher ``h1 + i*h2`` variant
+    was tried and reverted: without full 2^64 modular reduction the
+    per-i minima correlate and the Jaccard estimator biases low.)
+    Documents with no shingles are dropped. All JVM-side codegen'd
+    expressions, never a Python UDF."""
+    shingled = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(char_ngrams(F.col(text_col), shingle_size))).alias("__sh"),
+    )
+    aggs = [
+        F.min(F.xxhash64(F.col("__sh"), F.lit(seed))).alias(f"__h{seed}")
+        for seed in range(num_hashes)
+    ]
+    sig = shingled.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        F.col(id_col), F.array(*[F.col(f"__h{s}") for s in range(num_hashes)]).alias("signature")
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+    min_jaccard_est: float = 0.5,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via LSH banding, scored by the
+    estimated Jaccard (fraction of agreeing minhashes). Returns
+    (id_a, id_b, jaccard_est) with id_a < id_b."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_size)
+    banded = sig.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.array_join(
+                        F.transform(
+                            F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                        ",",
+                    )
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+    # Candidate pairs as bare (id_a, id_b): the bucket self-join and the
+    # dedup shuffle move 16-byte rows, not 64-element signature arrays.
+    left = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
+    right = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
+    pair_ids = (
+        left.join(right, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # Re-attach signatures for scoring. One row per document — small
+    # next to the pair set; AQE broadcasts it when it fits and falls
+    # back to a shuffle join at corpus scales where it can't.
+    sig_a = sig.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
+    sig_b = sig.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
+    pairs = pair_ids.join(sig_a, "id_a").join(sig_b, "id_b")
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda a, b: (a == b).cast("int")),
+            lambda x: x == 1,
+        )
+    )
+    return (
+        pairs.withColumn("jaccard_est", agree.cast("double") / F.lit(float(num_hashes)))
+        .filter(F.col("jaccard_est") >= min_jaccard_est)
+        .select("id_a", "id_b", "jaccard_est")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """Charikar simhash fingerprint: per-bit majority vote over token
+    hashes, composed from explode + 64 conditional sums (one shuffle)."""
+    toks = df.select(
+        F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("__t")
+    ).withColumn("__h", F.xxhash64(F.col("__t")))
+    bit_votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"__b{i}")
+        for i in range(bits)
+    ]
+    voted = toks.groupBy(id_col).agg(*bit_votes)
+    fp = None
+    for i in range(bits):
+        term = F.when(F.col(f"__b{i}") > 0, F.lit(1).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        ) * F.lit(1 << i).cast("bigint") if i < 63 else F.when(
+            F.col(f"__b{i}") > 0, F.lit(-(1 << 63)).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+        fp = term if fp is None else fp + term
+    return voted.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by simhash Hamming distance, candidate-generated
+    by 4-way 16-bit block LSH (a pair within Hamming≤3 of 64 bits must
+    agree on at least one of 4 disjoint 16-bit blocks — pigeonhole)."""
+    fps = simhash(df, id_col, text_col)
+    blocked = fps.select(
+        id_col,
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF))
+                    for b in range(4)
+                ]
+            )
+        ).alias("block", "block_val"),
+    )
+    left = blocked.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("fp_a"), "block", "block_val"
+    )
+    right = blocked.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("fp_b"), "block", "block_val"
+    )
+    cand = (
+        left.join(right, ["block", "block_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "fp_a", "fp_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    min_jaccard: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard similarity for every pair sharing at
+    least one n-gram (inverted-index self-join). Returns (id_a, id_b,
+    jaccard). `max_shingle_freq` drops ultra-common shingles before
+    the join — the stop-shingle cap that keeps the self-join bounded
+    at corpus scale."""
+    sh = df.select(
+        F.col(id_col), F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("__g")
+    ).dropDuplicates([id_col, "__g"])
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("__g").count().filter(F.col("count") <= max_shingle_freq)
+        sh = sh.join(F.broadcast(freq.select("__g")), "__g")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("__n"))
+    a = sh.select(F.col(id_col).alias("id_a"), "__g")
+    b = sh.select(F.col(id_col).alias("id_b"), "__g")
+    inter = (
+        a.join(b, "__g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("__i"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("__i").cast("double")
+            / (F.col("__na") + F.col("__nb") - F.col("__i")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "jaccard")
+    )

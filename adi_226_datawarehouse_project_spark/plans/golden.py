@@ -135,40 +135,59 @@ LIMIT 20
 """,
     # ---- Comined analysis.ipynb ----
     # cell 0: drill-across airbnb-per-complaint (J9 + A6/A7).
+    #
+    # AGGREGATE-BELOW-JOIN REWRITE (semantics-preserving): the
+    # reference's literal 4-way LEFT JOIN fans out to
+    # |listings/cell| × |locations/cell| × |complaints/cell| rows per
+    # geohash cell before COUNT(DISTINCT) collapses them — 843M rows at
+    # sf0.1, unbounded at 100 TB. Because a complaint has exactly one
+    # location geohash and a listing exactly one geohash, the distinct
+    # sets are DISJOINT across cells, so per-(b,n) distinct counts are
+    # exactly the sum of per-geohash distinct counts: aggregate each
+    # fact to geohash grain FIRST, then join the tiny per-cell rollups.
+    # Output is row-identical to the naive form (oracle runs this same
+    # text; equivalence to the naive form is pinned by a pytest).
     "g07_airbnb_complaint_ratio": """
-SELECT al.borough,
-       al.neighbourhood_name AS neighbourhood,
-       COUNT(DISTINCT c.complaint_id) AS complaint_count,
-       COUNT(DISTINCT f.listing_id) AS airbnb_count,
-       round(CAST(COUNT(DISTINCT f.listing_id) AS DOUBLE)
-             / nullif(CAST(COUNT(DISTINCT c.complaint_id) AS DOUBLE), 0.0), 4)
+SELECT g.borough,
+       g.neighbourhood_name AS neighbourhood,
+       CAST(sum(coalesce(cg.cnt, 0)) AS BIGINT) AS complaint_count,
+       CAST(sum(coalesce(ag.cnt, 0)) AS BIGINT) AS airbnb_count,
+       round(CAST(sum(coalesce(ag.cnt, 0)) AS DOUBLE)
+             / nullif(CAST(sum(coalesce(cg.cnt, 0)) AS DOUBLE), 0.0), 4)
          AS airbnb_per_complaint
-FROM dim_airbnb_location al
-LEFT JOIN fact_airbnb_listings f ON f.geohash = al.geohash
-LEFT JOIN dim_311_location l311 ON l311.geohash = al.geohash
-LEFT JOIN fact_311_complaint c ON c.location_key = l311.location_key
-WHERE al.borough IS NOT NULL
-GROUP BY al.borough, al.neighbourhood_name
-HAVING COUNT(DISTINCT c.complaint_id) > 10
-ORDER BY airbnb_count DESC, al.borough, al.neighbourhood_name
+FROM (SELECT DISTINCT geohash, borough, neighbourhood_name
+      FROM dim_airbnb_location WHERE borough IS NOT NULL) g
+LEFT JOIN (SELECT l311.geohash, COUNT(DISTINCT c.complaint_id) AS cnt
+           FROM dim_311_location l311
+           JOIN fact_311_complaint c ON c.location_key = l311.location_key
+           GROUP BY l311.geohash) cg ON cg.geohash = g.geohash
+LEFT JOIN (SELECT geohash, COUNT(DISTINCT listing_id) AS cnt
+           FROM fact_airbnb_listings GROUP BY geohash) ag ON ag.geohash = g.geohash
+GROUP BY g.borough, g.neighbourhood_name
+HAVING CAST(sum(coalesce(cg.cnt, 0)) AS BIGINT) > 10
+ORDER BY airbnb_count DESC, g.borough, g.neighbourhood_name
 LIMIT 50
 """,
-    # cell 1: complaints-per-listing by geohash cell.
+    # cell 1: complaints-per-listing by geohash cell (same
+    # aggregate-below-join rewrite as g07; grain is already geohash so
+    # the per-cell rollups join 1:1 — no re-aggregation needed).
     "g08_geohash_density": """
-SELECT al.geohash,
-       al.borough,
-       COUNT(DISTINCT c.complaint_id) AS complaints,
-       COUNT(DISTINCT f.listing_id) AS airbnb_listings,
-       round(CAST(COUNT(DISTINCT c.complaint_id) AS DOUBLE)
-             / nullif(CAST(COUNT(DISTINCT f.listing_id) AS DOUBLE), 0.0), 2)
+SELECT g.geohash,
+       g.borough,
+       coalesce(cg.cnt, 0) AS complaints,
+       coalesce(ag.cnt, 0) AS airbnb_listings,
+       round(CAST(coalesce(cg.cnt, 0) AS DOUBLE)
+             / nullif(CAST(coalesce(ag.cnt, 0) AS DOUBLE), 0.0), 2)
          AS complaints_per_listing
-FROM dim_airbnb_location al
-LEFT JOIN fact_airbnb_listings f ON f.geohash = al.geohash
-LEFT JOIN dim_311_location l311 ON l311.geohash = al.geohash
-LEFT JOIN fact_311_complaint c ON c.location_key = l311.location_key
-GROUP BY al.geohash, al.borough
-HAVING COUNT(DISTINCT f.listing_id) > 5
-ORDER BY complaints_per_listing DESC, al.geohash
+FROM (SELECT DISTINCT geohash, borough FROM dim_airbnb_location) g
+LEFT JOIN (SELECT l311.geohash, COUNT(DISTINCT c.complaint_id) AS cnt
+           FROM dim_311_location l311
+           JOIN fact_311_complaint c ON c.location_key = l311.location_key
+           GROUP BY l311.geohash) cg ON cg.geohash = g.geohash
+LEFT JOIN (SELECT geohash, COUNT(DISTINCT listing_id) AS cnt
+           FROM fact_airbnb_listings GROUP BY geohash) ag ON ag.geohash = g.geohash
+WHERE coalesce(ag.cnt, 0) > 5
+ORDER BY complaints_per_listing DESC, g.geohash
 LIMIT 30
 """,
     # cell 2: quarterly trend with window-over-aggregate (W2 + J10).

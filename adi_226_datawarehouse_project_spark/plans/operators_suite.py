@@ -1,0 +1,740 @@
+"""Operator-level differential query inventory (SURVEY §2 coverage).
+
+Each entry pairs a Spark implementation (DataFrame-library operator or
+SQL) with a DuckDB oracle that derives the same result independently.
+Shared-dialect SQL is used where both engines accept the identical
+text; dialect-split snippets come from ``dialect``/per-query renderers.
+
+Money/double determinism: any SUM/AVG over non-integral doubles runs
+through the exact integer (micro-)units trick — per-row
+round-to-integer is bit-identical in both engines, integer sums are
+exact, and the final division yields bit-identical doubles (see
+plans/golden.py docstring).
+
+Entries with `oracle=None` are genuinely not SQL-expressible in DuckDB
+with matched semantics (seeded xxhash64 MinHash/SimHash/SRP planes) —
+the driver records a rows-only check; their algorithmic correctness is
+covered by pytest property tests instead (tests/test_dedup.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import dialect as D
+from ..functions import text as TX
+from ..functions.cleaning import ensure_columns, parse_timestamp_multi, to_utc
+from ..model.star import oracle_with_chain, register_star_views
+from ..multimodal.binary_ops import attach_binary_payload, decode_image_stub
+from ..operators.dedup import (
+    dedup_exact,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from ..operators.similarity import cosine, cosine_self_topk, lsh_bucket_topk
+from ..operators.upsert import incremental_upsert
+from ..sources.catalog import load_table, register_base_views
+from ..streaming.events_stream import windowed_event_counts
+
+
+@dataclass
+class OpQuery:
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL over the registered base views
+
+
+def _sql(text: str, star: bool = False) -> Callable[[SparkSession, str], DataFrame]:
+    """Spark side that runs (possibly dialect-rendered) SQL text."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        if star:
+            register_star_views(spark, sf_dir)
+        else:
+            register_base_views(spark, sf_dir)
+        return spark.sql(text)
+
+    return run
+
+
+def _df(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    return fn
+
+
+# ---- exact-sum helpers (see module docstring) ----
+def _units(expr: str, scale: int) -> str:
+    return f"CAST(round(({expr}) * {scale}, 0) AS BIGINT)"
+
+
+def _sum_units(expr: str, scale: int, alias: str, digits: int = 4) -> str:
+    return (
+        f"round(CAST(CAST(sum({_units(expr, scale)}) AS BIGINT) AS DOUBLE)"
+        f" / {scale}.0, {digits}) AS {alias}"
+    )
+
+
+def _avg_units(expr: str, scale: int, alias: str, digits: int = 6) -> str:
+    return (
+        f"round(CAST(CAST(sum({_units(expr, scale)}) AS BIGINT) AS DOUBLE)"
+        f" / count({expr}) / {scale}.0, {digits}) AS {alias}"
+    )
+
+
+# =====================================================================
+# Relational operators over the TPC-H base tables (shared SQL)
+# =====================================================================
+
+_Q1 = f"""
+SELECT l_returnflag, l_linestatus,
+       {_sum_units("l_quantity", 100, "sum_qty", 2)},
+       {_sum_units("l_extendedprice", 100, "sum_base_price", 2)},
+       {_sum_units("l_extendedprice * (1 - l_discount)", 10000, "sum_disc_price", 4)},
+       {_sum_units("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 1000000, "sum_charge", 4)},
+       {_avg_units("l_quantity", 100, "avg_qty", 6)},
+       {_avg_units("l_extendedprice", 100, "avg_price", 6)},
+       {_avg_units("l_discount", 100, "avg_disc", 6)},
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+_TOPK_ORDERS = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) t
+WHERE rn <= 3
+"""
+
+_PCT_PRIORITY = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       round(CAST(COUNT(*) AS DOUBLE) * 100.0
+             / CAST(SUM(COUNT(*)) OVER () AS DOUBLE), 2) AS pct
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY n_orders DESC, o_orderpriority
+"""
+
+_QUARTER_WINDOW = """
+SELECT q, m, n_orders,
+       avg(n_orders) OVER (PARTITION BY q) AS avg_monthly_in_quarter
+FROM (
+  SELECT CAST(extract(quarter FROM o_orderdate) AS INT) AS q,
+         CAST(extract(month FROM o_orderdate) AS INT) AS m,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY 1, 2
+) t
+ORDER BY q, m
+"""
+
+_UNION_DISTINCT = """
+SELECT CAST(nk AS INT) AS nationkey FROM (
+  SELECT c_nationkey AS nk FROM customer
+  UNION
+  SELECT s_nationkey AS nk FROM supplier
+) u
+ORDER BY nationkey
+"""
+
+_UNION_ALL_COUNT = """
+SELECT CAST(nk AS INT) AS nationkey, COUNT(*) AS n
+FROM (
+  SELECT c_nationkey AS nk FROM customer
+  UNION ALL
+  SELECT s_nationkey AS nk FROM supplier
+) u
+GROUP BY nk ORDER BY nationkey
+"""
+
+_ANTI_JOIN_SQL = """
+SELECT c_mktsegment, COUNT(*) AS new_customers
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM customer e WHERE e.c_custkey % 3 = 0 AND e.c_custkey = c.c_custkey
+)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+_SEMI_JOIN_SQL = """
+SELECT c_mktsegment, COUNT(*) AS customers_with_orders
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+_LEFT_JOIN_NULLS = """
+SELECT CAST(c.c_nationkey AS INT) AS nationkey, COUNT(*) AS customers_without_orders
+FROM customer c
+LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o ON c.c_custkey = o.o_custkey
+WHERE o.o_custkey IS NULL
+GROUP BY c.c_nationkey
+ORDER BY nationkey
+"""
+
+_DISTINCT_PRIORITIES = """
+SELECT DISTINCT o_orderpriority FROM orders ORDER BY o_orderpriority
+"""
+
+_ROLLUP = """
+SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+       COUNT(*) AS n_customers
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+ORDER BY region, nation
+"""
+
+_DEDUP_EVENTS = """
+SELECT event_type, COUNT(*) AS n_kept, CAST(sum(event_id) AS BIGINT) AS id_sum
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts, event_id) AS __rn
+  FROM events
+) t
+WHERE __rn = 1
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def _date_parts_sql(d: str) -> str:
+    return f"""
+SELECT CAST(extract(year FROM o_orderdate) AS INT) AS year,
+       CAST(extract(quarter FROM o_orderdate) AS INT) AS quarter,
+       COUNT(*) AS n_orders,
+       min({D.yyyymmdd_key(d, "CAST(o_orderdate AS DATE)")}) AS min_date_key,
+       max({D.yyyymmdd_key(d, "CAST(o_orderdate AS DATE)")}) AS max_date_key
+FROM orders
+GROUP BY 1, 2
+ORDER BY year, quarter
+"""
+
+
+def _weekend_sql(d: str) -> str:
+    dow = D.dow_sunday0(d, "CAST(o_orderdate AS DATE)")
+    return f"""
+SELECT CASE WHEN CAST({dow} AS INT) IN (0, 6) THEN 'Weekend' ELSE 'Weekday' END AS day_type,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY 1
+ORDER BY day_type
+"""
+
+
+def _epoch(d: str, expr: str) -> str:
+    return f"CAST({expr} AS DOUBLE)" if d == D.SPARK else f"epoch({expr})"
+
+
+def _sessionize_sql(d: str) -> str:
+    return f"""
+SELECT n_sessions, COUNT(*) AS n_users
+FROM (
+  SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions
+  FROM (
+    SELECT user_id,
+           CASE WHEN lag_ts IS NULL
+                     OR {_epoch(d, "ts")} - {_epoch(d, "lag_ts")} > 1800
+                THEN 1 ELSE 0 END AS is_new
+    FROM (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lag_ts
+      FROM events
+    ) x
+  ) g
+  GROUP BY user_id
+) s
+GROUP BY n_sessions
+ORDER BY n_sessions
+"""
+
+
+def _window_start(d: str, secs: int) -> str:
+    if d == D.SPARK:
+        return f"timestamp_seconds(CAST(floor(CAST(ts AS DOUBLE) / {secs}) AS BIGINT) * {secs})"
+    return f"CAST(to_timestamp(floor(epoch(ts) / {secs}) * {secs}) AS TIMESTAMP)"
+
+
+def _events_window_sql(d: str) -> str:
+    return f"""
+SELECT {_window_start(d, 300)} AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(sum({_units("value", 1000000)}) AS BIGINT) AS total_value_micros
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
+def _spark_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the Structured Streaming aggregation — identical
+    transformation code path (streaming/events_stream.py); stream/batch
+    equivalence is asserted in tests/test_streaming.py. Double-sum
+    columns are dropped here (order-dependent ulps); the exact-cents
+    total is checked by op_events_tumbling_window."""
+    df = windowed_event_counts(spark, sf_dir, "5 minutes")
+    return df.select("window_start", "window_end", "event_type", "n_events")
+
+
+def _stream_windowed_oracle(d: str) -> str:
+    return f"""
+SELECT {_window_start(d, 300)} AS window_start,
+       {_window_start(d, 300)} + INTERVAL 5 MINUTE AS window_end,
+       event_type,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2, 3
+ORDER BY window_start, event_type
+"""
+
+
+def _json_props_sql(d: str) -> str:
+    if d == D.SPARK:
+        k = "get_json_object(props, '$.k')"
+    else:
+        k = "json_extract_string(props, '$.k')"
+    return f"""
+SELECT {k} AS k_value, COUNT(*) AS n
+FROM events
+WHERE props IS NOT NULL
+GROUP BY 1
+ORDER BY CAST(k_value AS INT)
+"""
+
+
+# =====================================================================
+# Cleaning / star-schema operator queries
+# =====================================================================
+
+_REGEX_GUARD_STAR = """
+SELECT status, COUNT(*) AS numeric_keys
+FROM complaints_raw
+WHERE {guard}
+GROUP BY status
+ORDER BY status
+"""
+
+_NOT_IN_SENTINELS = """
+SELECT property_type, COUNT(*) AS priced_listings
+FROM listings_raw
+WHERE price NOT IN ('NaN', 'nan', '', 'INF', '-INF') AND price IS NOT NULL
+GROUP BY property_type
+ORDER BY property_type
+"""
+
+
+def _try_cast_currency_sql(d: str) -> str:
+    cleaned = D.regexp_replace_all(d, "price", r"[$,]", "")
+    return f"""
+SELECT room_type,
+       COUNT(try_cast({cleaned} AS DOUBLE)) AS castable,
+       {_avg_units(f"try_cast({cleaned} AS DOUBLE)", 100, "avg_price", 2)}
+FROM listings_raw
+WHERE price NOT IN ('NaN', 'nan', '', 'INF', '-INF')
+GROUP BY room_type
+ORDER BY room_type NULLS FIRST
+"""
+
+
+def _ts_parse_hour_sql(d: str) -> str:
+    parsed = D.parse_timestamp(d, "created_date")
+    utc = D.to_utc(d, parsed)
+    return f"""
+SELECT CAST(extract(hour FROM {utc}) AS INT) AS utc_hour, COUNT(*) AS n
+FROM complaints_raw
+WHERE created_date IS NOT NULL
+GROUP BY 1
+ORDER BY utc_hour
+"""
+
+
+_DURATION_BY_BOROUGH = """
+SELECT borough, COUNT(*) AS n, round(avg(duration_hours), 2) AS avg_hours
+FROM staging_311
+WHERE duration_hours IS NOT NULL
+GROUP BY borough
+ORDER BY borough
+"""
+
+_GEOHASH_GROUPBY = """
+SELECT geohash, COUNT(*) AS n
+FROM staging_311
+GROUP BY geohash
+ORDER BY n DESC, geohash
+LIMIT 50
+"""
+
+# The reference's signature cross-dataset op: geohash equi-join +
+# two countDistinct rollups (`Glue job to merge 311 Airbnb.py:135-141`).
+_GEOHASH_MERGE = """
+SELECT c.geohash,
+       COUNT(DISTINCT c.unique_key) AS n_complaints,
+       COUNT(DISTINCT a.id) AS n_airbnbs
+FROM staging_311 c
+JOIN staging_airbnb a ON a.geohash = c.geohash
+GROUP BY c.geohash
+ORDER BY n_complaints DESC, c.geohash
+LIMIT 100
+"""
+
+
+def _spark_schema_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = ensure_columns(load_table(spark, sf_dir, "nation"), ["n_name", "park_borough"])
+    return df.select(
+        F.col("n_nationkey").cast("int").alias("n_nationkey"), "n_name", "park_borough"
+    ).orderBy("n_nationkey")
+
+
+_SCHEMA_CONTRACT_ORACLE = """
+SELECT CAST(n_nationkey AS INT) AS n_nationkey, n_name, CAST(NULL AS STRING) AS park_borough
+FROM nation ORDER BY n_nationkey
+"""
+
+
+def _spark_upsert_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the left-anti upsert twice; the second pass must add zero
+    rows (J2/J3 idempotency). Output: per-segment counts after each
+    pass (equal by construction)."""
+    customer = load_table(spark, sf_dir, "customer")
+    existing = customer.filter(F.col("c_custkey") % 3 == 0)
+    once = incremental_upsert(existing, customer, ["c_custkey"])
+    twice = incremental_upsert(once, customer, ["c_custkey"])
+    return (
+        twice.groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_after_twice"))
+        .orderBy("c_mktsegment")
+    )
+
+
+_UPSERT_ORACLE = """
+SELECT c_mktsegment, COUNT(*) AS n_after_twice
+FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+# =====================================================================
+# Text analysis / dedup / similarity / multimodal (documents+embeddings)
+# =====================================================================
+
+_DUCK_TOKENS = r"list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')"
+
+
+def _spark_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", TX.token_count("text").alias("tc"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tc").alias("total_tokens"),
+            F.round(F.sum("tc").cast("double") / F.count("*"), 4).alias("avg_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+_TOKEN_STATS_ORACLE = f"""
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(sum(len({_DUCK_TOKENS})) AS BIGINT) AS total_tokens,
+       round(CAST(CAST(sum(len({_DUCK_TOKENS})) AS BIGINT) AS DOUBLE) / COUNT(*), 4) AS avg_tokens
+FROM documents
+GROUP BY lang ORDER BY lang
+"""
+
+
+def _spark_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(TX.lang_id("text").alias("predicted_lang"))
+        .groupBy("predicted_lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy("predicted_lang")
+    )
+
+
+def _lang_id_oracle() -> str:
+    toks = _DUCK_TOKENS
+    scores = []
+    for lang in sorted(TX.LANG_STOPWORDS):
+        lits = ", ".join(f"'{w}'" for w in TX.LANG_STOPWORDS[lang])
+        scores.append(
+            f"CAST(len(list_filter({toks}, x -> x IN ({lits}))) AS DOUBLE)"
+            f" / greatest(len({toks}), 1) AS s_{lang}"
+        )
+    langs = sorted(TX.LANG_STOPWORDS)
+    best = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    case = "CASE "
+    for lg in langs:  # first language wins ties (matches Spark impl)
+        case += f"WHEN s_{lg} = __best AND __best > 0 THEN '{lg}' "
+    case += "ELSE 'und' END"
+    return f"""
+SELECT predicted_lang, COUNT(*) AS n FROM (
+  SELECT {case} AS predicted_lang FROM (
+    SELECT *, {best} AS __best FROM (SELECT {", ".join(scores)} FROM documents) s0
+  ) s1
+) s2
+GROUP BY predicted_lang ORDER BY predicted_lang
+"""
+
+
+def _spark_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(TX.fingerprint("text").alias("fp")).agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("fp").alias("n_distinct_fingerprints"),
+    )
+
+
+_FINGERPRINT_ORACLE = f"""
+SELECT COUNT(*) AS n_docs,
+       COUNT(DISTINCT md5(array_to_string(list_sort(list_distinct({_DUCK_TOKENS})), ' ')))
+         AS n_distinct_fingerprints
+FROM documents
+"""
+
+
+def _spark_dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    kept = dedup_exact(docs, ["text"], order_by=["doc_id"])
+    return kept.agg(
+        F.count("*").alias("n_unique_texts"), F.sum("doc_id").alias("kept_id_sum")
+    )
+
+
+_DEDUP_EXACT_ORACLE = """
+SELECT COUNT(*) AS n_unique_texts, CAST(sum(doc_id) AS BIGINT) AS kept_id_sum
+FROM (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text) t
+"""
+
+
+def _spark_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=2, min_jaccard=0.2)
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy(F.desc("jaccard"), "id_a", "id_b").limit(50)
+
+
+_NGRAM_JACCARD_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, greatest(len(t) - 1, 1)),
+                                 i -> array_to_string(t[i:i+1], ' '))) AS g
+    FROM toks
+  ) x
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       round(CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes na ON na.doc_id = id_a
+JOIN sizes nb ON nb.doc_id = id_b
+WHERE CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) >= 0.2
+ORDER BY jaccard DESC, id_a, id_b
+LIMIT 50
+"""
+
+
+def _spark_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(docs, "doc_id", "text", min_jaccard_est=0.4).orderBy(
+        F.desc("jaccard_est"), "id_a", "id_b"
+    )
+
+
+def _spark_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=8).orderBy(
+        "hamming", "id_a", "id_b"
+    )
+
+
+def _spark_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = cosine_self_topk(emb, "vec_id", "embedding", k=5, probe_ids=[0, 1, 2, 3, 4])
+    return out.select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
+_COSINE_TOPK_ORACLE = """
+WITH v AS (SELECT vec_id, embedding FROM embeddings),
+dots AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         list_sum(list_transform(generate_series(1, len(q.embedding)),
+                  i -> CAST(q.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE))) AS dot,
+         sqrt(list_sum(list_transform(generate_series(1, len(q.embedding)),
+                  i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))) AS nq,
+         sqrt(list_sum(list_transform(generate_series(1, len(n.embedding)),
+                  i -> CAST(n.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE)))) AS nn
+  FROM v q JOIN v n ON n.vec_id <> q.vec_id
+  WHERE q.vec_id IN (0, 1, 2, 3, 4)
+)
+SELECT query_id, neighbor_id, round(dot / nullif(nq * nn, 0.0), 6) AS cosine, rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY dot / nullif(nq * nn, 0.0) DESC, neighbor_id) AS rank
+  FROM dots
+) r
+WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+def _spark_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine(F.col("__va"), F.col("__vb")), 6))
+        .filter(F.col("cosine") >= 0.8)
+        .select("id_a", "id_b", "cosine")
+        .orderBy(F.desc("cosine"), "id_a", "id_b")
+    )
+
+
+_NEAR_DUP_EXACT_ORACLE = """
+WITH v AS (SELECT vec_id, embedding FROM embeddings)
+SELECT id_a, id_b, cosine FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(
+           list_sum(list_transform(generate_series(1, len(a.embedding)),
+                    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+           / nullif(
+             sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
+                      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+             * sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)),
+                      i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))),
+             0.0), 6) AS cosine
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+) s
+WHERE cosine >= 0.8
+ORDER BY cosine DESC, id_a, id_b
+"""
+
+
+def _spark_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_bucket_topk(emb, "vec_id", "embedding", k=5, probe_ids=[0, 1, 2, 3, 4]).select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+def _spark_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    payload = attach_binary_payload(docs)
+    return decode_image_stub(payload).select(
+        "doc_id", "n_bytes", "width", "height", "channels", F.round("mean_luma", 6).alias("mean_luma")
+    ).orderBy("doc_id")
+
+
+_MULTIMODAL_ORACLE = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+       CAST(octet_length(encode(text)) % 480 + 1 AS INT) AS height,
+       3 AS channels,
+       round(CAST(ascii(substr(text, 1, 1)) % 256 AS DOUBLE) / 255.0, 6) AS mean_luma
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# =====================================================================
+# Registry
+# =====================================================================
+
+
+def operator_queries() -> dict[str, OpQuery]:
+    guard_spark = _REGEX_GUARD_STAR.format(guard="regexp_like(unique_key, '^[0-9]+$')")
+    guard_duck = _REGEX_GUARD_STAR.format(guard="regexp_matches(unique_key, '^[0-9]+$')")
+    return {
+        # relational core
+        "op_q1_pricing_summary": OpQuery(_sql(_Q1), _Q1),
+        "op_topk_orders_per_customer": OpQuery(_sql(_TOPK_ORDERS), _TOPK_ORDERS),
+        "op_pct_of_total_by_priority": OpQuery(_sql(_PCT_PRIORITY), _PCT_PRIORITY),
+        "op_quarterly_window_avg": OpQuery(_sql(_QUARTER_WINDOW), _QUARTER_WINDOW),
+        "op_union_distinct": OpQuery(_sql(_UNION_DISTINCT), _UNION_DISTINCT),
+        "op_union_all_counts": OpQuery(_sql(_UNION_ALL_COUNT), _UNION_ALL_COUNT),
+        "op_anti_join_new_keys": OpQuery(_sql(_ANTI_JOIN_SQL), _ANTI_JOIN_SQL),
+        "op_semi_join_exists": OpQuery(_sql(_SEMI_JOIN_SQL), _SEMI_JOIN_SQL),
+        "op_left_join_null_probe": OpQuery(_sql(_LEFT_JOIN_NULLS), _LEFT_JOIN_NULLS),
+        "op_select_distinct": OpQuery(_sql(_DISTINCT_PRIORITIES), _DISTINCT_PRIORITIES),
+        "op_rollup_region_nation": OpQuery(_sql(_ROLLUP), _ROLLUP),
+        "op_dedup_deterministic": OpQuery(_sql(_DEDUP_EVENTS), _DEDUP_EVENTS),
+        "op_date_part_suite": OpQuery(
+            _sql(_date_parts_sql(D.SPARK)), _date_parts_sql(D.DUCKDB)
+        ),
+        "op_weekend_flag": OpQuery(_sql(_weekend_sql(D.SPARK)), _weekend_sql(D.DUCKDB)),
+        "op_sessionize_events": OpQuery(
+            _sql(_sessionize_sql(D.SPARK)), _sessionize_sql(D.DUCKDB)
+        ),
+        "op_events_tumbling_window": OpQuery(
+            _sql(_events_window_sql(D.SPARK)), _events_window_sql(D.DUCKDB)
+        ),
+        "stream_windowed_counts": OpQuery(
+            _spark_stream_windowed, _stream_windowed_oracle(D.DUCKDB)
+        ),
+        "op_json_extract_props": OpQuery(
+            _sql(_json_props_sql(D.SPARK)), _json_props_sql(D.DUCKDB)
+        ),
+        # cleaning / star operators
+        "op_regex_key_guard": OpQuery(
+            _sql(guard_spark, star=True), oracle_with_chain(guard_duck)
+        ),
+        "op_not_in_sentinels": OpQuery(
+            _sql(_NOT_IN_SENTINELS, star=True), oracle_with_chain(_NOT_IN_SENTINELS)
+        ),
+        "op_try_cast_currency": OpQuery(
+            _sql(_try_cast_currency_sql(D.SPARK), star=True),
+            oracle_with_chain(_try_cast_currency_sql(D.DUCKDB)),
+        ),
+        "op_timestamp_parse_multi": OpQuery(
+            _sql(_ts_parse_hour_sql(D.SPARK), star=True),
+            oracle_with_chain(_ts_parse_hour_sql(D.DUCKDB)),
+        ),
+        "op_duration_by_borough": OpQuery(
+            _sql(_DURATION_BY_BOROUGH, star=True), oracle_with_chain(_DURATION_BY_BOROUGH)
+        ),
+        "op_geohash_groupby": OpQuery(
+            _sql(_GEOHASH_GROUPBY, star=True), oracle_with_chain(_GEOHASH_GROUPBY)
+        ),
+        "op_geohash_merge_rollup": OpQuery(
+            _sql(_GEOHASH_MERGE, star=True), oracle_with_chain(_GEOHASH_MERGE)
+        ),
+        "op_schema_contract_padding": OpQuery(_spark_schema_contract, _SCHEMA_CONTRACT_ORACLE),
+        "op_upsert_idempotent": OpQuery(_spark_upsert_idempotent, _UPSERT_ORACLE),
+        # text / dedup / similarity / multimodal
+        "text_token_stats": OpQuery(_spark_token_stats, _TOKEN_STATS_ORACLE),
+        "text_lang_id": OpQuery(_spark_lang_id, _lang_id_oracle()),
+        "text_fingerprint": OpQuery(_spark_fingerprint, _FINGERPRINT_ORACLE),
+        "dedup_exact_text": OpQuery(_spark_dedup_exact_text, _DEDUP_EXACT_ORACLE),
+        "dedup_ngram_jaccard": OpQuery(_spark_ngram_jaccard, _NGRAM_JACCARD_ORACLE),
+        "dedup_minhash_lsh": OpQuery(_spark_minhash, None),  # seeded xxhash64: rows-only
+        "dedup_simhash": OpQuery(_spark_simhash, None),  # seeded xxhash64: rows-only
+        "sim_cosine_topk": OpQuery(_spark_cosine_topk, _COSINE_TOPK_ORACLE),
+        "sim_near_dup_exact": OpQuery(_spark_near_dup_exact, _NEAR_DUP_EXACT_ORACLE),
+        "sim_lsh_topk": OpQuery(_spark_lsh_topk, None),  # SRP planes: rows-only
+        "multimodal_decode_stub": OpQuery(_spark_multimodal, _MULTIMODAL_ORACLE),
+    }

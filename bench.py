@@ -1,0 +1,82 @@
+"""Benchmark harness: runs the engine's headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": ...}
+
+Each query is executed once after a small session warm-up; timing is
+end-to-end (plan + execute + collect) per query, which is what a user
+of the engine experiences. Selection covers every operator family:
+star-schema analytics (g01/g02/g07/g09), relational core (TPC-H-ish
+q1, top-k window, sessionize), the geohash merge rollup (the
+reference's signature op), and the LLM-pipeline family (minhash LSH,
+n-gram jaccard, cosine top-k, token stats).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from adi_226_datawarehouse_project_spark.session import get_spark  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+BENCH_QUERIES = [
+    "g01_complaints_by_borough_pct",
+    "g02_top_complaint_types",
+    "g04_price_stats_by_borough",
+    "g07_airbnb_complaint_ratio",
+    "g09_quarterly_trend",
+    "op_q1_pricing_summary",
+    "op_topk_orders_per_customer",
+    "op_sessionize_events",
+    "op_geohash_merge_rollup",
+    "op_events_tumbling_window",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "sim_cosine_topk",
+    "text_token_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("bench")
+    qs = entrymod.queries()
+
+    # Warm up the JVM / parquet footer cache so per-query times measure
+    # the plan, not session startup.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        n = df.count() if name.startswith(("dedup_", "sim_")) else len(df.collect())
+        times[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {times[name]:.3f}s rows={n}", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

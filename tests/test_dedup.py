@@ -1,0 +1,102 @@
+"""Property tests for the dedup operator family — the correctness
+authority for the seeded-hash operators whose driver check is
+rows-only (minhash LSH, simhash)."""
+
+from pyspark.sql import functions as F
+
+from adi_226_datawarehouse_project_spark.operators.dedup import (
+    dedup_exact,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_dup_pairs,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (3, "the quick brown fox jumped over the lazy dogs"),  # near dup of 1
+    (4, "completely different content about spark engines and parquet files"),
+    (5, "zzz qqq xxx vvv kkk www uuu mmm nnn ooo"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_dedup_exact_deterministic(spark):
+    df = _docs(spark)
+    kept = dedup_exact(df, ["text"], order_by=["doc_id"])
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [1, 3, 4, 5]  # keeps MIN doc_id per text, always
+    # idempotent
+    again = dedup_exact(kept, ["text"], order_by=["doc_id"])
+    assert sorted(r["doc_id"] for r in again.collect()) == ids
+
+
+def test_minhash_identical_docs_score_one(spark):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard_est"]
+        for r in minhash_near_dup_pairs(
+            _docs(spark), "doc_id", "text", min_jaccard_est=0.3
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs or (2, 3) in pairs  # near dup caught
+    assert all(not (a in (4, 5) or b == 5) for (a, b) in pairs if (a, b) != (4, 5))
+
+
+def test_minhash_estimates_true_jaccard(spark):
+    """The minhash estimate must track the exact character-shingle
+    Jaccard within sketch tolerance (64 hashes → se ≈ 0.06)."""
+    from adi_226_datawarehouse_project_spark.functions.text import char_ngrams
+
+    df = _docs(spark)
+    sh = df.select(
+        "doc_id", F.explode(F.array_distinct(char_ngrams(F.col("text"), 3))).alias("g")
+    )
+    a = sh.toPandas()
+    sets = {i: set(g["g"]) for i, g in a.groupby("doc_id")}
+    true_j = len(sets[1] & sets[3]) / len(sets[1] | sets[3])
+    est = {
+        (r["id_a"], r["id_b"]): r["jaccard_est"]
+        for r in minhash_near_dup_pairs(
+            df, "doc_id", "text", min_jaccard_est=0.0
+        ).collect()
+    }[(1, 3)]
+    assert abs(est - true_j) < 0.2
+
+
+def test_simhash_identical_docs_distance_zero(spark):
+    fps = {r["doc_id"]: r["simhash"] for r in simhash(_docs(spark), "doc_id", "text").collect()}
+    assert fps[1] == fps[2]
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(
+            _docs(spark), "doc_id", "text", max_hamming=10
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 0
+
+
+def test_ngram_jaccard_exact_value(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e"), (3, "x y z w")], ["doc_id", "text"]
+    )
+    # bigrams: {ab,bc,cd} vs {ab,bc,ce}: inter=2, union=4 → 0.5
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", n=2, min_jaccard=0.1).collect()
+    }
+    assert pairs == {(1, 2): 0.5}
+
+
+def test_ngram_stop_shingle_cap(spark):
+    df = spark.createDataFrame(
+        [(i, "common shingle here") for i in range(10)] + [(99, "rare pair one"), (98, "rare pair one")],
+        ["doc_id", "text"],
+    )
+    capped = ngram_jaccard_pairs(df, "doc_id", "text", n=2, min_jaccard=0.9, max_shingle_freq=5)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert got == {(98, 99)}  # hot shingle dropped, rare pair kept

@@ -1,0 +1,27 @@
+"""Driver-contract smoke tests for __spark_entry__."""
+
+import __spark_entry__ as entrymod
+
+# Operators whose semantics depend on seeded xxhash64/SRP planes —
+# genuinely not DuckDB-expressible; driver records rows-only and their
+# correctness authority is tests/test_dedup.py + test_similarity.py.
+ROWS_ONLY_ALLOWED = {"dedup_minhash_lsh", "dedup_simhash", "sim_lsh_topk"}
+
+
+def test_entry_returns_rows(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns == ["borough", "total_complaints", "percentage"]
+
+
+def test_every_query_has_oracle_or_is_allowlisted(spark):
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert len(qs) >= 45
+    missing = {n for n in qs if n not in oracles}
+    assert missing == ROWS_ONLY_ALLOWED
+
+
+def test_oracle_keys_subset_of_queries(spark):
+    assert set(entrymod.oracle_sql()) <= set(entrymod.queries())

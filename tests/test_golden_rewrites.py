@@ -1,0 +1,67 @@
+"""The aggregate-below-join rewrites of g07/g08 must be row-identical
+to the reference's naive 4-way LEFT JOIN form. Both forms run in DuckDB
+over the same derived star schema (sf0.01) — pure SQL-equivalence
+check, no Spark involved."""
+
+from conftest import SF_DIR
+
+from oracle_harness import run_duckdb
+
+from adi_226_datawarehouse_project_spark.model.star import oracle_with_chain
+from adi_226_datawarehouse_project_spark.plans.golden import GOLDEN_QUERIES
+
+NAIVE_G07 = """
+SELECT al.borough,
+       al.neighbourhood_name AS neighbourhood,
+       COUNT(DISTINCT c.complaint_id) AS complaint_count,
+       COUNT(DISTINCT f.listing_id) AS airbnb_count,
+       round(CAST(COUNT(DISTINCT f.listing_id) AS DOUBLE)
+             / nullif(CAST(COUNT(DISTINCT c.complaint_id) AS DOUBLE), 0.0), 4)
+         AS airbnb_per_complaint
+FROM dim_airbnb_location al
+LEFT JOIN fact_airbnb_listings f ON f.geohash = al.geohash
+LEFT JOIN dim_311_location l311 ON l311.geohash = al.geohash
+LEFT JOIN fact_311_complaint c ON c.location_key = l311.location_key
+WHERE al.borough IS NOT NULL
+GROUP BY al.borough, al.neighbourhood_name
+HAVING COUNT(DISTINCT c.complaint_id) > 10
+ORDER BY airbnb_count DESC, al.borough, al.neighbourhood_name
+LIMIT 50
+"""
+
+NAIVE_G08 = """
+SELECT al.geohash,
+       al.borough,
+       COUNT(DISTINCT c.complaint_id) AS complaints,
+       COUNT(DISTINCT f.listing_id) AS airbnb_listings,
+       round(CAST(COUNT(DISTINCT c.complaint_id) AS DOUBLE)
+             / nullif(CAST(COUNT(DISTINCT f.listing_id) AS DOUBLE), 0.0), 2)
+         AS complaints_per_listing
+FROM dim_airbnb_location al
+LEFT JOIN fact_airbnb_listings f ON f.geohash = al.geohash
+LEFT JOIN dim_311_location l311 ON l311.geohash = al.geohash
+LEFT JOIN fact_311_complaint c ON c.location_key = l311.location_key
+GROUP BY al.geohash, al.borough
+HAVING COUNT(DISTINCT f.listing_id) > 5
+ORDER BY complaints_per_listing DESC, al.geohash
+LIMIT 30
+"""
+
+
+def _rows(sql):
+    cols, rows = run_duckdb(oracle_with_chain(sql), SF_DIR)
+    return cols, rows
+
+
+def test_g07_rewrite_equivalent():
+    naive_cols, naive_rows = _rows(NAIVE_G07)
+    new_cols, new_rows = _rows(GOLDEN_QUERIES["g07_airbnb_complaint_ratio"])
+    assert new_cols == naive_cols
+    assert new_rows == naive_rows
+
+
+def test_g08_rewrite_equivalent():
+    naive_cols, naive_rows = _rows(NAIVE_G08)
+    new_cols, new_rows = _rows(GOLDEN_QUERIES["g08_geohash_density"])
+    assert new_cols == naive_cols
+    assert new_rows == naive_rows

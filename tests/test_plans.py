@@ -1,0 +1,59 @@
+"""Physical-plan quality gates — the 100 TB posture, asserted.
+
+These tests pin the *shape* of the plans, not just their output:
+dims broadcast, no Python UDFs anywhere, parquet filter/column
+pushdown reaching the scan, AQE on.
+"""
+
+from conftest import SF_SMALL
+
+import __spark_entry__ as entrymod
+from adi_226_datawarehouse_project_spark.model.star import register_star_views
+from adi_226_datawarehouse_project_spark.plans.golden import GOLDEN_QUERIES
+from adi_226_datawarehouse_project_spark.sources.catalog import load_table
+
+from pyspark.sql import functions as F
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_golden_star_joins_broadcast_dims(spark):
+    register_star_views(spark, SF_SMALL)
+    plan = _physical(spark.sql(GOLDEN_QUERIES["g01_complaints_by_borough_pct"]))
+    assert "BroadcastHashJoin" in plan  # dims must broadcast, never SMJ
+    assert "SortMergeJoin" not in plan
+
+
+def test_no_python_udf_in_any_declared_query(spark):
+    qs = entrymod.queries()
+    for name, fn in qs.items():
+        df = fn(spark, SF_SMALL)
+        plan = _physical(df)
+        assert "BatchEvalPython" not in plan, f"{name} uses a row-wise Python UDF"
+
+
+def test_parquet_filter_pushdown(spark):
+    li = load_table(spark, SF_SMALL, "lineitem").filter(F.col("l_quantity") > 49).select(
+        "l_orderkey", "l_quantity"
+    )
+    plan = _physical(li)
+    assert "PushedFilters: [" in plan and "l_quantity" in plan.split("PushedFilters")[1][:200]
+    # column pruning: the scan must read only the 2 referenced columns
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "l_extendedprice" not in read_schema
+
+
+def test_aqe_enabled(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_wholestage_codegen_in_agg_plan(spark):
+    li = load_table(spark, SF_SMALL, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    agg.collect()  # finalize the adaptive plan first
+    plan = _physical(agg)
+    # `*(n)` prefixes mark WholeStageCodegen spans in simpleString form.
+    assert "*(" in plan and "HashAggregate" in plan

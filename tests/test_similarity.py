@@ -1,0 +1,85 @@
+"""Similarity-search operators: exact cosine vs numpy, LSH recall vs
+the exact baseline (correctness authority for rows-only sim_lsh_topk)."""
+
+import numpy as np
+from conftest import SF_SMALL
+
+from adi_226_datawarehouse_project_spark.operators.similarity import (
+    cosine,
+    cosine_self_topk,
+    embedding_near_dup_pairs,
+    lsh_bucket_topk,
+)
+from adi_226_datawarehouse_project_spark.sources.catalog import load_table
+
+from pyspark.sql import functions as F
+
+
+def test_cosine_matches_numpy(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0], 2, [0.0, 1.0, 0.0]),
+        (3, [1.0, 1.0, 0.0], 4, [1.0, 0.0, 0.0]),
+        (5, [2.0, 2.0, 2.0], 6, [1.0, 1.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, ["ia", "va", "ib", "vb"])
+    got = [r["c"] for r in df.select(cosine(F.col("va"), F.col("vb")).alias("c")).collect()]
+    for (ia, va, ib, vb), g in zip(rows, got):
+        a, b = np.array(va), np.array(vb)
+        want = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(g - want) < 1e-12
+
+
+def test_topk_matches_numpy_bruteforce(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    probes = [0, 1, 2]
+    got = cosine_self_topk(emb, "vec_id", "embedding", k=3, probe_ids=probes).collect()
+    pdf = emb.toPandas()
+    vecs = {int(r.vec_id): np.array(r.embedding, dtype=np.float64) for r in pdf.itertuples()}
+    for q in probes:
+        qv = vecs[q]
+        scores = {
+            n: float(qv @ v / (np.linalg.norm(qv) * np.linalg.norm(v)))
+            for n, v in vecs.items()
+            if n != q
+        }
+        want = sorted(scores, key=lambda n: (-scores[n], n))[:3]
+        mine = [r["neighbor_id"] for r in sorted(got, key=lambda r: r["rank"]) if r["query_id"] == q]
+        assert mine == want
+
+
+def _recall(exact, approx):
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(exact_sets[q] & approx_sets.get(q, set())) for q in exact_sets)
+    return hits / sum(len(s) for s in exact_sets.values())
+
+
+def test_lsh_recall_vs_exact(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    probes = list(range(20))
+    exact = cosine_self_topk(emb, "vec_id", "embedding", k=5, probe_ids=probes).collect()
+    # default tuning (16 planes / 4 bands): cheap candidates, modest recall
+    fast = lsh_bucket_topk(emb, "vec_id", "embedding", k=5, probe_ids=probes).collect()
+    assert _recall(exact, fast) >= 0.3
+    # recall tuning (8 bands of 2 bits): wide candidate net, high recall
+    wide = lsh_bucket_topk(
+        emb, "vec_id", "embedding", k=5, bands=8, probe_ids=probes
+    ).collect()
+    assert _recall(exact, wide) >= 0.9
+
+
+def test_embedding_near_dup_self_consistent(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding").limit(200)
+    doubled = emb.union(
+        emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
+    pairs = embedding_near_dup_pairs(doubled, "vec_id", "embedding", min_cosine=0.999)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # every planted duplicate (v, v+100000) must be found: identical
+    # vectors share all SRP buckets and have cosine exactly 1.
+    ids = [r["vec_id"] for r in emb.select("vec_id").collect()]
+    for v in ids:
+        assert (v, v + 100000) in got

@@ -1,0 +1,75 @@
+"""Text-analysis functions over synthetic rows (LLM-pipeline family)."""
+
+from adi_226_datawarehouse_project_spark.functions.text import (
+    bpe_ish_token_count,
+    char_ngrams,
+    fingerprint,
+    lang_id,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+    word_ngrams,
+)
+
+
+def _vals(spark, rows, col):
+    df = spark.createDataFrame([(r,) for r in rows], ["text"])
+    return [r["v"] for r in df.select(col.alias("v")).collect()]
+
+
+def test_token_count(spark):
+    got = _vals(spark, ["a b  c", "  ", "one"], token_count("text"))
+    assert got == [3, 0, 1]
+
+
+def test_bpe_ish_counts_punct_separately(spark):
+    got = _vals(spark, ["hello, world!"], bpe_ish_token_count("text"))
+    assert got == [4]  # hello , world !
+
+
+def test_char_ngrams(spark):
+    got = _vals(spark, ["abcd"], char_ngrams("text", 3))
+    assert got == [["abc", "bcd"]]
+
+
+def test_word_ngrams(spark):
+    got = _vals(spark, ["a b c"], word_ngrams("text", 2))
+    assert got == [["a b", "b c"]]
+
+
+def test_lang_id(spark):
+    rows = [
+        "the cat sat on the mat and it is happy",
+        "le chat est sur la table et il est content",
+        "der Hund ist nicht mit der Katze",
+        "xyzzy qwerty asdf",
+    ]
+    got = _vals(spark, rows, lang_id("text"))
+    assert got == ["en", "fr", "de", "und"]
+
+
+def test_stopword_and_punct_ratio(spark):
+    got = _vals(spark, ["the the xyz xyz"], stopword_ratio("text"))
+    assert got == [0.5]
+    got = _vals(spark, ["ab,."], punct_ratio("text"))
+    assert got == [0.5]
+
+
+def test_quality_score_bounds(spark, sf_dir):
+    from adi_226_datawarehouse_project_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.select(quality_score("text").alias("q")).agg(
+        {"q": "min"}
+    ).collect()[0][0]
+    assert 0.0 <= stats <= 1.0
+
+
+def test_fingerprint_order_insensitive(spark):
+    got = _vals(
+        spark,
+        ["alpha beta gamma", "gamma  alpha beta", "alpha beta delta"],
+        fingerprint("text"),
+    )
+    assert got[0] == got[1] and got[0] != got[2]
