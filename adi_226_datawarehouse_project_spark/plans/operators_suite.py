@@ -39,6 +39,8 @@ from ..operators.dedup import (
 from ..operators.similarity import cosine, cosine_self_topk, lsh_bucket_topk
 from ..operators.upsert import incremental_upsert
 from ..sources.catalog import load_table, register_base_views
+from ..sources.readers import read_csv, read_json, read_parquet
+from ..sources.writers import write_csv, write_json, write_parquet
 from ..streaming.events_stream import windowed_event_counts
 
 
@@ -426,6 +428,87 @@ FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
 
 
 # =====================================================================
+# Source/sink roundtrips (SURVEY §2.1 scans K1-K5/S2-S7): write with
+# the engine's writers, read back with its readers, aggregate; the
+# oracle aggregates the original table directly, so the check proves
+# the write→read cycle is value-preserving.
+# =====================================================================
+
+
+def _io_dir(sf_dir: str) -> str:
+    import os
+
+    return f"/tmp/spark_graft_io/{os.path.basename(sf_dir.rstrip('/'))}"
+
+
+def _spark_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = f"{_io_dir(sf_dir)}/nation_csv"
+    write_csv(load_table(spark, sf_dir, "nation"), path)
+    back = read_csv(spark, path)
+    return (
+        back.groupBy("n_regionkey")
+        .agg(F.count("*").alias("n_nations"), F.sum("n_nationkey").alias("key_sum"))
+        .select(
+            F.col("n_regionkey").cast("int").alias("regionkey"),
+            "n_nations",
+            F.col("key_sum").cast("bigint").alias("key_sum"),
+        )
+        .orderBy("regionkey")
+    )
+
+
+_CSV_ROUNDTRIP_ORACLE = """
+SELECT CAST(n_regionkey AS INT) AS regionkey, COUNT(*) AS n_nations,
+       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+FROM nation GROUP BY n_regionkey ORDER BY regionkey
+"""
+
+
+def _spark_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = f"{_io_dir(sf_dir)}/customer_json"
+    write_json(load_table(spark, sf_dir, "customer"), path)
+    back = read_json(spark, path, multiline=False)
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("bigint")).alias("acctbal_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_JSON_ROUNDTRIP_ORACLE = """
+SELECT c_mktsegment, COUNT(*) AS n_customers,
+       CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS acctbal_cents
+FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def _spark_partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gold-zone partitioned layout (K1 + §4 partition pruning): write
+    lineitem partitioned by ship year, read back filtered to one year —
+    the scan only touches that year's directory."""
+    path = f"{_io_dir(sf_dir)}/lineitem_by_year"
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate")
+    )
+    write_parquet(li, path, partition_by=["ship_year"])
+    back = read_parquet(spark, path).filter(F.col("ship_year") == 1996)
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")).alias("price_cents"),
+    )
+
+
+_PARTITIONED_PRUNE_ORACLE = """
+SELECT COUNT(*) AS n_rows,
+       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS price_cents
+FROM lineitem WHERE extract(year FROM l_shipdate) = 1996
+"""
+
+
+# =====================================================================
 # Text analysis / dedup / similarity / multimodal (documents+embeddings)
 # =====================================================================
 
@@ -641,6 +724,59 @@ def _spark_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _spark_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", TX.quality_score("text").alias("q"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.round(F.col("q") * 100, 0).cast("bigint")).alias("quality_centisum"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _quality_oracle() -> str:
+    # Exact DuckDB replica of functions.text.quality_score: length band
+    # + punct ratio + en-stopword ratio + mean word length band. Java's
+    # \p{Punct} == POSIX [[:punct:]] for ASCII text (the fixture is
+    # ASCII), so the regex classes agree.
+    toks = _DUCK_TOKENS
+    sw = ", ".join(f"'{w}'" for w in TX.LANG_STOPWORDS["en"])
+    n_tok = f"CAST(len({toks}) AS DOUBLE)"
+    n_chars = "CAST(length(text) AS DOUBLE)"
+    punct = (
+        f"({n_chars} - CAST(length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE))"
+        f" / greatest({n_chars}, 1.0)"
+    )
+    sw_ratio = (
+        f"CAST(len(list_filter({toks}, x -> x IN ({sw}))) AS DOUBLE)"
+        f" / greatest(CAST(len({toks}) AS DOUBLE), 1.0)"
+    )
+    mean_wl = f"{n_chars} / greatest({n_tok}, 1.0)"
+    q = (
+        f"(CASE WHEN {n_tok} >= 5 AND {n_tok} <= 100000 THEN 0.25 ELSE 0.0 END"
+        f" + CASE WHEN {punct} <= 0.2 THEN 0.25 ELSE 0.0 END"
+        f" + CASE WHEN {sw_ratio} >= 0.05 THEN 0.25 ELSE 0.0 END"
+        f" + CASE WHEN {mean_wl} >= 2.0 AND {mean_wl} <= 12.0 THEN 0.25 ELSE 0.0 END)"
+    )
+    return f"""
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(sum(CAST(round({q} * 100, 0) AS BIGINT)) AS BIGINT) AS quality_centisum
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def _spark_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import embedding_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, "vec_id", "embedding", min_cosine=0.8).select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    ).orderBy(F.desc("cosine"), "id_a", "id_b")
+
+
 def _spark_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     payload = attach_binary_payload(docs)
@@ -725,6 +861,12 @@ def operator_queries() -> dict[str, OpQuery]:
         ),
         "op_schema_contract_padding": OpQuery(_spark_schema_contract, _SCHEMA_CONTRACT_ORACLE),
         "op_upsert_idempotent": OpQuery(_spark_upsert_idempotent, _UPSERT_ORACLE),
+        # source/sink roundtrips
+        "op_csv_roundtrip": OpQuery(_spark_csv_roundtrip, _CSV_ROUNDTRIP_ORACLE),
+        "op_json_roundtrip": OpQuery(_spark_json_roundtrip, _JSON_ROUNDTRIP_ORACLE),
+        "op_partitioned_write_prune": OpQuery(
+            _spark_partitioned_write_prune, _PARTITIONED_PRUNE_ORACLE
+        ),
         # text / dedup / similarity / multimodal
         "text_token_stats": OpQuery(_spark_token_stats, _TOKEN_STATS_ORACLE),
         "text_lang_id": OpQuery(_spark_lang_id, _lang_id_oracle()),
@@ -736,5 +878,10 @@ def operator_queries() -> dict[str, OpQuery]:
         "sim_cosine_topk": OpQuery(_spark_cosine_topk, _COSINE_TOPK_ORACLE),
         "sim_near_dup_exact": OpQuery(_spark_near_dup_exact, _NEAR_DUP_EXACT_ORACLE),
         "sim_lsh_topk": OpQuery(_spark_lsh_topk, None),  # SRP planes: rows-only
+        # SRP-bucketed candidates have sub-1 recall vs the exact
+        # all-pairs oracle by design — rows-only; the exact variant
+        # (sim_near_dup_exact) carries the oracle for this family.
+        "sim_embedding_near_dup": OpQuery(_spark_embedding_near_dup, None),
+        "text_quality_scores": OpQuery(_spark_quality_scores, _quality_oracle()),
         "multimodal_decode_stub": OpQuery(_spark_multimodal, _MULTIMODAL_ORACLE),
     }

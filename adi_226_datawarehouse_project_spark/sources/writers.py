@@ -1,0 +1,49 @@
+"""Sink writers (SURVEY §2.1 K1-K7) — the reference's S3-zone sinks
+re-expressed Spark-first.
+
+The reference coalesces every output to a single file for Redshift
+COPY friendliness (`glue_job_clean_311.py:151-157` `.coalesce(1)`),
+which serializes the whole write through one task — an anti-pattern at
+scale. Here the default keeps the plan's parallelism; `single_file`
+is an explicit opt-in knob, and the gold-zone writer partitions by a
+column (e.g. created_year) so downstream reads get partition pruning
+for free (`WHERE created_year = …` never touches other years' files).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    single_file: bool = False,
+) -> None:
+    """Parquet sink (K1/K2). `partition_by` lays out hive-style
+    directories (partition pruning); `single_file` reproduces the
+    reference's coalesce(1) for tools that need one object."""
+    out = df.coalesce(1) if single_file else df
+    writer = out.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
+    """CSV sink (K4)."""
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-records sink (K3/K5)."""
+    df.write.mode(mode).json(path)
+
+
+def overwrite_table(spark: SparkSession, df: DataFrame, name: str) -> None:
+    """Truncate-and-reload staging semantics (K6/K7: TRUNCATE + COPY →
+    overwrite). With a real catalog this is saveAsTable(overwrite); in
+    the session-local engine it replaces the temp view."""
+    df.createOrReplaceTempView(name)

@@ -5,7 +5,12 @@ import __spark_entry__ as entrymod
 # Operators whose semantics depend on seeded xxhash64/SRP planes —
 # genuinely not DuckDB-expressible; driver records rows-only and their
 # correctness authority is tests/test_dedup.py + test_similarity.py.
-ROWS_ONLY_ALLOWED = {"dedup_minhash_lsh", "dedup_simhash", "sim_lsh_topk"}
+ROWS_ONLY_ALLOWED = {
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_lsh_topk",
+    "sim_embedding_near_dup",
+}
 
 
 def test_entry_returns_rows(spark):

@@ -1,0 +1,78 @@
+"""Source readers / sink writers (SURVEY §2.1)."""
+
+import os
+
+from conftest import SF_SMALL
+
+from pyspark.sql import functions as F
+
+from adi_226_datawarehouse_project_spark.sources.catalog import load_table
+from adi_226_datawarehouse_project_spark.sources.readers import (
+    read_csv,
+    read_json,
+    read_json_with_csv_fallback,
+    read_parquet,
+)
+from adi_226_datawarehouse_project_spark.sources.writers import (
+    write_csv,
+    write_json,
+    write_parquet,
+)
+
+TMP = "/tmp/spark_graft_io_tests"
+
+
+def test_csv_roundtrip_values(spark):
+    nation = load_table(spark, SF_SMALL, "nation")
+    path = f"{TMP}/nation_csv"
+    write_csv(nation, path)
+    back = read_csv(spark, path)
+    orig = {(r["n_nationkey"], r["n_name"]) for r in nation.collect()}
+    got = {(r["n_nationkey"], r["n_name"]) for r in back.collect()}
+    assert got == orig
+
+
+def test_multiline_json_array_file(spark, tmp_path):
+    p = tmp_path / "arr.json"
+    p.write_text('[{"a": 1, "b": "x"}, {"a": 2, "b": "y"}]')
+    df = read_json(spark, str(p), multiline=True)
+    assert sorted((r["a"], r["b"]) for r in df.collect()) == [(1, "x"), (2, "y")]
+
+
+def test_json_fallback_to_csv(spark, tmp_path):
+    p = tmp_path / "actually.csv"
+    p.write_text("a,b\n1,x\n2,y\n")
+    df = read_json_with_csv_fallback(spark, str(p), expected_cols=["a", "b", "pad_me"])
+    rows = sorted((r["a"], r["b"], r["pad_me"]) for r in df.collect())
+    assert rows == [(1, "x", None), (2, "y", None)]
+
+
+def test_partitioned_write_layout_and_pruning(spark):
+    li = load_table(spark, SF_SMALL, "lineitem").withColumn("ship_year", F.year("l_shipdate"))
+    path = f"{TMP}/lineitem_by_year"
+    write_parquet(li, path, partition_by=["ship_year"])
+    # hive-style year directories on disk
+    years = {d for d in os.listdir(path) if d.startswith("ship_year=")}
+    assert len(years) >= 3
+    back = read_parquet(spark, path).filter(F.col("ship_year") == 1996)
+    want = li.filter(F.col("ship_year") == 1996).count()
+    assert back.count() == want
+    # partition pruning visible in the scan
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "ship_year" in plan.split("PartitionFilters")[1][:120]
+
+
+def test_json_sink_roundtrip(spark):
+    cust = load_table(spark, SF_SMALL, "customer").select("c_custkey", "c_mktsegment")
+    path = f"{TMP}/cust_json"
+    write_json(cust, path)
+    back = read_json(spark, path, multiline=False)
+    assert back.count() == cust.count()
+
+
+def test_single_file_knob(spark):
+    nation = load_table(spark, SF_SMALL, "nation")
+    path = f"{TMP}/nation_single"
+    write_parquet(nation, path, single_file=True)
+    parts = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(parts) == 1
