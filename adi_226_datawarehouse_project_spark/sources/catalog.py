@@ -51,3 +51,20 @@ def register_base_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...]
     and ``spark.sql`` surfaces see the same catalog."""
     for name in names:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def table_exists(spark: SparkSession, name: str) -> bool:
+    """Catalog existence probe (K8: the reference's s3.head_object
+    idempotent-skip check, `nyc_ingestion_dag.py:25-30`)."""
+    return spark.catalog.tableExists(name)
+
+
+def ingest_if_absent(spark: SparkSession, name: str, build) -> bool:
+    """Idempotent ingestion (K8): run `build()` and register its result
+    only when `name` is not already in the catalog. Returns True when
+    the ingest ran, False when it was skipped — mirroring the
+    reference's skip-if-S3-key-exists task short-circuit."""
+    if table_exists(spark, name):
+        return False
+    build().createOrReplaceTempView(name)
+    return True

@@ -76,3 +76,22 @@ def test_single_file_knob(spark):
     write_parquet(nation, path, single_file=True)
     parts = [f for f in os.listdir(path) if f.endswith(".parquet")]
     assert len(parts) == 1
+
+
+def test_ingest_if_absent_is_idempotent(spark):
+    from adi_226_datawarehouse_project_spark.sources.catalog import (
+        ingest_if_absent,
+        table_exists,
+    )
+
+    calls = []
+
+    def build():
+        calls.append(1)
+        return load_table(spark, SF_SMALL, "region")
+
+    spark.catalog.dropTempView("k8_region") if table_exists(spark, "k8_region") else None
+    assert ingest_if_absent(spark, "k8_region", build) is True
+    assert ingest_if_absent(spark, "k8_region", build) is False
+    assert len(calls) == 1  # second call skipped the build entirely
+    assert spark.table("k8_region").count() == 5
