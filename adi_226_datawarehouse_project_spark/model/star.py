@@ -28,10 +28,13 @@ Deterministic deviations from the reference (documented, deliberate):
   FIRST)`` instead of pandas positional ``index+1`` — positional keys
   are nondeterministic under parallelism. NULLS FIRST is pinned because
   Spark and DuckDB default opposite null orderings.
-- dedup keeps a deterministic representative (input duplicates are
-  full-row identical by fixture construction, so DISTINCT ≡
-  dropDuplicates(business_key) here; the general deterministic-keep
-  operator lives in ``operators.dedup``).
+- dedup keeps a deterministic representative: staging_311 implements
+  the reference's dropDuplicates(["unique_key"]) as row_number over an
+  explicit full-column ordering (the fixture contains real multi-way
+  key duplicates with differing payloads, so vanilla dropDuplicates
+  would be partition-order-dependent); staging_airbnb's duplicates are
+  full-row identical by construction, so DISTINCT suffices there. The
+  general deterministic-keep operator lives in ``operators.dedup``.
 
 Scale notes (100 TB posture): dims are DISTINCT aggregations (small →
 broadcast-joined into the facts by AQE); the fact build's 4 dim joins
@@ -70,6 +73,28 @@ def staging_311_sql(d: str) -> str:
     dur = (
         f"({_epoch_seconds(d, 'closed_ts')} - {_epoch_seconds(d, 'created_ts')}) / 3600.0"
     )
+    # Deterministic business-key dedup (D1: the reference's
+    # dropDuplicates(["unique_key"]), glue_job_clean_311.py:131, but
+    # with an explicit keep order — vanilla dropDuplicates keeps an
+    # arbitrary partition-dependent row). Every ORDER BY key pins
+    # NULLS FIRST because Spark and DuckDB default opposite null
+    # orderings.
+    order_keys = ", ".join(
+        f"{c} NULLS FIRST"
+        for c in (
+            "created_ts",
+            "closed_ts",
+            "agency",
+            "borough",
+            "complaint_type",
+            "descriptor",
+            "city",
+            "status",
+            "resolution_description",
+            "latitude",
+            "longitude",
+        )
+    )
     return f"""
 SELECT unique_key, created_ts, closed_ts, agency, borough, complaint_type,
        descriptor, city, status, resolution_description, latitude, longitude,
@@ -77,27 +102,31 @@ SELECT unique_key, created_ts, closed_ts, agency, borough, complaint_type,
        CASE WHEN closed_ts IS NOT NULL THEN {dur} END AS duration_hours,
        {geohash_sql("latitude", "longitude", 7)} AS geohash
 FROM (
-  SELECT DISTINCT
-         unique_key,
-         {D.to_utc(d, "created_ts_local")} AS created_ts,
-         {D.to_utc(d, "closed_ts_local")} AS closed_ts,
-         trim(agency) AS agency,
-         upper(trim(borough)) AS borough,
-         trim(complaint_type) AS complaint_type,
-         descriptor, city, status, resolution_description,
-         lat_d AS latitude, lon_d AS longitude
+  SELECT *,
+         row_number() OVER (PARTITION BY unique_key ORDER BY {order_keys}) AS __rn
   FROM (
-    SELECT *,
-           {parse_created} AS created_ts_local,
-           {parse_closed} AS closed_ts_local,
-           try_cast(latitude AS DOUBLE) AS lat_d,
-           try_cast(longitude AS DOUBLE) AS lon_d
-    FROM complaints_raw
-  ) __p
-  WHERE lat_d IS NOT NULL AND lon_d IS NOT NULL
-    AND lat_d >= 40.4 AND lat_d <= 41.0
-    AND lon_d >= -74.3 AND lon_d <= -73.7
-) __c
+    SELECT unique_key,
+           {D.to_utc(d, "created_ts_local")} AS created_ts,
+           {D.to_utc(d, "closed_ts_local")} AS closed_ts,
+           trim(agency) AS agency,
+           upper(trim(borough)) AS borough,
+           trim(complaint_type) AS complaint_type,
+           descriptor, city, status, resolution_description,
+           lat_d AS latitude, lon_d AS longitude
+    FROM (
+      SELECT *,
+             {parse_created} AS created_ts_local,
+             {parse_closed} AS closed_ts_local,
+             try_cast(latitude AS DOUBLE) AS lat_d,
+             try_cast(longitude AS DOUBLE) AS lon_d
+      FROM complaints_raw
+    ) __p
+    WHERE lat_d IS NOT NULL AND lon_d IS NOT NULL
+      AND lat_d >= 40.4 AND lat_d <= 41.0
+      AND lon_d >= -74.3 AND lon_d <= -73.7
+  ) __c
+) __r
+WHERE __rn = 1
 """
 
 

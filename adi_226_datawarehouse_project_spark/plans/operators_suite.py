@@ -106,6 +106,59 @@ GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """
 
+# TPC-H-shaped multi-join analytics (beyond the reference's own query
+# set; exercise CBO/AQE join ordering over 3-6 tables). Revenue sums
+# run through the exact-cents path (module docstring).
+_Q3_STYLE = f"""
+SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS orderdate,
+       {_sum_units("l.l_extendedprice * (1 - l.l_discount)", 10000, "revenue", 4)}
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < DATE '1997-06-01'
+  AND l.l_shipdate > DATE '1997-06-01'
+GROUP BY o.o_orderkey, CAST(o.o_orderdate AS DATE)
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+_Q5_STYLE = f"""
+SELECT n.n_name AS nation,
+       {_sum_units("l.l_extendedprice * (1 - l.l_discount)", 10000, "revenue", 4)}
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+ORDER BY revenue DESC, nation
+"""
+
+_Q10_STYLE = f"""
+SELECT c.c_custkey, c.c_mktsegment,
+       {_sum_units("l.l_extendedprice * (1 - l.l_discount)", 10000, "returned_revenue", 4)}
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_mktsegment
+ORDER BY returned_revenue DESC, c_custkey
+LIMIT 20
+"""
+
+_PART_SUPPLIER_JOIN = """
+SELECT p.p_brand, CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS n_suppliers,
+       COUNT(*) AS n_lineitems
+FROM part p
+JOIN lineitem l ON l.l_partkey = p.p_partkey
+WHERE p.p_size >= 10
+GROUP BY p.p_brand
+ORDER BY p_brand
+"""
+
 _TOPK_ORDERS = """
 SELECT o_custkey, o_orderkey, o_totalprice, rn
 FROM (
@@ -808,6 +861,10 @@ def operator_queries() -> dict[str, OpQuery]:
     return {
         # relational core
         "op_q1_pricing_summary": OpQuery(_sql(_Q1), _Q1),
+        "op_q3_shipping_topk": OpQuery(_sql(_Q3_STYLE), _Q3_STYLE),
+        "op_q5_region_revenue": OpQuery(_sql(_Q5_STYLE), _Q5_STYLE),
+        "op_q10_returned_revenue": OpQuery(_sql(_Q10_STYLE), _Q10_STYLE),
+        "op_part_supplier_rollup": OpQuery(_sql(_PART_SUPPLIER_JOIN), _PART_SUPPLIER_JOIN),
         "op_topk_orders_per_customer": OpQuery(_sql(_TOPK_ORDERS), _TOPK_ORDERS),
         "op_pct_of_total_by_priority": OpQuery(_sql(_PCT_PRIORITY), _PCT_PRIORITY),
         "op_quarterly_window_avg": OpQuery(_sql(_QUARTER_WINDOW), _QUARTER_WINDOW),
