@@ -1,0 +1,74 @@
+"""Skew-handling operators: salting for hot join/aggregation keys.
+
+AQE's skew-join split (enabled in session.py) handles most skew at
+runtime by splitting oversized shuffle partitions; these explicit
+operators cover the cases AQE can't: a broadcast-ineligible small side
+joined on a pathologically hot key, and single-hot-key aggregations
+where one reducer would otherwise own the whole key.
+
+Salting scheme (the classic one): the big side gets a deterministic
+per-row salt in [0, buckets); the small side is replicated once per
+salt value; the join key becomes (key, salt), spreading each hot key
+over `buckets` reducers. Aggregations do the same two-phase: partial
+aggregate on (key, salt), final aggregate on key — sum/count/min/max
+recombine exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SALT = "__salt"
+
+
+def _row_salt(df: DataFrame, buckets: int) -> Column:
+    """Deterministic-enough per-row salt: hash of the whole row. Rows
+    identical in every column share a salt — harmless (they'd co-group
+    anyway); everything else spreads uniformly."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(buckets))
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    buckets: int = 16,
+) -> DataFrame:
+    """Equi-join where `big`'s join keys are skewed and `small` cannot
+    broadcast: salt the big side, replicate the small side ×buckets,
+    join on keys+salt. Result is row-identical to big.join(small, on,
+    how) — verified by test — with each hot key spread over `buckets`
+    shuffle partitions.
+
+    Cost model: small side shuffles ×buckets (choose buckets ≈ the
+    hot-key imbalance factor, not more)."""
+    big_s = big.withColumn(_SALT, _row_salt(big, buckets))
+    small_s = small.withColumn(
+        _SALT, F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    )
+    out = big_s.join(small_s, [*on, _SALT], how)
+    return out.drop(_SALT)
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    sums: list[str] | None = None,
+    counts: bool = True,
+    buckets: int = 16,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation: partial SUM/COUNT on
+    (keys, salt), final recombine on keys. Exact for decomposable
+    aggregates (sum/count; min/max trivially addable)."""
+    sums = sums or []
+    salted = df.withColumn(_SALT, _row_salt(df, buckets))
+    partial_aggs = [F.sum(c).alias(f"__s_{c}") for c in sums]
+    if counts:
+        partial_aggs.append(F.count("*").alias("__n"))
+    partial = salted.groupBy(*keys, _SALT).agg(*partial_aggs)
+    final_aggs = [F.sum(f"__s_{c}").alias(f"sum_{c}") for c in sums]
+    if counts:
+        final_aggs.append(F.sum("__n").cast("bigint").alias("n_rows"))
+    return partial.groupBy(*keys).agg(*final_aggs)

@@ -334,6 +334,34 @@ ORDER BY window_start, event_type
 """
 
 
+def _spark_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user gap sessionization driven as a real streaming query; the
+    oracle recomputes the same totals with a batch lag window."""
+    from ..streaming.sessionize import streaming_sessionize
+
+    return streaming_sessionize(spark, sf_dir, gap_seconds=1800.0).orderBy("user_id")
+
+
+def _stateful_sessionize_oracle(d: str) -> str:
+    return f"""
+SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions
+FROM (
+  SELECT user_id,
+         CASE WHEN lag_ts IS NULL
+                   OR {_epoch(d, "ts")} - {_epoch(d, "lag_ts")} > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM (
+    SELECT user_id, ts,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lag_ts
+    FROM events
+  ) x
+) g
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 def _spark_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch form of the Structured Streaming aggregation — identical
     transformation code path (streaming/events_stream.py); stream/batch
@@ -888,6 +916,9 @@ def operator_queries() -> dict[str, OpQuery]:
         ),
         "stream_windowed_counts": OpQuery(
             _spark_stream_windowed, _stream_windowed_oracle(D.DUCKDB)
+        ),
+        "stream_stateful_sessionize": OpQuery(
+            _spark_stateful_sessionize, _stateful_sessionize_oracle(D.DUCKDB)
         ),
         "op_json_extract_props": OpQuery(
             _sql(_json_props_sql(D.SPARK)), _json_props_sql(D.DUCKDB)

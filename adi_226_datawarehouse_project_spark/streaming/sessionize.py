@@ -1,0 +1,95 @@
+"""Custom stateful streaming operator: gap-based sessionization via
+``applyInPandasWithState`` (the escape hatch for semantics Structured
+Streaming's built-in windows can't express — SURVEY §2.10
+beyond-reference extension).
+
+Per user, events more than `gap_seconds` apart start a new session.
+State per key is (last event epoch, running session count); each
+micro-batch folds its (sorted) events into the state and emits the
+updated per-user total. The identical fold runs in batch via the
+lag-window SQL (`op_sessionize_events`), and the pytest asserts the
+streaming totals equal the batch totals — the stateful analog of the
+stream-batch equivalence check.
+
+Scale: state is two scalars per user (bounded); a production deploy
+adds a state TTL (GroupStateTimeout) to retire idle users, and the
+file source becomes Kafka. Arrow moves each group's batch in one
+block — per-group Python cost, never per-row.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from .events_stream import EVENTS_SCHEMA
+
+OUTPUT_SCHEMA = "user_id bigint, n_sessions bigint"
+STATE_SCHEMA = "last_ts double, n_sessions bigint"
+
+
+def _sessionize_fold(gap_seconds: float):
+    def fold(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        last_ts, n_sessions = state.get if state.exists else (None, 0)
+        ts = pd.concat([pdf["event_time"] for pdf in pdfs]).sort_values()
+        for t in ts.astype("int64") / 1e9:  # ns → epoch seconds
+            if last_ts is None or t - last_ts > gap_seconds:
+                n_sessions += 1
+            last_ts = t
+        state.update((last_ts, n_sessions))
+        yield pd.DataFrame({"user_id": [key[0]], "n_sessions": [n_sessions]})
+
+    return fold
+
+
+def streaming_sessionize(
+    spark: SparkSession,
+    sf_dir: str,
+    gap_seconds: float = 1800.0,
+    query_name: str = "sessionize_out",
+) -> DataFrame:
+    """Run the stateful sessionizer over the events parquet as a
+    stream; returns the final per-user session counts (memory sink,
+    update mode — last emitted row per user wins)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .option("path", os.path.join(sf_dir))
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load()
+        .withColumn("event_time", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        _sessionize_fold(gap_seconds),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        sessions.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # update-mode memory sink appends every emission; the fold's total
+    # is monotone, so MAX per user is the final state.
+    return spark.sql(
+        f"SELECT user_id, CAST(max(n_sessions) AS BIGINT) AS n_sessions "
+        f"FROM {query_name} GROUP BY user_id"
+    )
