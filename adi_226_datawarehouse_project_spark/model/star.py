@@ -75,25 +75,14 @@ def staging_311_sql(d: str) -> str:
     )
     # Deterministic business-key dedup (D1: the reference's
     # dropDuplicates(["unique_key"]), glue_job_clean_311.py:131, but
-    # with an explicit keep order — vanilla dropDuplicates keeps an
-    # arbitrary partition-dependent row). Every ORDER BY key pins
-    # NULLS FIRST because Spark and DuckDB default opposite null
-    # orderings.
+    # with an explicit keep rule — vanilla dropDuplicates keeps an
+    # arbitrary partition-dependent row). Keep the EARLIEST record per
+    # key (created_ts, then closed_ts; lat/lon as final guard for
+    # pathological full-tie inputs). NULLS FIRST pinned on every key:
+    # Spark and DuckDB default opposite null orderings.
     order_keys = ", ".join(
         f"{c} NULLS FIRST"
-        for c in (
-            "created_ts",
-            "closed_ts",
-            "agency",
-            "borough",
-            "complaint_type",
-            "descriptor",
-            "city",
-            "status",
-            "resolution_description",
-            "latitude",
-            "longitude",
-        )
+        for c in ("created_ts", "closed_ts", "latitude", "longitude")
     )
     return f"""
 SELECT unique_key, created_ts, closed_ts, agency, borough, complaint_type,

@@ -57,6 +57,18 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     times: dict[str, float] = {}
+
+    # Materialize the derived warehouse once, timed as its own entry
+    # (the ETL "load" phase — cleaning, dedup, dims, facts, caching);
+    # golden-query timings then measure the queries themselves.
+    from adi_226_datawarehouse_project_spark.model.star import register_star_views
+
+    t0 = time.perf_counter()
+    register_star_views(spark, sf_dir)
+    for t in ("fact_311_complaint", "fact_airbnb_listings", "dim_date"):
+        spark.table(t).count()
+    times["warehouse_build"] = round(time.perf_counter() - t0, 3)
+    print(f"# warehouse_build: {times['warehouse_build']:.3f}s", file=sys.stderr)
     for name in BENCH_QUERIES:
         t0 = time.perf_counter()
         df = qs[name](spark, sf_dir)
