@@ -39,7 +39,23 @@ def parse_timestamp(dialect: str, expr: str) -> str:
     strings yield NULL instead of failing.
     """
     if dialect == SPARK:
-        parts = [f'try_to_timestamp({expr}, "{j}")' for j, _ in TS_FORMATS]
+        # Dispatch on cheap structural predicates first instead of
+        # walking the try-parse cascade: a failed try_to_timestamp is
+        # exception-driven in the JVM and costs ~4x a successful parse,
+        # which at 100 TB makes the cascade the scan bottleneck. The
+        # dispatch is semantics-preserving: 'T'+'.' ⇒ ISO-ms, 'T' ⇒
+        # ISO-seconds, otherwise the non-padded US pattern (Java 'M/d h'
+        # accepts 1-2 digits, so it subsumes the zero-padded form). The
+        # full cascade remains as a coalesce fallback so inputs that
+        # defeat the dispatch still parse exactly as before.
+        dispatch = (
+            f"CASE WHEN contains({expr}, 'T') THEN "
+            f"CASE WHEN contains({expr}, '.') "
+            f'THEN try_to_timestamp({expr}, "{TS_FORMATS[0][0]}") '
+            f'ELSE try_to_timestamp({expr}, "{TS_FORMATS[1][0]}") END '
+            f'ELSE try_to_timestamp({expr}, "{TS_FORMATS[3][0]}") END'
+        )
+        parts = [dispatch] + [f'try_to_timestamp({expr}, "{j}")' for j, _ in TS_FORMATS]
     else:
         parts = [f"try_strptime({expr}, '{c}')" for _, c in TS_FORMATS]
     return "coalesce(" + ", ".join(parts) + ")"

@@ -50,8 +50,14 @@ def minhash_signatures(
     text_col: str,
     num_hashes: int = 64,
     shingle_size: int = 3,
+    shingle: str = "char",
 ) -> DataFrame:
     """(id, signature array<bigint>[num_hashes]) via min-over-shingles.
+
+    ``shingle`` picks the shingle unit: "char" n-grams (fine-grained,
+    classic Broder resemblance) or "word" n-grams (the GPT-3/Gopher
+    -style unit — far fewer shingles per document and much sharper
+    separation between near-dups and merely same-language text).
 
     The hash family is seeded xxhash64 — one independent 64-bit hash
     per signature position, wrapped INSIDE the JVM hash kernel (no
@@ -60,14 +66,22 @@ def minhash_signatures(
     ARITHMETIC_OVERFLOW. (A Kirsch–Mitzenmacher ``h1 + i*h2`` variant
     was tried and reverted: without full 2^64 modular reduction the
     per-i minima correlate and the Jaccard estimator biases low.)
-    Documents with no shingles are dropped. All JVM-side codegen'd
-    expressions, never a Python UDF."""
+    Each shingle string is hashed ONCE to a 64-bit base; the family is
+    seeded re-hashes of that fixed-width base, so signature width k
+    costs k long-hashes, not k string traversals. Documents with no
+    shingles are dropped. All JVM-side codegen'd expressions, never a
+    Python UDF."""
+    grams = (
+        word_ngrams(F.col(text_col), shingle_size)
+        if shingle == "word"
+        else char_ngrams(F.col(text_col), shingle_size)
+    )
     shingled = df.select(
         F.col(id_col),
-        F.explode(F.array_distinct(char_ngrams(F.col(text_col), shingle_size))).alias("__sh"),
-    )
+        F.explode(F.array_distinct(grams)).alias("__sh"),
+    ).withColumn("__shh", F.xxhash64(F.col("__sh")))
     aggs = [
-        F.min(F.xxhash64(F.col("__sh"), F.lit(seed))).alias(f"__h{seed}")
+        F.min(F.xxhash64(F.col("__shh"), F.lit(seed))).alias(f"__h{seed}")
         for seed in range(num_hashes)
     ]
     sig = shingled.groupBy(id_col).agg(*aggs)
@@ -84,12 +98,13 @@ def minhash_near_dup_pairs(
     bands: int = 16,
     shingle_size: int = 3,
     min_jaccard_est: float = 0.5,
+    shingle: str = "char",
 ) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding, scored by the
     estimated Jaccard (fraction of agreeing minhashes). Returns
     (id_a, id_b, jaccard_est) with id_a < id_b."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_size)
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_size, shingle)
     banded = sig.select(
         F.col(id_col),
         F.posexplode(

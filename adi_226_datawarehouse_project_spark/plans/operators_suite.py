@@ -722,10 +722,15 @@ LIMIT 50
 
 
 def _spark_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Word 3-gram shingles at a 0.7 estimated-Jaccard threshold — the
+    # LLM-corpus dedup operating point. Char 3-grams at 0.4 (the old
+    # setting) mark ~40% of ALL same-language pairs as candidates,
+    # which both floods the LSH buckets (quadratic candidate blow-up)
+    # and says nothing about actual duplication.
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_near_dup_pairs(docs, "doc_id", "text", min_jaccard_est=0.4).orderBy(
-        F.desc("jaccard_est"), "id_a", "id_b"
-    )
+    return minhash_near_dup_pairs(
+        docs, "doc_id", "text", shingle="word", min_jaccard_est=0.7
+    ).orderBy(F.desc("jaccard_est"), "id_a", "id_b")
 
 
 def _spark_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -46,11 +46,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+# One registration per (session, sf_dir): every query entry point calls
+# this, and re-running 10 parquet schema reads per query is pure
+# overhead. Registering a DIFFERENT sf_dir invalidates the memo (and
+# star-view caching layers above handle their own invalidation).
+_BASE_REGISTERED: dict[int, tuple[str, tuple[str, ...]]] = {}
+
+
 def register_base_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
     """Register every base table as a temp view so both the DataFrame
     and ``spark.sql`` surfaces see the same catalog."""
+    key = id(spark)
+    if _BASE_REGISTERED.get(key) == (sf_dir, names):
+        return
     for name in names:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    _BASE_REGISTERED[key] = (sf_dir, names)
 
 
 def table_exists(spark: SparkSession, name: str) -> bool:
