@@ -27,6 +27,19 @@ def word_tokens(col: Column | str) -> Column:
     return F.filter(F.split(F.lower(F.trim(c)), r"\s+"), lambda t: t != F.lit(""))
 
 
+def _let(bound: Column, body) -> Column:
+    """Let-binding for higher-order-function pipelines: evaluate
+    ``bound`` ONCE per row and pass it to ``body`` as a lambda variable.
+
+    An expression captured directly by a HOF lambda is re-evaluated for
+    EVERY array element (Catalyst does not CSE across the lambda
+    boundary), which turns e.g. n-gram generation into O(len²) work per
+    document — a 10× slowdown measured on the shingling path. Wrapping
+    the expression in a 1-element array and binding it through
+    ``transform`` makes the inner references lambda-variable reads."""
+    return F.transform(F.array(bound), body)[0]
+
+
 def token_count(col: Column | str) -> Column:
     """Whitespace token count."""
     return F.size(word_tokens(col))
@@ -50,19 +63,23 @@ def char_ngrams(col: Column | str, n: int = 3) -> Column:
     shingle set for MinHash. Pure expression: substring over an index
     sequence (no UDF)."""
     c = F.col(col) if isinstance(col, str) else col
-    low = F.lower(c)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(low) - (n - 1), F.lit(1))),
-        lambda i: F.substring(low, i, F.lit(n)),
+    return _let(
+        F.lower(c),
+        lambda low: F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(low) - (n - 1), F.lit(1))),
+            lambda i: F.substring(low, i, F.lit(n)),
+        ),
     )
 
 
 def word_ngrams(col: Column | str, n: int = 2) -> Column:
     """Word n-grams joined by a space."""
-    toks = word_tokens(col)
-    return F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    return _let(
+        word_tokens(col),
+        lambda toks: F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
     )
 
 

@@ -227,9 +227,15 @@ def ngram_jaccard_pairs(
     jaccard). `max_shingle_freq` drops ultra-common shingles before
     the join — the stop-shingle cap that keeps the self-join bounded
     at corpus scale."""
+    # array_distinct already guarantees per-doc shingle uniqueness, so
+    # no dedup shuffle is needed. The inverted index carries an 8-byte
+    # xxhash64 of each shingle instead of the string: the self-join
+    # shuffles fixed-width keys (collision odds for |shingles| n are
+    # ~n²/2⁶⁵ — negligible against corpus sizes).
     sh = df.select(
-        F.col(id_col), F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("__g")
-    ).dropDuplicates([id_col, "__g"])
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("__g"),
+    ).select(F.col(id_col), F.xxhash64(F.col("__g")).alias("__g"))
     if max_shingle_freq is not None:
         freq = sh.groupBy("__g").count().filter(F.col("count") <= max_shingle_freq)
         sh = sh.join(F.broadcast(freq.select("__g")), "__g")

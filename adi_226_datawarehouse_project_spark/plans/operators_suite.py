@@ -684,9 +684,18 @@ FROM (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text) t
 """
 
 
+# Word 5-grams at Jaccard ≥ 0.5 — a realistic near-dup operating point
+# (production pipelines shingle on 5-13 word n-grams). Short shingles
+# degenerate on same-register text: at n=2 this corpus has only 931
+# distinct bigrams over 5000 docs, so the inverted-index self-join
+# materializes Σf² ≈ 73M rows; at n=5 the same join is ~280k rows.
+_NGRAM_N = 5
+_NGRAM_MIN_J = 0.5
+
+
 def _spark_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=2, min_jaccard=0.2)
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=_NGRAM_N, min_jaccard=_NGRAM_MIN_J)
     return pairs.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     ).orderBy(F.desc("jaccard"), "id_a", "id_b").limit(50)
@@ -699,8 +708,8 @@ WITH toks AS (
 grams AS (
   SELECT DISTINCT doc_id, g FROM (
     SELECT doc_id,
-           unnest(list_transform(generate_series(1, greatest(len(t) - 1, 1)),
-                                 i -> array_to_string(t[i:i+1], ' '))) AS g
+           unnest(list_transform(generate_series(1, greatest(len(t) - {_NGRAM_N - 1}, 1)),
+                                 i -> array_to_string(t[i:i+{_NGRAM_N - 1}], ' '))) AS g
     FROM toks
   ) x
 ),
@@ -715,7 +724,7 @@ SELECT id_a, id_b,
 FROM inter
 JOIN sizes na ON na.doc_id = id_a
 JOIN sizes nb ON nb.doc_id = id_b
-WHERE CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) >= 0.2
+WHERE CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) >= {_NGRAM_MIN_J}
 ORDER BY jaccard DESC, id_a, id_b
 LIMIT 50
 """
