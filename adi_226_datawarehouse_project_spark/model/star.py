@@ -89,7 +89,7 @@ SELECT unique_key, created_ts, closed_ts, agency, borough, complaint_type,
        descriptor, city, status, resolution_description, latitude, longitude,
        CAST(extract(year FROM created_ts) AS INT) AS created_year,
        CASE WHEN closed_ts IS NOT NULL THEN {dur} END AS duration_hours,
-       {geohash_sql("latitude", "longitude", 7)} AS geohash
+       {geohash_sql("latitude", "longitude", 7, d)} AS geohash
 FROM (
   SELECT *,
          row_number() OVER (PARTITION BY unique_key ORDER BY {order_keys}) AS __rn
@@ -126,7 +126,7 @@ SELECT DISTINCT
        id,
        try_cast(latitude AS DOUBLE) AS latitude,
        try_cast(longitude AS DOUBLE) AS longitude,
-       {geohash_sql("try_cast(latitude AS DOUBLE)", "try_cast(longitude AS DOUBLE)", 7)} AS geohash,
+       {geohash_sql("try_cast(latitude AS DOUBLE)", "try_cast(longitude AS DOUBLE)", 7, d)} AS geohash,
        neighbourhood,
        neighbourhood_cleansed AS neighbourhood_name,
        upper(trim(neighbourhood_group_cleansed)) AS borough,
