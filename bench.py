@@ -52,17 +52,26 @@ def main() -> None:
     spark = get_spark("bench")
     qs = entrymod.queries()
 
-    # Warm up the JVM / parquet footer cache so per-query times measure
-    # the plan, not session startup.
+    # Warm up the JVM so per-query times measure the plan, not session
+    # startup: run the actual pipeline once at the tiny sf0.001 so
+    # classloading/JIT of the parse/geohash/window/join code paths is
+    # paid here. register_star_views invalidates its cache when the
+    # measured sf_dir is registered below, so no sf0.001 results leak
+    # into the timed run.
+    from adi_226_datawarehouse_project_spark.model.star import register_star_views
+
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and os.path.realpath(warm_dir) != os.path.realpath(sf_dir):
+        register_star_views(spark, warm_dir)
+        for t in ("fact_311_complaint", "fact_airbnb_listings", "dim_date"):
+            spark.table(t).count()
 
     times: dict[str, float] = {}
 
     # Materialize the derived warehouse once, timed as its own entry
     # (the ETL "load" phase — cleaning, dedup, dims, facts, caching);
     # golden-query timings then measure the queries themselves.
-    from adi_226_datawarehouse_project_spark.model.star import register_star_views
-
     t0 = time.perf_counter()
     register_star_views(spark, sf_dir)
     for t in ("fact_311_complaint", "fact_airbnb_listings", "dim_date"):
