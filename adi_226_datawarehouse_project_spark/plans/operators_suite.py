@@ -334,6 +334,44 @@ ORDER BY window_start, event_type
 """
 
 
+def _spark_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of attribution: each click joined to the user's most recent
+    prior (or simultaneous) view — `operators/asof.py`, one window
+    shuffle, no UDF. Oracle is DuckDB's native ASOF LEFT JOIN."""
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("view_id"),
+        F.col("value").alias("view_value"),
+    )
+    joined = asof_join(clicks, views, by=["user_id"], ts="ts",
+                       right_value_cols=["view_id", "view_value"])
+    return joined.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("asof_view_id").alias("view_id"),
+        F.col("asof_view_value").alias("view_value"),
+        (F.unix_micros("ts") - F.unix_micros("asof_ts")).alias("gap_us"),
+    ).orderBy("click_id")
+
+
+_ASOF_ORACLE = """
+SELECT l.event_id AS click_id, l.user_id, r.event_id AS view_id,
+       r.value AS view_value,
+       epoch_us(l.ts) - epoch_us(r.ts) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY click_id
+"""
+
+
 def _spark_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState):
     per-user gap sessionization driven as a real streaming query; the
@@ -928,6 +966,7 @@ def operator_queries() -> dict[str, OpQuery]:
         "op_events_tumbling_window": OpQuery(
             _sql(_events_window_sql(D.SPARK)), _events_window_sql(D.DUCKDB)
         ),
+        "op_asof_join_events": OpQuery(_spark_asof_join, _ASOF_ORACLE),
         "stream_windowed_counts": OpQuery(
             _spark_stream_windowed, _stream_windowed_oracle(D.DUCKDB)
         ),
