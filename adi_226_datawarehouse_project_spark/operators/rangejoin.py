@@ -1,0 +1,55 @@
+"""Range (interval-containment) join — the second custom join Spark's
+DataFrame API lacks a scalable plan for (beyond-reference addition, per
+`SURVEY.md` §2.3 "not present in the reference": theta/range joins).
+
+A naive ``points JOIN intervals ON p BETWEEN lo AND hi`` is a non-equi
+join: Catalyst can only plan it as BroadcastNestedLoopJoin (O(|P|·|I|)
+comparisons, and the broadcast side must fit in memory). The classic
+distributed strategy is *binning*: quantize the domain into fixed-width
+buckets, explode each interval to the buckets it overlaps, map each
+point to its single bucket, equi-join on the bucket id, and re-check
+the exact predicate. Cost is O(|P| + |I|·len/w + matches) with an
+ordinary hash-partition shuffle — the same approach Databricks' range
+join optimization and PostGIS tiling use.
+
+Bucket width trades explode factor (≤ len/w + 1 rows per interval)
+against join selectivity (points per bucket); pick it near the median
+interval length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def range_join(
+    points: DataFrame,
+    p_col: str,
+    intervals: DataFrame,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Join every point row to every interval row with
+    ``lo <= p <= hi`` via bucket-explode equi-join.
+
+    ``p_col``/``lo_col``/``hi_col`` must be numeric (cast timestamps to
+    epoch first). Each point lands in exactly one bucket and an
+    interval covers each of its buckets once, so no dedup pass is
+    needed. Column-name collisions between the two inputs are the
+    caller's responsibility (alias before joining).
+    """
+
+    def b(c: Column) -> Column:
+        return F.floor(c / F.lit(float(bucket_width))).cast("bigint")
+
+    pb = points.withColumn("__bucket", b(F.col(p_col)))
+    ib = intervals.withColumn(
+        "__bucket", F.explode(F.sequence(b(F.col(lo_col)), b(F.col(hi_col))))
+    )
+    joined = pb.join(ib, "__bucket", how).filter(
+        (F.col(p_col) >= F.col(lo_col)) & (F.col(p_col) <= F.col(hi_col))
+    )
+    return joined.drop("__bucket")

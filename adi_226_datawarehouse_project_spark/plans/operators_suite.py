@@ -372,6 +372,37 @@ ORDER BY click_id
 """
 
 
+def _spark_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless interval-containment join: each user's first-hour window
+    × ALL events (10-minute buckets) — `operators/rangejoin.py`. The
+    naive BETWEEN formulation is a BroadcastNestedLoopJoin; the bucket
+    explode turns it into an ordinary shuffled equi-join."""
+    from ..operators.rangejoin import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    points = ev.select(F.col("event_id"), F.col("value"), F.unix_micros("ts").alias("p"))
+    intervals = ev.groupBy(F.col("user_id").alias("window_user")).agg(
+        F.min(F.unix_micros("ts")).alias("lo")
+    ).withColumn("hi", F.col("lo") + F.lit(3_600_000_000))
+    j = range_join(points, "p", intervals, "lo", "hi", bucket_width=600e6)
+    return j.groupBy("window_user").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("value_cents"),
+    ).orderBy("window_user")
+
+
+_RANGE_JOIN_ORACLE = """
+SELECT i.window_user, COUNT(*) AS n_events,
+       CAST(sum(CAST(round(e.value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+FROM (SELECT user_id AS window_user, min(epoch_us(ts)) AS lo,
+             min(epoch_us(ts)) + 3600000000 AS hi
+      FROM events GROUP BY user_id) i
+JOIN events e ON epoch_us(e.ts) BETWEEN i.lo AND i.hi
+GROUP BY i.window_user
+ORDER BY window_user
+"""
+
+
 def _spark_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState):
     per-user gap sessionization driven as a real streaming query; the
@@ -967,6 +998,7 @@ def operator_queries() -> dict[str, OpQuery]:
             _sql(_events_window_sql(D.SPARK)), _events_window_sql(D.DUCKDB)
         ),
         "op_asof_join_events": OpQuery(_spark_asof_join, _ASOF_ORACLE),
+        "op_range_join_events": OpQuery(_spark_range_join, _RANGE_JOIN_ORACLE),
         "stream_windowed_counts": OpQuery(
             _spark_stream_windowed, _stream_windowed_oracle(D.DUCKDB)
         ),

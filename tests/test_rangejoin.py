@@ -1,0 +1,43 @@
+"""Range-join semantics: equivalence vs the naive BETWEEN join,
+bucket-boundary inclusion, and no duplicate matches
+(`operators/rangejoin.py`)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from adi_226_datawarehouse_project_spark.operators.rangejoin import range_join
+
+
+def test_range_join_matches_naive_between(spark):
+    points = spark.range(300).select(
+        F.col("id").alias("pid"), ((F.col("id") * 37) % 1000).cast("double").alias("p")
+    )
+    intervals = spark.range(40).select(
+        F.col("id").alias("iid"),
+        ((F.col("id") * 53) % 900).cast("double").alias("lo"),
+    ).withColumn("hi", F.col("lo") + 25.0)
+    got = {
+        (r["pid"], r["iid"])
+        for r in range_join(points, "p", intervals, "lo", "hi", bucket_width=10.0).collect()
+    }
+    naive = points.join(
+        intervals, (F.col("p") >= F.col("lo")) & (F.col("p") <= F.col("hi"))
+    )
+    want = {(r["pid"], r["iid"]) for r in naive.collect()}
+    assert got == want
+    assert len(got) > 0
+
+
+def test_range_join_boundaries_inclusive_no_dups(spark):
+    # point exactly on lo, on hi, and on a bucket boundary inside the
+    # interval; each must match exactly once.
+    points = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 15.0), (4, 9.999), (5, 20.001)],
+        "pid INT, p DOUBLE",
+    )
+    intervals = spark.createDataFrame([(7, 10.0, 20.0)], "iid INT, lo DOUBLE, hi DOUBLE")
+    rows = range_join(points, "p", intervals, "lo", "hi", bucket_width=5.0).collect()
+    matched = sorted(r["pid"] for r in rows)
+    assert matched == [1, 2, 3]
+    assert len(rows) == 3  # no bucket-overlap duplicates
