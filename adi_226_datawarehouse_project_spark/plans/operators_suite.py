@@ -252,6 +252,20 @@ GROUP BY ROLLUP(r_name, n_name)
 ORDER BY region, nation
 """
 
+# CUBE adds the nation-only marginals ROLLUP lacks; GROUPING() keys the
+# aggregation level explicitly (both engines share the SQL).
+_CUBE = """
+SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+       CAST(GROUPING(r_name) AS INT) AS g_region,
+       CAST(GROUPING(n_name) AS INT) AS g_nation,
+       COUNT(*) AS n_customers
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY CUBE(r_name, n_name)
+ORDER BY region, nation, g_region, g_nation
+"""
+
 _DEDUP_EVENTS = """
 SELECT event_type, COUNT(*) AS n_kept, CAST(sum(event_id) AS BIGINT) AS id_sum
 FROM (
@@ -332,6 +346,24 @@ FROM events
 GROUP BY 1, 2
 ORDER BY window_start, event_type
 """
+
+
+def _spark_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-count sketch per group — SURVEY §2.4's
+    documented scale escape hatch for COUNT(DISTINCT) at 100 TB (one
+    pass, fixed memory, mergeable partials; no expand + double shuffle
+    like exact multi-countDistinct). HLL values are engine-specific →
+    rows-only check; relative-error bounds are pinned in
+    tests/test_plans.py."""
+    register_base_views(spark, sf_dir)
+    return spark.sql("""
+SELECT l_returnflag,
+       approx_count_distinct(l_partkey) AS approx_parts,
+       approx_count_distinct(l_orderkey) AS approx_orders
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""")
 
 
 def _spark_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -986,6 +1018,8 @@ def operator_queries() -> dict[str, OpQuery]:
         "op_left_join_null_probe": OpQuery(_sql(_LEFT_JOIN_NULLS), _LEFT_JOIN_NULLS),
         "op_select_distinct": OpQuery(_sql(_DISTINCT_PRIORITIES), _DISTINCT_PRIORITIES),
         "op_rollup_region_nation": OpQuery(_sql(_ROLLUP), _ROLLUP),
+        "op_cube_region_nation": OpQuery(_sql(_CUBE), _CUBE),
+        "op_approx_count_distinct": OpQuery(_spark_approx_distinct, None),  # sketch: rows-only
         "op_dedup_deterministic": OpQuery(_sql(_DEDUP_EVENTS), _DEDUP_EVENTS),
         "op_date_part_suite": OpQuery(
             _sql(_date_parts_sql(D.SPARK)), _date_parts_sql(D.DUCKDB)

@@ -2,14 +2,16 @@
 
 import __spark_entry__ as entrymod
 
-# Operators whose semantics depend on seeded xxhash64/SRP planes —
-# genuinely not DuckDB-expressible; driver records rows-only and their
-# correctness authority is tests/test_dedup.py + test_similarity.py.
+# Operators whose semantics depend on seeded xxhash64/SRP planes or an
+# engine-specific sketch — genuinely not DuckDB-expressible; driver
+# records rows-only and their correctness authority is tests/
+# test_dedup.py + test_similarity.py + test_plans.py (HLL bound).
 ROWS_ONLY_ALLOWED = {
     "dedup_minhash_lsh",
     "dedup_simhash",
     "sim_lsh_topk",
     "sim_embedding_near_dup",
+    "op_approx_count_distinct",
 }
 
 

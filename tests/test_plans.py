@@ -57,3 +57,14 @@ def test_wholestage_codegen_in_agg_plan(spark):
     plan = _physical(agg)
     # `*(n)` prefixes mark WholeStageCodegen spans in simpleString form.
     assert "*(" in plan and "HashAggregate" in plan
+
+
+def test_approx_count_distinct_error_bound(spark):
+    """HLL++ sketch (the COUNT(DISTINCT) scale escape hatch) must track
+    the exact count within its documented default rsd (5%)."""
+    li = load_table(spark, SF_SMALL, "lineitem")
+    row = li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx"),
+        F.countDistinct("l_partkey").alias("exact"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) <= max(0.05 * row["exact"], 10)
