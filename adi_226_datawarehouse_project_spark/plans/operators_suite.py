@@ -881,12 +881,30 @@ ORDER BY query_id, rank
 
 
 def _spark_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Norms are precomputed once per VECTOR (not per pair: same fold,
+    # same doubles) and the fixed-dim dot is unrolled — one flat
+    # multiply-add chain per pair instead of three HOF folds, with the
+    # identical left-to-right summation order the oracle uses.
+    from ..operators.similarity import dot_unrolled
+
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb"))
+    dim = len(emb.select("embedding").first()[0])
+    with_norm = emb.select(
+        "vec_id", "embedding",
+        F.sqrt(dot_unrolled(F.col("embedding"), F.col("embedding"), dim)).alias("__n"),
+    )
+    a = with_norm.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va"), F.col("__n").alias("__na")
+    )
+    b = with_norm.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb"), F.col("__n").alias("__nb")
+    )
+    cos = dot_unrolled(F.col("__va"), F.col("__vb"), dim) / F.nullif(
+        F.col("__na") * F.col("__nb"), F.lit(0.0)
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(cosine(F.col("__va"), F.col("__vb")), 6))
+        .withColumn("cosine", F.round(cos, 6))
         .filter(F.col("cosine") >= 0.8)
         .select("id_a", "id_b", "cosine")
         .orderBy(F.desc("cosine"), "id_a", "id_b")
