@@ -298,13 +298,23 @@ def star_sql(d: str, name: str) -> str:
 # would silently drop their cache; switching sf_dir clears it.
 _REGISTERED: dict[int, str] = {}
 
-# Cache the whole derived warehouse (staging + dims + facts) once per
-# session: cacheTable is LAZY, so unused tables cost nothing, while the
-# 10-query golden suite reuses the materialized gold layer instead of
-# re-running the cleaning+join pipeline per query. This is the local
-# analog of the reference's medallion materialization (staging/gold S3
-# zones) — at 100 TB these are partitioned parquet/Iceberg writes.
+# Cache the whole derived warehouse (raw + staging + dims + facts) once
+# per session: cacheTable is LAZY, so unused tables cost nothing, while
+# the 10-query golden suite reuses the materialized gold layer instead
+# of re-running the cleaning+join pipeline per query. This is the local
+# analog of the reference's medallion materialization (raw/staging/gold
+# S3 zones) — at 100 TB these are partitioned parquet/Iceberg writes.
+#
+# The raw zone MUST be materialized, not just lazily viewed: Catalyst
+# pushes the staging bbox predicates down through the fixture projection
+# by alias substitution, so with a lazy raw view each of the 6 filter
+# conjuncts re-derives the full lat/lon string-construction chain per
+# row (measured 6× re-eval ⇒ staging_311 20s → 3.4s at sf0.1 once raw
+# is materialized). Same at scale: filters over columns derived by
+# expensive expressions should scan a materialized zone, not recompute.
 _CACHE_TABLES = (
+    "complaints_raw",
+    "listings_raw",
     "staging_311",
     "staging_airbnb",
     "dim_date",
