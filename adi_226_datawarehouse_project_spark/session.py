@@ -37,6 +37,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Cached-relation build cost is dominated by dictionary/RLE
+        # encoding of high-cardinality string columns; with ample
+        # executor memory the encode CPU outweighs the space saved
+        # (measured: warehouse materialization 23s → 13s at sf0.1).
+        # Re-enable on memory-tight clusters.
+        .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
         # ANSI off: the engine's cleaning layer relies on null-on-error
         # cast semantics (reference TRY_CAST behavior); explicit
         # try_* functions are still used where intent matters.
