@@ -348,6 +348,42 @@ ORDER BY window_start, event_type
 """
 
 
+def _spark_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest through the foreachBatch left-anti upsert sink
+    (streaming/upsert_sink.py), run TWICE — the second pass replays the
+    whole source with a fresh checkpoint (at-least-once re-delivery),
+    and the anti-join must add zero rows. The returned aggregate over
+    the target therefore hash-matches the plain batch aggregate over
+    `events` only if the sink is exactly-once under replay."""
+    import shutil
+
+    from ..streaming.upsert_sink import stream_upsert_events
+
+    base = f"{_io_dir(sf_dir)}/stream_upsert"
+    shutil.rmtree(base, ignore_errors=True)
+    target = f"{base}/events_latest"
+    stream_upsert_events(spark, sf_dir, target, f"{base}/cp1")
+    stream_upsert_events(spark, sf_dir, target, f"{base}/cp2")  # replay
+    return (
+        spark.read.parquet(target)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.expr(_units("value", 1000000))).cast("bigint").alias("total_value_micros"),
+            F.sum("event_id").cast("bigint").alias("id_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_STREAM_UPSERT_ORACLE = f"""
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(sum({_units("value", 1000000)}) AS BIGINT) AS total_value_micros,
+       CAST(sum(event_id) AS BIGINT) AS id_sum
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def _spark_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct-count sketch per group — SURVEY §2.4's
     documented scale escape hatch for COUNT(DISTINCT) at 100 TB (one
@@ -1057,6 +1093,7 @@ def operator_queries() -> dict[str, OpQuery]:
         "stream_stateful_sessionize": OpQuery(
             _spark_stateful_sessionize, _stateful_sessionize_oracle(D.DUCKDB)
         ),
+        "stream_upsert_ingest": OpQuery(_spark_stream_upsert, _STREAM_UPSERT_ORACLE),
         "op_json_extract_props": OpQuery(
             _sql(_json_props_sql(D.SPARK)), _json_props_sql(D.DUCKDB)
         ),
