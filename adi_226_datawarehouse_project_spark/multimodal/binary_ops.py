@@ -78,6 +78,84 @@ def decode_image_stub(df: DataFrame, id_col: str = "doc_id", payload_col: str = 
     return df.mapInPandas(_decode_batches, schema=DECODED_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "doc_id bigint, width int, height int, new_width int, new_height int, scale double"
+)
+
+
+def resize_image_stub(
+    df: DataFrame, max_width: int = 224, max_height: int = 224, id_col: str = "doc_id"
+) -> DataFrame:
+    """'Resize' decoded images to fit (max_width, max_height)
+    preserving aspect ratio, via mapInPandas over the decoded-feature
+    batches (input = decode_image_stub output).
+
+    STUB boundary: a real deployment resamples pixel buffers here
+    (PIL/cv2); the geometry math, Arrow batch flow, and output schema
+    are the real contract and are exact (pure IEEE-double ops, so the
+    DuckDB oracle reproduces them bit-for-bit)."""
+
+    def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if STRICT_DECODE:
+                raise NotImplementedError("image resize requires PIL/cv2 (not in container)")
+            w = pdf["width"].astype("float64").to_numpy()
+            h = pdf["height"].astype("float64").to_numpy()
+            scale = np.minimum(np.minimum(max_width / w, max_height / h), 1.0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "new_width": np.maximum(1, np.floor(w * scale)).astype("int32"),
+                    "new_height": np.maximum(1, np.floor(h * scale)).astype("int32"),
+                    "scale": scale,
+                }
+            )
+
+    return df.mapInPandas(_resize_batches, schema=RESIZED_SCHEMA)
+
+
+AUDIO_SCHEMA = (
+    "doc_id bigint, sample_rate int, n_samples bigint, duration_s double, rms double"
+)
+
+
+def decode_audio_stub(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload", sample_rate: int = 16000
+) -> DataFrame:
+    """'Decode' audio payloads (16-bit mono PCM model: 2 bytes per
+    sample) into waveform-level features via mapInPandas.
+
+    STUB: real deployment decodes with soundfile/ffmpeg; the fake
+    features are deterministic integer functions of the bytes so the
+    oracle can verify the plumbing end-to-end."""
+
+    def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if STRICT_DECODE:
+                raise NotImplementedError("audio decode requires soundfile/ffmpeg (not in container)")
+            payload = pdf[payload_col]
+            n = payload.str.len().fillna(0).astype("int64")
+            first = payload.map(
+                lambda b: b[0] if isinstance(b, (bytes, bytearray)) and b else 0
+            ).astype("int64")
+            n_samples = n // 2
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "sample_rate": sample_rate,
+                    "n_samples": n_samples,
+                    "duration_s": n_samples.astype("float64") / float(sample_rate),
+                    "rms": ((first * 31 + n) % 1000).astype("float64") / 1000.0,
+                }
+            )
+
+    return df.mapInPandas(_decode_batches, schema=AUDIO_SCHEMA)
+
+
 def sample_frames_stub(
     df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload", every_n_bytes: int = 64
 ) -> DataFrame:

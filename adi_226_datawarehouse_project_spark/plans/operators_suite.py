@@ -1047,6 +1047,56 @@ ORDER BY doc_id
 """
 
 
+def _spark_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal.binary_ops import resize_image_stub
+
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = decode_image_stub(attach_binary_payload(docs))
+    return resize_image_stub(decoded, 224, 224).select(
+        "doc_id", "width", "height", "new_width", "new_height", F.round("scale", 6).alias("scale")
+    ).orderBy("doc_id")
+
+
+# Same IEEE-double geometry as the numpy stub: least/floor over doubles
+# is bit-exact across engines, so the oracle checks values, not shape.
+_MULTIMODAL_RESIZE_ORACLE = """
+SELECT doc_id, width, height,
+       CAST(greatest(1, floor(width * scale)) AS INT) AS new_width,
+       CAST(greatest(1, floor(height * scale)) AS INT) AS new_height,
+       round(scale, 6) AS scale
+FROM (
+  SELECT doc_id, width, height,
+         least(224.0 / width, 224.0 / height, 1.0) AS scale
+  FROM (
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+           CAST(octet_length(encode(text)) % 480 + 1 AS INT) AS height
+    FROM documents
+  ) __d
+) __s
+ORDER BY doc_id
+"""
+
+
+def _spark_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal.binary_ops import decode_audio_stub
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_audio_stub(attach_binary_payload(docs)).orderBy("doc_id")
+
+
+_MULTIMODAL_AUDIO_ORACLE = """
+SELECT doc_id,
+       16000 AS sample_rate,
+       CAST(octet_length(encode(text)) // 2 AS BIGINT) AS n_samples,
+       CAST(octet_length(encode(text)) // 2 AS DOUBLE) / 16000.0 AS duration_s,
+       CAST((ascii(substr(text, 1, 1)) % 256) * 31 + octet_length(encode(text)) AS BIGINT) % 1000
+         / 1000.0 AS rms
+FROM documents
+ORDER BY doc_id
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -1146,4 +1196,6 @@ def operator_queries() -> dict[str, OpQuery]:
         "sim_embedding_near_dup": OpQuery(_spark_embedding_near_dup, None),
         "text_quality_scores": OpQuery(_spark_quality_scores, _quality_oracle()),
         "multimodal_decode_stub": OpQuery(_spark_multimodal, _MULTIMODAL_ORACLE),
+        "multimodal_image_resize": OpQuery(_spark_multimodal_resize, _MULTIMODAL_RESIZE_ORACLE),
+        "multimodal_audio_decode": OpQuery(_spark_multimodal_audio, _MULTIMODAL_AUDIO_ORACLE),
     }

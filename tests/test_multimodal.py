@@ -49,3 +49,33 @@ def test_frame_sampler_offsets(spark):
         by_doc.setdefault(r["doc_id"], []).append(r["frame_index"])
     for idxs in by_doc.values():
         assert sorted(idxs) == list(range(len(idxs)))  # dense frame indices
+
+
+def test_resize_stub_geometry(spark):
+    from adi_226_datawarehouse_project_spark.multimodal.binary_ops import (
+        resize_image_stub,
+    )
+
+    resized = resize_image_stub(decode_image_stub(_payload(spark)), 224, 224).collect()
+    assert len(resized) > 0
+    for r in resized:
+        assert 1 <= r["new_width"] <= 224 and 1 <= r["new_height"] <= 224
+        assert r["scale"] <= 1.0
+        # aspect ratio preserved within 1px of floor rounding
+        if r["scale"] < 1.0:
+            assert max(r["new_width"], r["new_height"]) in (223, 224)
+        else:
+            assert (r["new_width"], r["new_height"]) == (r["width"], r["height"])
+
+
+def test_audio_decode_stub(spark):
+    from adi_226_datawarehouse_project_spark.multimodal.binary_ops import (
+        decode_audio_stub,
+    )
+
+    rows = decode_audio_stub(_payload(spark)).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["sample_rate"] == 16000
+        assert r["duration_s"] == r["n_samples"] / 16000.0
+        assert 0.0 <= r["rms"] < 1.0
