@@ -161,6 +161,76 @@ def lsh_bucket_topk(
     )
 
 
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    probe_ids: list[int] | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the second scale path
+    next to SRP-LSH: partition the corpus into coarse cells, search
+    only the ``n_probe`` most promising cells per query.
+
+    Coarse centroids are a deterministic sample (the ``n_clusters``
+    smallest ids) rather than k-means output, so results are
+    bit-reproducible across runs and executors with zero training
+    state; a production build swaps in k-means centroids without
+    touching the plan shape. Every vector is assigned to its
+    max-cosine centroid (broadcast argmax — the centroid table is tiny
+    by construction); queries probe their ``n_probe`` best cells and
+    candidates come from an equi-join on ``centroid_id`` — a
+    shuffle-partitioned join over ~n_probe/n_clusters of the corpus,
+    never a cross join. Exact cosine re-ranks candidates.
+    """
+    cent_w = Window.orderBy(F.col("centroid_id_src"))
+    centroids = (
+        df.select(F.col(id_col).alias("centroid_id_src"), F.col(vec_col).alias("__cv"))
+        .orderBy("centroid_id_src")
+        .limit(n_clusters)
+        .withColumn("centroid_id", F.row_number().over(cent_w) - 1)
+        .select("centroid_id", "__cv")
+    )
+
+    def _cells(side: DataFrame, id_alias: str, vec_alias: str, n: int) -> DataFrame:
+        scored = side.join(F.broadcast(centroids)).withColumn(
+            "__ccos", cosine(F.col(vec_alias), F.col("__cv"))
+        )
+        w = Window.partitionBy(id_alias).orderBy(
+            F.col("__ccos").desc(), F.col("centroid_id").asc()
+        )
+        return (
+            scored.withColumn("__crank", F.row_number().over(w))
+            .filter(F.col("__crank") <= n)
+            .select(id_alias, vec_alias, "centroid_id")
+        )
+
+    corpus = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv"))
+    assigned = _cells(corpus, "neighbor_id", "__nv", 1)  # inverted lists
+    probes = df.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    if probe_ids is not None:
+        probes = probes.filter(F.col("query_id").isin(probe_ids))
+    probed = _cells(probes, "query_id", "__qv", n_probe)
+
+    cand = (
+        assigned.join(probed, "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "__qv", "neighbor_id", "__nv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.withColumn("cosine", cosine(F.col("__qv"), F.col("__nv")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame, id_col: str, vec_col: str, min_cosine: float = 0.95, num_planes: int = 16
 ) -> DataFrame:

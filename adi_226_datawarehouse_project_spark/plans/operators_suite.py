@@ -36,7 +36,7 @@ from ..operators.dedup import (
     ngram_jaccard_pairs,
     simhash_near_dup_pairs,
 )
-from ..operators.similarity import cosine, cosine_self_topk, lsh_bucket_topk
+from ..operators.similarity import cosine, cosine_self_topk, ivf_topk, lsh_bucket_topk
 from ..operators.upsert import incremental_upsert
 from ..sources.catalog import load_table, register_base_views
 from ..sources.readers import read_csv, read_json, read_parquet
@@ -974,6 +974,63 @@ def _spark_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _spark_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k. Deterministic end-to-end (sampled
+    centroids, argmax assignment, exact re-rank), so unlike the SRP
+    variant it carries a full value oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, "vec_id", "embedding", k=5, n_clusters=16, n_probe=4, probe_ids=[0, 1, 2, 3, 4]
+    ).select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
+def _duck_cos(a: str, b: str) -> str:
+    def _dot(x: str, y: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, len({x})),"
+            f" i -> CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE)))"
+        )
+
+    return f"({_dot(a, b)} / nullif(sqrt({_dot(a, a)}) * sqrt({_dot(b, b)}), 0.0))"
+
+
+_IVF_TOPK_ORACLE = f"""
+WITH v AS (SELECT vec_id, embedding FROM embeddings),
+cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id, embedding AS cv
+  FROM (SELECT * FROM v ORDER BY vec_id LIMIT 16) __c
+),
+assigned AS (
+  SELECT vec_id AS neighbor_id, embedding AS nv, centroid_id FROM (
+    SELECT n.vec_id, n.embedding, c.centroid_id,
+           row_number() OVER (PARTITION BY n.vec_id
+                              ORDER BY {_duck_cos("n.embedding", "c.cv")} DESC, c.centroid_id) AS rn
+    FROM v n CROSS JOIN cent c
+  ) __a WHERE rn = 1
+),
+probed AS (
+  SELECT vec_id AS query_id, embedding AS qv, centroid_id FROM (
+    SELECT q.vec_id, q.embedding, c.centroid_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_duck_cos("q.embedding", "c.cv")} DESC, c.centroid_id) AS rn
+    FROM v q CROSS JOIN cent c WHERE q.vec_id IN (0, 1, 2, 3, 4)
+  ) __p WHERE rn <= 4
+),
+cand AS (
+  SELECT DISTINCT p.query_id, p.qv, a.neighbor_id, a.nv
+  FROM assigned a JOIN probed p USING (centroid_id)
+  WHERE a.neighbor_id <> p.query_id
+)
+SELECT query_id, neighbor_id, round(c, 6) AS cosine, rank FROM (
+  SELECT query_id, neighbor_id, {_duck_cos("qv", "nv")} AS c,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {_duck_cos("qv", "nv")} DESC, neighbor_id) AS rank
+  FROM cand
+) __r WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
 def _spark_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (
@@ -1190,6 +1247,7 @@ def operator_queries() -> dict[str, OpQuery]:
         "sim_cosine_topk": OpQuery(_spark_cosine_topk, _COSINE_TOPK_ORACLE),
         "sim_near_dup_exact": OpQuery(_spark_near_dup_exact, _NEAR_DUP_EXACT_ORACLE),
         "sim_lsh_topk": OpQuery(_spark_lsh_topk, None),  # SRP planes: rows-only
+        "sim_ivf_topk": OpQuery(_spark_ivf_topk, _IVF_TOPK_ORACLE),
         # SRP-bucketed candidates have sub-1 recall vs the exact
         # all-pairs oracle by design — rows-only; the exact variant
         # (sim_near_dup_exact) carries the oracle for this family.

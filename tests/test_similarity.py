@@ -83,3 +83,19 @@ def test_embedding_near_dup_self_consistent(spark):
     ids = [r["vec_id"] for r in emb.select("vec_id").collect()]
     for v in ids:
         assert (v, v + 100000) in got
+
+
+def test_ivf_recall_vs_exact(spark):
+    from adi_226_datawarehouse_project_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    probes = list(range(20))
+    exact = cosine_self_topk(emb, "vec_id", "embedding", k=10, probe_ids=probes).collect()
+    # default cells/probes (measured ~0.83 at sf0.001)
+    got = ivf_topk(emb, "vec_id", "embedding", k=10, probe_ids=probes).collect()
+    assert _recall(exact, got) >= 0.7
+    # probing more cells must not lower recall
+    wide = ivf_topk(
+        emb, "vec_id", "embedding", k=10, n_probe=8, probe_ids=probes
+    ).collect()
+    assert _recall(exact, wide) >= _recall(exact, got)
