@@ -32,6 +32,31 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table — the engine's answer to Redshift
+    DISTKEY/SORTKEY (`README.md:182` in the reference): co-locate rows
+    by join/agg key at WRITE time so every later equi-join or groupBy
+    on `bucket_cols` between same-bucketed tables runs shuffle-free
+    (SortMergeJoin with zero Exchange; asserted in
+    tests/test_bucketing.py).
+
+    Scale: at 100 TB, bucketing the fact tables on the conformance key
+    (geohash) turns the nightly fact⋈fact drill-across from a full
+    2-sided shuffle into a local per-bucket merge; num_buckets should
+    be sized to ~executor-count × small-integer."""
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(name)
+
+
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
     """CSV sink (K4)."""
     df.write.mode(mode).option("header", str(header).lower()).csv(path)
