@@ -348,6 +348,38 @@ ORDER BY window_start, event_type
 """
 
 
+# Exact interpolated percentiles — Spark `percentile` and DuckDB
+# `quantile_cont` share the linear-interpolation definition and are
+# bit-identical on doubles (verified), so this carries a value oracle.
+# The 100 TB escape hatch is approx_percentile (t-digest), mirroring
+# op_approx_count_distinct for counts.
+_PERCENTILE_SQL = """
+SELECT l_returnflag,
+       round(CAST({pct}(l_extendedprice, 0.5) AS DOUBLE), 4) AS p50_price,
+       round(CAST({pct}(l_extendedprice, 0.95) AS DOUBLE), 4) AS p95_price,
+       round(CAST({pct}(l_quantity, 0.9) AS DOUBLE), 4) AS p90_qty
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+# INTERSECT / EXCEPT (distinct set semantics, identical in both
+# engines): repeat vs churned customer keys across two order years.
+_INTERSECT_SQL = """
+SELECT o_custkey FROM orders WHERE extract(year FROM o_orderdate) = 1997
+INTERSECT
+SELECT o_custkey FROM orders WHERE extract(year FROM o_orderdate) = 1998
+ORDER BY o_custkey
+"""
+
+_EXCEPT_SQL = """
+SELECT o_custkey FROM orders WHERE extract(year FROM o_orderdate) = 1997
+EXCEPT
+SELECT o_custkey FROM orders WHERE extract(year FROM o_orderdate) = 1998
+ORDER BY o_custkey
+"""
+
+
 def _spark_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingest through the foreachBatch left-anti upsert sink
     (streaming/upsert_sink.py), run TWICE — the second pass replays the
@@ -1181,6 +1213,12 @@ def operator_queries() -> dict[str, OpQuery]:
         "op_rollup_region_nation": OpQuery(_sql(_ROLLUP), _ROLLUP),
         "op_cube_region_nation": OpQuery(_sql(_CUBE), _CUBE),
         "op_approx_count_distinct": OpQuery(_spark_approx_distinct, None),  # sketch: rows-only
+        "op_percentile_price": OpQuery(
+            _sql(_PERCENTILE_SQL.format(pct="percentile")),
+            _PERCENTILE_SQL.format(pct="quantile_cont"),
+        ),
+        "op_intersect_keys": OpQuery(_sql(_INTERSECT_SQL), _INTERSECT_SQL),
+        "op_except_keys": OpQuery(_sql(_EXCEPT_SQL), _EXCEPT_SQL),
         "op_dedup_deterministic": OpQuery(_sql(_DEDUP_EVENTS), _DEDUP_EVENTS),
         "op_date_part_suite": OpQuery(
             _sql(_date_parts_sql(D.SPARK)), _date_parts_sql(D.DUCKDB)
