@@ -1076,7 +1076,7 @@ def _spark_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _quality_oracle() -> str:
+def _duck_quality_expr() -> str:
     # Exact DuckDB replica of functions.text.quality_score: length band
     # + punct ratio + en-stopword ratio + mean word length band. Java's
     # \p{Punct} == POSIX [[:punct:]] for ASCII text (the fixture is
@@ -1094,16 +1094,91 @@ def _quality_oracle() -> str:
         f" / greatest(CAST(len({toks}) AS DOUBLE), 1.0)"
     )
     mean_wl = f"{n_chars} / greatest({n_tok}, 1.0)"
-    q = (
+    return (
         f"(CASE WHEN {n_tok} >= 5 AND {n_tok} <= 100000 THEN 0.25 ELSE 0.0 END"
         f" + CASE WHEN {punct} <= 0.2 THEN 0.25 ELSE 0.0 END"
         f" + CASE WHEN {sw_ratio} >= 0.05 THEN 0.25 ELSE 0.0 END"
         f" + CASE WHEN {mean_wl} >= 2.0 AND {mean_wl} <= 12.0 THEN 0.25 ELSE 0.0 END)"
     )
+
+
+def _quality_oracle() -> str:
+    q = _duck_quality_expr()
     return f"""
 SELECT lang, COUNT(*) AS n_docs,
        CAST(sum(CAST(round({q} * 100, 0) AS BIGINT)) AS BIGINT) AS quality_centisum
 FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def _spark_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus curation funnel — the composite an
+    LLM data pipeline actually runs, with per-stage survivor counts:
+    language filter (en) → quality floor (≥0.75) → exact dedup
+    (earliest doc per text). Every stage is the already-oracled
+    operator, composed; output is one row per stage so the oracle
+    checks the whole funnel's selectivity AND token mass."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    s1 = docs.filter(TX.lang_id("text") == "en")
+    s2 = s1.filter(TX.quality_score("text") >= 0.75)
+    s3 = dedup_exact(s2, ["text"], order_by=["doc_id"])
+
+    def _stage(df: DataFrame, idx: int, name: str) -> DataFrame:
+        return df.agg(
+            F.count("*").alias("n_docs"),
+            F.sum(TX.token_count("text")).cast("bigint").alias("total_tokens"),
+        ).select(
+            F.lit(idx).alias("stage_idx"), F.lit(name).alias("stage"), "n_docs", "total_tokens"
+        )
+
+    return (
+        _stage(docs, 0, "raw")
+        .unionByName(_stage(s1, 1, "lang_en"))
+        .unionByName(_stage(s2, 2, "quality"))
+        .unionByName(_stage(s3, 3, "dedup"))
+        .orderBy("stage_idx")
+    )
+
+
+def _funnel_oracle() -> str:
+    toks = _DUCK_TOKENS
+    q = _duck_quality_expr()
+    # lang-id layers with doc_id/text threaded through (same derivation
+    # as _lang_id_oracle).
+    scores = []
+    for lang in sorted(TX.LANG_STOPWORDS):
+        lits = ", ".join(f"'{w}'" for w in TX.LANG_STOPWORDS[lang])
+        scores.append(
+            f"CAST(len(list_filter({toks}, x -> x IN ({lits}))) AS DOUBLE)"
+            f" / greatest(len({toks}), 1) AS s_{lang}"
+        )
+    langs = sorted(TX.LANG_STOPWORDS)
+    best = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    case = "CASE "
+    for lg in langs:
+        case += f"WHEN s_{lg} = __best AND __best > 0 THEN '{lg}' "
+    case += "ELSE 'und' END"
+    stage = (
+        "SELECT {i} AS stage_idx, '{nm}' AS stage, COUNT(*) AS n_docs,"
+        f" CAST(sum(len({toks})) AS BIGINT) AS total_tokens FROM {{src}}"
+    )
+    return f"""
+WITH s1 AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text, {case} AS predicted_lang FROM (
+      SELECT *, {best} AS __best FROM (
+        SELECT doc_id, text, {", ".join(scores)} FROM documents
+      ) f0
+    ) f1
+  ) f2 WHERE predicted_lang = 'en'
+),
+s2 AS (SELECT doc_id, text FROM s1 WHERE {q} >= 0.75),
+s3 AS (SELECT min(doc_id) AS doc_id, text FROM s2 GROUP BY text)
+{stage.format(i=0, nm="raw", src="documents")}
+UNION ALL {stage.format(i=1, nm="lang_en", src="s1")}
+UNION ALL {stage.format(i=2, nm="quality", src="s2")}
+UNION ALL {stage.format(i=3, nm="dedup", src="s3")}
+ORDER BY stage_idx
 """
 
 
@@ -1291,6 +1366,7 @@ def operator_queries() -> dict[str, OpQuery]:
         # (sim_near_dup_exact) carries the oracle for this family.
         "sim_embedding_near_dup": OpQuery(_spark_embedding_near_dup, None),
         "text_quality_scores": OpQuery(_spark_quality_scores, _quality_oracle()),
+        "pipeline_curation_funnel": OpQuery(_spark_curation_funnel, _funnel_oracle()),
         "multimodal_decode_stub": OpQuery(_spark_multimodal, _MULTIMODAL_ORACLE),
         "multimodal_image_resize": OpQuery(_spark_multimodal_resize, _MULTIMODAL_RESIZE_ORACLE),
         "multimodal_audio_decode": OpQuery(_spark_multimodal_audio, _MULTIMODAL_AUDIO_ORACLE),
