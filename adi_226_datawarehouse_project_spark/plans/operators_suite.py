@@ -380,6 +380,30 @@ ORDER BY o_custkey
 """
 
 
+def _spark_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (wide-format rollup): order counts per year × status.
+    Explicit value list keeps the plan a single pass (no distinct-scan
+    to discover columns — the 100 TB form)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("year", F.year("o_orderdate").cast("int"))
+        .groupBy("year")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0, ["F", "O", "P"])
+        .orderBy("year")
+    )
+
+
+_PIVOT_STATUS_ORACLE = """
+SELECT CAST(extract(year FROM o_orderdate) AS INT) AS year,
+       CAST(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS F,
+       CAST(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS O,
+       CAST(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT) AS P
+FROM orders GROUP BY 1 ORDER BY year
+"""
+
+
 def _spark_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingest through the foreachBatch left-anti upsert sink
     (streaming/upsert_sink.py), run TWICE — the second pass replays the
@@ -1293,6 +1317,7 @@ def operator_queries() -> dict[str, OpQuery]:
             _PERCENTILE_SQL.format(pct="quantile_cont"),
         ),
         "op_intersect_keys": OpQuery(_sql(_INTERSECT_SQL), _INTERSECT_SQL),
+        "op_pivot_status_by_year": OpQuery(_spark_pivot_status, _PIVOT_STATUS_ORACLE),
         "op_except_keys": OpQuery(_sql(_EXCEPT_SQL), _EXCEPT_SQL),
         "op_dedup_deterministic": OpQuery(_sql(_DEDUP_EVENTS), _DEDUP_EVENTS),
         "op_date_part_suite": OpQuery(
