@@ -1,0 +1,283 @@
+"""DataFrame-API forms of the ten golden queries (SURVEY §7.2(5): the
+golden suite exists in BOTH SQL and DataFrame forms and they must
+agree). The SQL forms (`golden.py`) carry the DuckDB oracle; these
+builders are pinned row-identical to them by `tests/test_golden_df.py`,
+so both surfaces inherit the oracle's authority.
+
+The two forms compile to the same Catalyst logical plans (same join
+graph, same exact-cents money paths, same window-over-aggregate
+two-phase shape), so everything in golden.py's scale notes applies
+unchanged.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..model.star import register_star_views
+
+
+def _cents(expr: Column) -> Column:
+    return F.round(expr * 100, 0).cast("bigint")
+
+
+def _avg_money(expr: Column, alias: str) -> Column:
+    return F.round(
+        F.sum(_cents(expr)).cast("bigint").cast("double") / F.count(expr) / 100.0, 2
+    ).alias(alias)
+
+
+def _price() -> Column:
+    return F.expr("try_cast(price AS DOUBLE)")
+
+
+def _price_ok() -> Column:
+    return ~F.col("price").isin("NaN", "nan", "", "INF", "-INF") & _price().isNotNull()
+
+
+def _g01(spark: SparkSession) -> DataFrame:
+    f = spark.table("fact_311_complaint")
+    loc = spark.table("dim_311_location")
+    b = spark.table("dim_311_borough")
+    agg = (
+        f.join(loc, "location_key")
+        .join(b, loc.borough == b.borough_name)
+        .groupBy(F.col("borough_name").alias("borough"))
+        .agg(F.count("*").alias("total_complaints"))
+    )
+    pct = F.round(
+        F.col("total_complaints").cast("double")
+        * 100.0
+        / F.sum("total_complaints").over(Window.partitionBy()).cast("double"),
+        2,
+    )
+    return agg.withColumn("percentage", pct).orderBy(
+        F.desc("total_complaints"), "borough"
+    )
+
+
+def _g02(spark: SparkSession) -> DataFrame:
+    f = spark.table("fact_311_complaint")
+    c = spark.table("dim_311_complaint")
+    loc = spark.table("dim_311_location")
+    b = spark.table("dim_311_borough")
+    return (
+        f.join(c, "complaint_type_key")
+        .join(loc, "location_key")
+        .join(b, loc.borough == b.borough_name)
+        .filter(F.col("complaint_type_name").isNotNull())
+        .groupBy(
+            F.col("complaint_type_name").alias("complaint_type"),
+            F.col("borough_name").alias("borough"),
+        )
+        .agg(F.count("*").alias("complaint_count"))
+        .orderBy(F.desc("complaint_count"), "complaint_type", "borough")
+        .limit(20)
+    )
+
+
+def _g03(spark: SparkSession) -> DataFrame:
+    f = spark.table("fact_311_complaint")
+    a = spark.table("dim_311_agency")
+    return (
+        f.join(a, "agency_key")
+        .filter(F.col("duration_hours").isNotNull())
+        .groupBy("agency_name")
+        .agg(
+            F.count("*").alias("total_complaints"),
+            F.round(F.avg("duration_hours"), 2).alias("avg_resolution_hours"),
+            F.round(F.avg("duration_hours") / 24, 1).alias("avg_resolution_days"),
+        )
+        .orderBy(F.desc("total_complaints"), "agency_name")
+    )
+
+
+def _g04(spark: SparkSession) -> DataFrame:
+    f = spark.table("fact_airbnb_listings")
+    al = spark.table("dim_airbnb_location")
+    return (
+        f.join(al, "geohash")
+        .filter(F.col("borough").isNotNull() & _price_ok())
+        .groupBy("borough")
+        .agg(
+            F.count("*").alias("total_listings"),
+            _avg_money(_price(), "avg_price"),
+            F.min(_price()).alias("min_price"),
+            F.max(_price()).alias("max_price"),
+        )
+        .orderBy(F.desc("total_listings"), "borough")
+    )
+
+
+def _g05(spark: SparkSession) -> DataFrame:
+    f = spark.table("fact_airbnb_listings").alias("f")
+    al = spark.table("dim_airbnb_location").alias("al")
+    dp = spark.table("dim_airbnb_property").alias("dp")
+    return (
+        f.join(al, F.col("f.geohash") == F.col("al.geohash"))
+        .join(dp, F.col("f.listing_id") == F.col("dp.listing_id"), "left")
+        .filter(F.col("al.borough").isNotNull() & _price_ok())
+        .groupBy(
+            F.coalesce(F.col("f.room_type"), F.col("dp.room_type")).alias("room_type"),
+            F.col("al.borough").alias("borough"),
+        )
+        .agg(F.count("*").alias("listing_count"), _avg_money(_price(), "avg_price"))
+        .orderBy(F.desc("listing_count"), "room_type", "borough")
+    )
+
+
+def _g06(spark: SparkSession) -> DataFrame:
+    f = spark.table("fact_airbnb_listings")
+    al = spark.table("dim_airbnb_location")
+    return (
+        f.join(al, "geohash")
+        .filter(~F.col("price").isin("NaN", "nan", "", "INF", "-INF"))
+        .groupBy(
+            F.col("neighbourhood_name").alias("neighbourhood"),
+            "borough",
+        )
+        .agg(
+            F.count("*").alias("listings"),
+            _avg_money(_price(), "avg_price"),
+            F.round(
+                F.sum(_cents(F.coalesce(F.col("estimated_revenue_l365d"), F.lit(0))))
+                .cast("bigint")
+                .cast("double")
+                / 100.0,
+                2,
+            ).alias("est_total_revenue_l365d"),
+        )
+        .orderBy(F.desc("listings"), "neighbourhood", "borough")
+        .limit(20)
+    )
+
+
+def _per_geohash_rollups(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
+    """The aggregate-below-join rollups shared by g07/g08 (see
+    golden.py's rewrite note)."""
+    l311 = spark.table("dim_311_location")
+    c = spark.table("fact_311_complaint")
+    cg = (
+        l311.join(c, "location_key")
+        .groupBy(l311.geohash.alias("geohash"))
+        .agg(F.countDistinct("complaint_id").alias("c_cnt"))
+    )
+    ag = (
+        spark.table("fact_airbnb_listings")
+        .groupBy("geohash")
+        .agg(F.countDistinct("listing_id").alias("a_cnt"))
+    )
+    return cg, ag
+
+
+def _g07(spark: SparkSession) -> DataFrame:
+    cg, ag = _per_geohash_rollups(spark)
+    g = (
+        spark.table("dim_airbnb_location")
+        .filter(F.col("borough").isNotNull())
+        .select("geohash", "borough", F.col("neighbourhood_name").alias("neighbourhood"))
+        .distinct()
+    )
+    joined = g.join(cg, "geohash", "left").join(ag, "geohash", "left")
+    out = (
+        joined.groupBy("borough", "neighbourhood")
+        .agg(
+            F.sum(F.coalesce(F.col("c_cnt"), F.lit(0))).cast("bigint").alias("complaint_count"),
+            F.sum(F.coalesce(F.col("a_cnt"), F.lit(0))).cast("bigint").alias("airbnb_count"),
+        )
+        .withColumn(
+            "airbnb_per_complaint",
+            F.round(
+                F.col("airbnb_count").cast("double")
+                / F.nullif(F.col("complaint_count").cast("double"), F.lit(0.0)),
+                4,
+            ),
+        )
+    )
+    return (
+        out.filter(F.col("complaint_count") > 10)
+        .orderBy(F.desc("airbnb_count"), "borough", "neighbourhood")
+        .limit(50)
+    )
+
+
+def _g08(spark: SparkSession) -> DataFrame:
+    cg, ag = _per_geohash_rollups(spark)
+    g = spark.table("dim_airbnb_location").select("geohash", "borough").distinct()
+    return (
+        g.join(cg, "geohash", "left")
+        .join(ag, "geohash", "left")
+        .select(
+            "geohash",
+            "borough",
+            F.coalesce(F.col("c_cnt"), F.lit(0)).alias("complaints"),
+            F.coalesce(F.col("a_cnt"), F.lit(0)).alias("airbnb_listings"),
+        )
+        .withColumn(
+            "complaints_per_listing",
+            F.round(
+                F.col("complaints").cast("double")
+                / F.nullif(F.col("airbnb_listings").cast("double"), F.lit(0.0)),
+                2,
+            ),
+        )
+        .filter(F.col("airbnb_listings") > 5)
+        .orderBy(F.desc("complaints_per_listing"), "geohash")
+        .limit(30)
+    )
+
+
+def _g09(spark: SparkSession) -> DataFrame:
+    f = spark.table("fact_311_complaint")
+    d = spark.table("dim_date")
+    l311 = spark.table("dim_311_location")
+    agg = (
+        f.join(d, f.created_date_key == d.date_id)
+        .join(l311, "location_key")
+        .filter(F.col("year") >= 1998)
+        .groupBy("quarter", "month_name", "borough")
+        .agg(F.count("*").alias("complaints"))
+    )
+    return agg.withColumn(
+        "avg_quarterly_complaints",
+        F.avg("complaints").over(Window.partitionBy("quarter")),
+    ).orderBy("quarter", F.col("borough").asc_nulls_first(), "month_name")
+
+
+def _g10(spark: SparkSession) -> DataFrame:
+    f = spark.table("fact_311_complaint")
+    d = spark.table("dim_date")
+    l311 = spark.table("dim_311_location")
+    day_type = F.when(F.col("is_weekend"), "Weekend").otherwise("Weekday")
+    return (
+        f.join(d, f.created_date_key == d.date_id)
+        .join(l311, "location_key")
+        .groupBy(day_type.alias("day_type"), "borough")
+        .agg(
+            F.count("*").alias("complaint_count"),
+            F.round(F.avg("duration_hours"), 2).alias("avg_resolution_hours"),
+        )
+        .orderBy(F.col("borough").asc_nulls_first(), "day_type")
+    )
+
+
+GOLDEN_DF_BUILDERS: dict[str, Callable[[SparkSession], DataFrame]] = {
+    "g01_complaints_by_borough_pct": _g01,
+    "g02_top_complaint_types": _g02,
+    "g03_agency_resolution": _g03,
+    "g04_price_stats_by_borough": _g04,
+    "g05_room_type_price": _g05,
+    "g06_neighbourhood_revenue": _g06,
+    "g07_airbnb_complaint_ratio": _g07,
+    "g08_geohash_density": _g08,
+    "g09_quarterly_trend": _g09,
+    "g10_weekend_weekday": _g10,
+}
+
+
+def golden_df(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    register_star_views(spark, sf_dir)
+    return GOLDEN_DF_BUILDERS[name](spark)
