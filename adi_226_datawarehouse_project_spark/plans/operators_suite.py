@@ -812,6 +812,30 @@ GROUP BY lang ORDER BY lang
 """
 
 
+def _spark_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode (UDTF-shaped row generator): corpus-level token
+    frequencies via explode(word_tokens) — one row per token, then a
+    plain re-aggregation. Scale: explode is a narrow transformation
+    (no shuffle); only the tiny token-frequency agg shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(TX.word_tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("occurrences"))
+        .orderBy(F.desc("occurrences"), "token")
+        .limit(20)
+    )
+
+
+_EXPLODE_TOKENS_ORACLE = f"""
+SELECT token, COUNT(*) AS occurrences
+FROM (SELECT unnest({_DUCK_TOKENS}) AS token FROM documents) t
+GROUP BY token
+ORDER BY occurrences DESC, token
+LIMIT 20
+"""
+
+
 def _spark_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (
@@ -1376,6 +1400,7 @@ def operator_queries() -> dict[str, OpQuery]:
         ),
         # text / dedup / similarity / multimodal
         "text_token_stats": OpQuery(_spark_token_stats, _TOKEN_STATS_ORACLE),
+        "op_explode_tokens": OpQuery(_spark_explode_tokens, _EXPLODE_TOKENS_ORACLE),
         "text_lang_id": OpQuery(_spark_lang_id, _lang_id_oracle()),
         "text_fingerprint": OpQuery(_spark_fingerprint, _FINGERPRINT_ORACLE),
         "dedup_exact_text": OpQuery(_spark_dedup_exact_text, _DEDUP_EXACT_ORACLE),
