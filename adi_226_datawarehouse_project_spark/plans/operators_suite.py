@@ -380,6 +380,27 @@ ORDER BY o_custkey
 """
 
 
+def _spark_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream attribution join driven to completion
+    (streaming/stream_join.py); stream-batch equivalence is asserted in
+    tests/test_stream_join.py, and this oracle checks the values."""
+    from ..streaming.stream_join import run_stream_stream_join_once
+
+    return run_stream_stream_join_once(spark, sf_dir)
+
+
+_STREAM_STREAM_JOIN_ORACLE = """
+SELECT COUNT(*) AS n_pairs,
+       COUNT(DISTINCT c.user_id) AS n_users,
+       CAST(sum(epoch_us(p.ts) - epoch_us(c.ts)) AS BIGINT) AS total_delay_micros
+FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = c.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 600 SECONDS
+"""
+
+
 def _spark_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT (wide-format rollup): order counts per year × status.
     Explicit value list keeps the plan a single pass (no distinct-scan
@@ -1363,6 +1384,7 @@ def operator_queries() -> dict[str, OpQuery]:
             _spark_stateful_sessionize, _stateful_sessionize_oracle(D.DUCKDB)
         ),
         "stream_upsert_ingest": OpQuery(_spark_stream_upsert, _STREAM_UPSERT_ORACLE),
+        "stream_stream_join": OpQuery(_spark_stream_stream_join, _STREAM_STREAM_JOIN_ORACLE),
         "op_json_extract_props": OpQuery(
             _sql(_json_props_sql(D.SPARK)), _json_props_sql(D.DUCKDB)
         ),
