@@ -676,13 +676,23 @@ LIMIT 50
 
 # The reference's signature cross-dataset op: geohash equi-join +
 # two countDistinct rollups (`Glue job to merge 311 Airbnb.py:135-141`).
+#
+# AGGREGATE-BELOW-JOIN REWRITE (same argument as g07): the naive inner
+# join fans out |complaints/cell| × |listings/cell| rows per geohash
+# before COUNT(DISTINCT) collapses them (~14M intermediate rows at
+# sf0.1, quadratic per hot cell at 100 TB). Because the grouping key IS
+# the join key, each side's distinct count is independent of the other
+# side's multiplicity, and the INNER join only gates which cells
+# survive — so per-side pre-aggregation + join of the tiny rollups is
+# row-identical (pinned in tests/test_golden_rewrites.py).
 _GEOHASH_MERGE = """
 SELECT c.geohash,
-       COUNT(DISTINCT c.unique_key) AS n_complaints,
-       COUNT(DISTINCT a.id) AS n_airbnbs
-FROM staging_311 c
-JOIN staging_airbnb a ON a.geohash = c.geohash
-GROUP BY c.geohash
+       c.cnt AS n_complaints,
+       a.cnt AS n_airbnbs
+FROM (SELECT geohash, COUNT(DISTINCT unique_key) AS cnt
+      FROM staging_311 GROUP BY geohash) c
+JOIN (SELECT geohash, COUNT(DISTINCT id) AS cnt
+      FROM staging_airbnb GROUP BY geohash) a ON a.geohash = c.geohash
 ORDER BY n_complaints DESC, c.geohash
 LIMIT 100
 """

@@ -65,3 +65,25 @@ def test_g08_rewrite_equivalent():
     new_cols, new_rows = _rows(GOLDEN_QUERIES["g08_geohash_density"])
     assert new_cols == naive_cols
     assert new_rows == naive_rows
+
+
+NAIVE_GEOHASH_MERGE = """
+SELECT c.geohash,
+       COUNT(DISTINCT c.unique_key) AS n_complaints,
+       COUNT(DISTINCT a.id) AS n_airbnbs
+FROM staging_311 c
+JOIN staging_airbnb a ON a.geohash = c.geohash
+GROUP BY c.geohash
+ORDER BY n_complaints DESC, c.geohash
+LIMIT 100
+"""
+
+
+def test_geohash_merge_rewrite_matches_naive():
+    from adi_226_datawarehouse_project_spark.plans.operators_suite import (
+        _GEOHASH_MERGE,
+    )
+
+    naive = run_duckdb(oracle_with_chain(NAIVE_GEOHASH_MERGE), SF_DIR)
+    rewritten = run_duckdb(oracle_with_chain(_GEOHASH_MERGE), SF_DIR)
+    assert naive == rewritten
