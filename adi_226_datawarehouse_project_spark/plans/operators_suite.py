@@ -348,6 +348,45 @@ ORDER BY window_start, event_type
 """
 
 
+# Lead/lag + dense_rank (the window-family members the reference never
+# writes — SURVEY §2.5): per-customer gap between consecutive orders
+# and a dense spend rank within the order-priority class.
+_LAG_LEAD_SQL = """
+SELECT o_custkey,
+       o_orderkey,
+       CAST(o_orderdate AS DATE) AS orderdate,
+       CAST(datediff(o_orderdate,
+                     lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+            AS INT) AS days_since_prev,
+       CAST(datediff(lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                     o_orderdate) AS INT) AS days_until_next,
+       CAST(dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY CAST(round(o_totalprice * 100, 0) AS BIGINT) DESC)
+            AS BIGINT) AS spend_rank_in_priority
+FROM orders
+WHERE o_custkey % 100 = 7
+ORDER BY o_custkey, orderdate, o_orderkey
+"""
+
+# DuckDB datediff argument order differs from Spark's (Spark:
+# datediff(end, start); DuckDB: date_diff('day', start, end)).
+_LAG_LEAD_ORACLE = """
+SELECT o_custkey,
+       o_orderkey,
+       CAST(o_orderdate AS DATE) AS orderdate,
+       CAST(date_diff('day',
+                      lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                      o_orderdate) AS INT) AS days_since_prev,
+       CAST(date_diff('day', o_orderdate,
+                      lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+            AS INT) AS days_until_next,
+       CAST(dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY CAST(round(o_totalprice * 100, 0) AS BIGINT) DESC)
+            AS BIGINT) AS spend_rank_in_priority
+FROM orders
+WHERE o_custkey % 100 = 7
+ORDER BY o_custkey, orderdate, o_orderkey
+"""
+
+
 # Exact interpolated percentiles — Spark `percentile` and DuckDB
 # `quantile_cont` share the linear-interpolation definition and are
 # bit-identical on doubles (verified), so this carries a value oracle.
@@ -1373,6 +1412,7 @@ def operator_queries() -> dict[str, OpQuery]:
         ),
         "op_intersect_keys": OpQuery(_sql(_INTERSECT_SQL), _INTERSECT_SQL),
         "op_pivot_status_by_year": OpQuery(_spark_pivot_status, _PIVOT_STATUS_ORACLE),
+        "op_lag_lead_rank": OpQuery(_sql(_LAG_LEAD_SQL), _LAG_LEAD_ORACLE),
         "op_except_keys": OpQuery(_sql(_EXCEPT_SQL), _EXCEPT_SQL),
         "op_dedup_deterministic": OpQuery(_sql(_DEDUP_EVENTS), _DEDUP_EVENTS),
         "op_date_part_suite": OpQuery(
