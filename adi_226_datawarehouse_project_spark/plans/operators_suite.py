@@ -19,6 +19,7 @@ covered by pytest property tests instead (tests/test_dedup.py).
 
 from __future__ import annotations
 
+import datetime
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -345,6 +346,85 @@ SELECT {_window_start(d, 300)} AS window_start,
 FROM events
 GROUP BY 1, 2
 ORDER BY window_start, event_type
+"""
+
+
+def _spark_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 versioned-dimension merge (operators/scd.py) over a
+    deterministic customer-derived fixture: keys %5≠0 exist, keys %3=0
+    arrive in the update batch (odd keys change address, even keys are
+    attribute-identical no-ops, %5=0∧%3=0 are brand new)."""
+    from ..operators.scd import scd2_apply
+
+    cust = load_table(spark, sf_dir, "customer")
+    addr = F.concat(F.lit("addr-"), (F.col("c_custkey") % 97).cast("string"))
+    new_addr = F.when(F.col("c_custkey") % 2 == 0, addr).otherwise(
+        F.concat(F.lit("addr-new-"), (F.col("c_custkey") % 97).cast("string"))
+    )
+    dim = (
+        cust.filter(F.col("c_custkey") % 5 != 0)
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            addr.alias("address"),
+            F.lit(datetime.date(2020, 1, 1)).alias("effective_from"),
+            F.lit(datetime.date(9999, 12, 31)).alias("effective_to"),
+            F.lit(True).alias("is_current"),
+        )
+    )
+    updates = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("custkey"), new_addr.alias("address")
+    )
+    out = scd2_apply(dim, updates, "custkey", "address", datetime.date(2025, 6, 1))
+    return out.orderBy("custkey", "effective_from", "is_current")
+
+
+_SCD2_ORACLE = """
+WITH dim AS (
+  SELECT c_custkey AS custkey,
+         'addr-' || CAST(c_custkey % 97 AS VARCHAR) AS address,
+         DATE '2020-01-01' AS effective_from,
+         DATE '9999-12-31' AS effective_to,
+         TRUE AS is_current
+  FROM customer WHERE c_custkey % 5 <> 0
+),
+upd AS (
+  SELECT c_custkey AS custkey,
+         CASE WHEN c_custkey % 2 = 0 THEN 'addr-' || CAST(c_custkey % 97 AS VARCHAR)
+              ELSE 'addr-new-' || CAST(c_custkey % 97 AS VARCHAR) END AS new_address
+  FROM customer WHERE c_custkey % 3 = 0
+),
+changed AS (
+  SELECT d.custkey, u.new_address FROM dim d JOIN upd u USING (custkey)
+  WHERE d.is_current AND d.address <> u.new_address
+),
+closed AS (
+  SELECT d.custkey, d.address, d.effective_from,
+         DATE '2025-06-01' AS effective_to, FALSE AS is_current
+  FROM dim d
+  WHERE d.is_current AND d.custkey IN (SELECT custkey FROM changed)
+),
+reopened AS (
+  SELECT custkey, new_address AS address, DATE '2025-06-01' AS effective_from,
+         DATE '9999-12-31' AS effective_to, TRUE AS is_current
+  FROM changed
+),
+brand_new AS (
+  SELECT u.custkey, u.new_address AS address, DATE '2025-06-01' AS effective_from,
+         DATE '9999-12-31' AS effective_to, TRUE AS is_current
+  FROM upd u WHERE u.custkey NOT IN (SELECT custkey FROM dim)
+),
+untouched AS (
+  SELECT d.* FROM dim d
+  WHERE NOT EXISTS (SELECT 1 FROM closed c
+                    WHERE c.custkey = d.custkey AND c.effective_from = d.effective_from)
+)
+SELECT * FROM (
+  SELECT * FROM untouched
+  UNION ALL SELECT * FROM closed
+  UNION ALL SELECT * FROM reopened
+  UNION ALL SELECT * FROM brand_new
+) t
+ORDER BY custkey, effective_from, is_current
 """
 
 
@@ -1413,6 +1493,7 @@ def operator_queries() -> dict[str, OpQuery]:
         "op_intersect_keys": OpQuery(_sql(_INTERSECT_SQL), _INTERSECT_SQL),
         "op_pivot_status_by_year": OpQuery(_spark_pivot_status, _PIVOT_STATUS_ORACLE),
         "op_lag_lead_rank": OpQuery(_sql(_LAG_LEAD_SQL), _LAG_LEAD_ORACLE),
+        "op_scd2_dimension_apply": OpQuery(_spark_scd2_apply, _SCD2_ORACLE),
         "op_except_keys": OpQuery(_sql(_EXCEPT_SQL), _EXCEPT_SQL),
         "op_dedup_deterministic": OpQuery(_sql(_DEDUP_EVENTS), _DEDUP_EVENTS),
         "op_date_part_suite": OpQuery(

@@ -1,0 +1,65 @@
+"""SCD2 dimension apply: version semantics and idempotency."""
+
+import datetime
+
+from conftest import SF_SMALL
+from pyspark.sql import functions as F
+
+from adi_226_datawarehouse_project_spark.operators.scd import scd2_apply
+from adi_226_datawarehouse_project_spark.sources.catalog import load_table
+
+BATCH = datetime.date(2025, 6, 1)
+
+
+def _fixture(spark):
+    cust = load_table(spark, SF_SMALL, "customer")
+    addr = F.concat(F.lit("addr-"), (F.col("c_custkey") % 97).cast("string"))
+    new_addr = F.when(F.col("c_custkey") % 2 == 0, addr).otherwise(
+        F.concat(F.lit("addr-new-"), (F.col("c_custkey") % 97).cast("string"))
+    )
+    dim = cust.filter(F.col("c_custkey") % 5 != 0).select(
+        F.col("c_custkey").alias("custkey"),
+        addr.alias("address"),
+        F.lit(datetime.date(2020, 1, 1)).alias("effective_from"),
+        F.lit(datetime.date(9999, 12, 31)).alias("effective_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("custkey"), new_addr.alias("address")
+    )
+    return dim, updates
+
+
+def test_scd2_version_semantics(spark):
+    dim, updates = _fixture(spark)
+    out = scd2_apply(dim, updates, "custkey", "address", BATCH)
+
+    # changed keys (odd, %3=0, %5≠0) now carry exactly two versions:
+    # a closed one and a current one whose validity windows chain.
+    changed = out.filter(F.col("custkey") % 3 == 0).filter(
+        (F.col("custkey") % 2 == 1) & (F.col("custkey") % 5 != 0)
+    )
+    per_key = changed.groupBy("custkey").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("is_current").cast("int")).alias("n_current"),
+    )
+    bad = per_key.filter((F.col("n") != 2) | (F.col("n_current") != 1)).count()
+    assert bad == 0 and per_key.count() > 0
+
+    # brand-new keys (%5=0 ∧ %3=0) exist exactly once, current.
+    new_keys = out.filter((F.col("custkey") % 5 == 0) & (F.col("custkey") % 3 == 0))
+    assert new_keys.filter(~F.col("is_current")).count() == 0
+    assert new_keys.count() == new_keys.select("custkey").distinct().count()
+
+    # every key has exactly one current row.
+    dup_current = (
+        out.filter("is_current").groupBy("custkey").count().filter("count > 1").count()
+    )
+    assert dup_current == 0
+
+
+def test_scd2_reapply_is_noop(spark):
+    dim, updates = _fixture(spark)
+    once = scd2_apply(dim, updates, "custkey", "address", BATCH)
+    twice = scd2_apply(once, updates, "custkey", "address", datetime.date(2025, 7, 1))
+    assert sorted(map(tuple, twice.collect())) == sorted(map(tuple, once.collect()))
