@@ -986,6 +986,35 @@ LIMIT 20
 """
 
 
+# Deterministic dataset splitting — the train/val/test assignment a
+# training pipeline needs: hash the stable id (md5, identical in both
+# engines), take the first hex byte as a 256-bucket, and split by
+# lexicographic threshold (fixed-width lowercase hex compares
+# numerically). Reshuffling data, adding rows, or re-running never
+# moves an existing doc across splits.
+_SPLIT_CASE = """CASE WHEN substring(md5(CAST(doc_id AS {stype})), 1, 2) < '1a' THEN 'test'
+     WHEN substring(md5(CAST(doc_id AS {stype})), 1, 2) < '33' THEN 'val'
+     ELSE 'train' END"""
+
+
+def _split_sql(d: str) -> str:
+    stype = "STRING" if d == D.SPARK else "VARCHAR"
+    case = _SPLIT_CASE.format(stype=stype)
+    return f"""
+SELECT {case} AS split,
+       COUNT(*) AS n_docs,
+       CAST(sum(len({_DUCK_TOKENS}) ) AS BIGINT) AS total_tokens
+FROM documents
+GROUP BY 1 ORDER BY split
+""" if d != D.SPARK else f"""
+SELECT {case} AS split,
+       COUNT(*) AS n_docs,
+       CAST(sum(size(filter(split(lower(trim(text)), '\\\\s+'), x -> x != ''))) AS BIGINT) AS total_tokens
+FROM documents
+GROUP BY 1 ORDER BY split
+"""
+
+
 def _spark_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (
@@ -1554,6 +1583,9 @@ def operator_queries() -> dict[str, OpQuery]:
         # text / dedup / similarity / multimodal
         "text_token_stats": OpQuery(_spark_token_stats, _TOKEN_STATS_ORACLE),
         "op_explode_tokens": OpQuery(_spark_explode_tokens, _EXPLODE_TOKENS_ORACLE),
+        "op_deterministic_split": OpQuery(
+            _sql(_split_sql(D.SPARK)), _split_sql(D.DUCKDB)
+        ),
         "text_lang_id": OpQuery(_spark_lang_id, _lang_id_oracle()),
         "text_fingerprint": OpQuery(_spark_fingerprint, _FINGERPRINT_ORACLE),
         "dedup_exact_text": OpQuery(_spark_dedup_exact_text, _DEDUP_EXACT_ORACLE),
