@@ -580,6 +580,23 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def _spark_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile sketch — the percentile-family scale escape
+    hatch next to op_percentile_price's exact form (single pass, fixed
+    memory, mergeable partials). Sketch values are engine-specific →
+    rows-only; accuracy vs the exact interpolated percentile is pinned
+    in tests/test_plans.py."""
+    register_base_views(spark, sf_dir)
+    return spark.sql("""
+SELECT l_returnflag,
+       approx_percentile(l_extendedprice, 0.5, 10000) AS approx_p50,
+       approx_percentile(l_extendedprice, 0.95, 10000) AS approx_p95
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""")
+
+
 def _spark_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct-count sketch per group — SURVEY §2.4's
     documented scale escape hatch for COUNT(DISTINCT) at 100 TB (one
@@ -1515,6 +1532,7 @@ def operator_queries() -> dict[str, OpQuery]:
         "op_rollup_region_nation": OpQuery(_sql(_ROLLUP), _ROLLUP),
         "op_cube_region_nation": OpQuery(_sql(_CUBE), _CUBE),
         "op_approx_count_distinct": OpQuery(_spark_approx_distinct, None),  # sketch: rows-only
+        "op_approx_percentile": OpQuery(_spark_approx_percentile, None),  # sketch: rows-only
         "op_percentile_price": OpQuery(
             _sql(_PERCENTILE_SQL.format(pct="percentile")),
             _PERCENTILE_SQL.format(pct="quantile_cont"),

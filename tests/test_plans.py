@@ -68,3 +68,15 @@ def test_approx_count_distinct_error_bound(spark):
         F.countDistinct("l_partkey").alias("exact"),
     ).collect()[0]
     assert abs(row["approx"] - row["exact"]) <= max(0.05 * row["exact"], 10)
+
+
+def test_approx_percentile_accuracy(spark):
+    from adi_226_datawarehouse_project_spark.sources.catalog import load_table
+    from conftest import SF_DIR
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    row = li.agg(
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("approx"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) <= 0.01 * row["exact"]
