@@ -428,6 +428,19 @@ ORDER BY custkey, effective_from, is_current
 """
 
 
+# Explicit RANGE frame (rolling window): 7-day rolling order volume.
+# Identical syntax and semantics in Spark and DuckDB; at scale the
+# frame runs over the PRE-AGGREGATED daily series (one row per day),
+# never the raw fact.
+_ROLLING_WINDOW_SQL = """
+SELECT d, n,
+       CAST(sum(n) OVER (ORDER BY d RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS rolling_7d_orders
+FROM (SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n FROM orders GROUP BY 1) t
+ORDER BY d
+"""
+
+
 # Lead/lag + dense_rank (the window-family members the reference never
 # writes — SURVEY §2.5): per-customer gap between consecutive orders
 # and a dense spend rank within the order-priority class.
@@ -1541,6 +1554,7 @@ def operator_queries() -> dict[str, OpQuery]:
         "op_pivot_status_by_year": OpQuery(_spark_pivot_status, _PIVOT_STATUS_ORACLE),
         "op_lag_lead_rank": OpQuery(_sql(_LAG_LEAD_SQL), _LAG_LEAD_ORACLE),
         "op_scd2_dimension_apply": OpQuery(_spark_scd2_apply, _SCD2_ORACLE),
+        "op_rolling_7d_window": OpQuery(_sql(_ROLLING_WINDOW_SQL), _ROLLING_WINDOW_SQL),
         "op_except_keys": OpQuery(_sql(_EXCEPT_SQL), _EXCEPT_SQL),
         "op_dedup_deterministic": OpQuery(_sql(_DEDUP_EVENTS), _DEDUP_EVENTS),
         "op_date_part_suite": OpQuery(
