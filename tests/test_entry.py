@@ -12,6 +12,7 @@ ROWS_ONLY_ALLOWED = {
     "sim_lsh_topk",
     "sim_embedding_near_dup",
     "op_approx_count_distinct",
+    "op_approx_percentile",
 }
 
 
