@@ -495,6 +495,57 @@ GROUP BY l_returnflag
 ORDER BY l_returnflag
 """
 
+# GROUPING SETS (explicit, beyond the ROLLUP/CUBE shorthands):
+# region-level, region×nation-level, and grand-total rows in one pass.
+_GROUPING_SETS_SQL = """
+SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY GROUPING SETS ((r_name), (r_name, n_name), ())
+ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+"""
+
+# Aggregate FILTER clause (per-branch conditional aggregation without
+# CASE scaffolding; one pass over the fact).
+_AGG_FILTER_SQL = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished,
+       CAST(count(*) FILTER (WHERE extract(year FROM o_orderdate) = 1997) AS BIGINT) AS n_1997
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+# regexp_extract (same builtin name and group semantics both engines).
+_REGEXP_EXTRACT_SQL = """
+SELECT CAST(regexp_extract(o_orderpriority, '^([0-9]+)', 1) AS INT) AS priority_rank,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders
+GROUP BY 1
+ORDER BY priority_rank
+"""
+
+
+def _spark_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted array aggregation (collect_list → sort_array): the
+    nations of each region as one ordered array column."""
+    register_base_views(spark, sf_dir)
+    return spark.sql("""
+SELECT r_name, sort_array(collect_list(n_name)) AS nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+""")
+
+
+_ARRAY_AGG_ORACLE = """
+SELECT r_name, list_sort(list(n_name)) AS nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
 # INTERSECT / EXCEPT (distinct set semantics, identical in both
 # engines): repeat vs churned customer keys across two order years.
 _INTERSECT_SQL = """
@@ -1556,6 +1607,10 @@ def operator_queries() -> dict[str, OpQuery]:
         "op_scd2_dimension_apply": OpQuery(_spark_scd2_apply, _SCD2_ORACLE),
         "op_rolling_7d_window": OpQuery(_sql(_ROLLING_WINDOW_SQL), _ROLLING_WINDOW_SQL),
         "op_except_keys": OpQuery(_sql(_EXCEPT_SQL), _EXCEPT_SQL),
+        "op_grouping_sets": OpQuery(_sql(_GROUPING_SETS_SQL), _GROUPING_SETS_SQL),
+        "op_agg_filter_clause": OpQuery(_sql(_AGG_FILTER_SQL), _AGG_FILTER_SQL),
+        "op_regexp_extract": OpQuery(_sql(_REGEXP_EXTRACT_SQL), _REGEXP_EXTRACT_SQL),
+        "op_array_agg_sorted": OpQuery(_spark_array_agg, _ARRAY_AGG_ORACLE),
         "op_dedup_deterministic": OpQuery(_sql(_DEDUP_EVENTS), _DEDUP_EVENTS),
         "op_date_part_suite": OpQuery(
             _sql(_date_parts_sql(D.SPARK)), _date_parts_sql(D.DUCKDB)
