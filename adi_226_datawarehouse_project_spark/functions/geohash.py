@@ -122,7 +122,10 @@ def geohash_sql(lat_expr: str, lon_expr: str, precision: int = 7, dialect: str =
 
     NULL lat/lon → NULL geohash (explicit guard: ``least`` ignores NULL
     operands in both dialects, so NULL would otherwise quantize to the
-    max cell and emit a junk geohash instead of NULL).
+    max cell and emit a junk geohash instead of NULL). Coordinates
+    outside the geohash domain (|lat|>90, |lon|>180) also yield NULL —
+    below-domain values would quantize negative and corrupt the
+    bit-spread (shiftright on negatives).
     """
     d = dialect
     lon_bits, lat_bits = _bit_counts(precision)
@@ -145,6 +148,8 @@ def geohash_sql(lat_expr: str, lon_expr: str, precision: int = 7, dialect: str =
     emit = _let_sql(d, interleaved, "v", chars)
     return (
         f"(CASE WHEN ({lat_expr}) IS NULL OR ({lon_expr}) IS NULL "
+        f"OR ({lat_expr}) < -90.0 OR ({lat_expr}) > 90.0 "
+        f"OR ({lon_expr}) < -180.0 OR ({lon_expr}) > 180.0 "
         f"THEN NULL ELSE {emit} END)"
     )
 
@@ -198,4 +203,9 @@ def geohash_col(lat: Column | str, lon: Column | str, precision: int = 7) -> Col
             ]
         )
 
-    return F.when(lat_c.isNotNull() & lon_c.isNotNull(), _let_col(interleaved, emit))
+    in_domain = (
+        lat_c.isNotNull() & lon_c.isNotNull()
+        & (lat_c >= F.lit(-90.0)) & (lat_c <= F.lit(90.0))
+        & (lon_c >= F.lit(-180.0)) & (lon_c <= F.lit(180.0))
+    )
+    return F.when(in_domain, _let_col(interleaved, emit))

@@ -60,9 +60,14 @@ def asof_join(
         F.struct(*[F.col(c) for c in left.columns]).alias("__lpay"),
     )
     unioned = rt.withColumn("__lpay", F.lit(None).cast(lt.schema["__lpay"].dataType)).unionByName(lt)
+    # __rpay joins the ORDER BY so right-side ties at identical
+    # (key, ts) resolve by struct comparison of (ts, *right_value_cols)
+    # — deterministic, matching the documented contract (left rows all
+    # carry NULL __rpay, where the tiebreak is irrelevant: each left
+    # row emits its own output row).
     w = (
         Window.partitionBy(*by)
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__rpay").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = unioned.withColumn("__asof", F.last("__rpay", ignorenulls=True).over(w))

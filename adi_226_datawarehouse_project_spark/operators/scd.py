@@ -43,9 +43,11 @@ def scd2_apply(
     upd = updates.select(F.col(key), F.col(attr).alias("__new_attr"))
     current = dim.filter(F.col("is_current"))
 
+    # Null-safe inequality: transitions to/from NULL are real attribute
+    # changes and must close/open versions (plain != would drop them).
     changed_keys = (
         current.join(upd, key)
-        .filter(F.col(attr) != F.col("__new_attr"))
+        .filter(~F.col(attr).eqNullSafe(F.col("__new_attr")))
         .select(key, "__new_attr")
     )
     closed = (

@@ -38,12 +38,22 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join where `big`'s join keys are skewed and `small` cannot
     broadcast: salt the big side, replicate the small side ×buckets,
-    join on keys+salt. Result is row-identical to big.join(small, on,
-    how) — verified by test — with each hot key spread over `buckets`
-    shuffle partitions.
+    join on keys+salt. For inner/left-family joins the result is
+    row-identical to big.join(small, on, how) — verified by test —
+    with each hot key spread over `buckets` shuffle partitions.
+
+    right/full outer are rejected: unmatched small-side rows exist
+    once per salt replica, so those joins would emit `buckets`
+    duplicates per unmatched row.
 
     Cost model: small side shuffles ×buckets (choose buckets ≈ the
     hot-key imbalance factor, not more)."""
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti", "semi", "anti"):
+        raise ValueError(
+            f"salted_join supports inner/left-family joins only, got how={how!r}: "
+            "the small side is replicated per salt, so right/full outer would "
+            "duplicate unmatched small-side rows"
+        )
     big_s = big.withColumn(_SALT, _row_salt(big, buckets))
     small_s = small.withColumn(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))

@@ -23,7 +23,7 @@ import datetime
 from collections.abc import Callable
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import dialect as D
@@ -480,21 +480,6 @@ ORDER BY o_custkey, orderdate, o_orderkey
 """
 
 
-# Exact interpolated percentiles — Spark `percentile` and DuckDB
-# `quantile_cont` share the linear-interpolation definition and are
-# bit-identical on doubles (verified), so this carries a value oracle.
-# The 100 TB escape hatch is approx_percentile (t-digest), mirroring
-# op_approx_count_distinct for counts.
-_PERCENTILE_SQL = """
-SELECT l_returnflag,
-       round(CAST({pct}(l_extendedprice, 0.5) AS DOUBLE), 4) AS p50_price,
-       round(CAST({pct}(l_extendedprice, 0.95) AS DOUBLE), 4) AS p95_price,
-       round(CAST({pct}(l_quantity, 0.9) AS DOUBLE), 4) AS p90_qty
-FROM lineitem
-GROUP BY l_returnflag
-ORDER BY l_returnflag
-"""
-
 # GROUPING SETS (explicit, beyond the ROLLUP/CUBE shorthands):
 # region-level, region×nation-level, and grand-total rows in one pass.
 _GROUPING_SETS_SQL = """
@@ -525,24 +510,6 @@ SELECT CAST(regexp_extract(o_orderpriority, '^([0-9]+)', 1) AS INT) AS priority_
 FROM orders
 GROUP BY 1
 ORDER BY priority_rank
-"""
-
-
-def _spark_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sorted array aggregation (collect_list → sort_array): the
-    nations of each region as one ordered array column."""
-    register_base_views(spark, sf_dir)
-    return spark.sql("""
-SELECT r_name, sort_array(collect_list(n_name)) AS nations
-FROM nation JOIN region ON n_regionkey = r_regionkey
-GROUP BY r_name ORDER BY r_name
-""")
-
-
-_ARRAY_AGG_ORACLE = """
-SELECT r_name, list_sort(list(n_name)) AS nations
-FROM nation JOIN region ON n_regionkey = r_regionkey
-GROUP BY r_name ORDER BY r_name
 """
 
 
@@ -642,41 +609,6 @@ SELECT event_type, COUNT(*) AS n_events,
        CAST(sum(event_id) AS BIGINT) AS id_sum
 FROM events GROUP BY event_type ORDER BY event_type
 """
-
-
-def _spark_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile sketch — the percentile-family scale escape
-    hatch next to op_percentile_price's exact form (single pass, fixed
-    memory, mergeable partials). Sketch values are engine-specific →
-    rows-only; accuracy vs the exact interpolated percentile is pinned
-    in tests/test_plans.py."""
-    register_base_views(spark, sf_dir)
-    return spark.sql("""
-SELECT l_returnflag,
-       approx_percentile(l_extendedprice, 0.5, 10000) AS approx_p50,
-       approx_percentile(l_extendedprice, 0.95, 10000) AS approx_p95
-FROM lineitem
-GROUP BY l_returnflag
-ORDER BY l_returnflag
-""")
-
-
-def _spark_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct-count sketch per group — SURVEY §2.4's
-    documented scale escape hatch for COUNT(DISTINCT) at 100 TB (one
-    pass, fixed memory, mergeable partials; no expand + double shuffle
-    like exact multi-countDistinct). HLL values are engine-specific →
-    rows-only check; relative-error bounds are pinned in
-    tests/test_plans.py."""
-    register_base_views(spark, sf_dir)
-    return spark.sql("""
-SELECT l_returnflag,
-       approx_count_distinct(l_partkey) AS approx_parts,
-       approx_count_distinct(l_orderkey) AS approx_orders
-FROM lineitem
-GROUP BY l_returnflag
-ORDER BY l_returnflag
-""")
 
 
 def _spark_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1570,60 +1502,508 @@ ORDER BY doc_id
 
 
 # =====================================================================
+# Consolidated suites
+#
+# The driver's CORRECTNESS budget covers 50 queries; related operators
+# are therefore verified together as one tag-union query ("suite")
+# whose parts normalize to a shared schema. Every part keeps its own
+# fully deterministic derivation; the `part` tag names the operator so
+# a failure localizes. Numeric outputs stay typed (BIGINT/DOUBLE) —
+# only grouping keys are stringified — so value hashing is exact.
+# =====================================================================
+
+
+def _part_sql(
+    part: str,
+    body: str,
+    k: str,
+    n: str = "NULL",
+    n2: str = "NULL",
+    v: str = "NULL",
+) -> str:
+    """Normalize one sub-query to (part, k, n, n2, v). `STRING` is a
+    valid type alias in both Spark and DuckDB, so the text is shared."""
+    return (
+        f"SELECT '{part}' AS part, CAST({k} AS STRING) AS k,"
+        f" CAST({n} AS BIGINT) AS n, CAST({n2} AS BIGINT) AS n2,"
+        f" CAST({v} AS DOUBLE) AS v FROM ({body}) __sub"
+    )
+
+
+def _suite_sql(parts: list[str]) -> str:
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY part, k"
+
+
+# --- op_set_operators: UNION / UNION ALL / INTERSECT / EXCEPT (U1-U3 +
+# set ops; shared SQL text) ---
+_SET_OPERATORS_SQL = _suite_sql([
+    _part_sql("union_distinct", _UNION_DISTINCT, k="nationkey"),
+    _part_sql("union_all_counts", _UNION_ALL_COUNT, k="nationkey", n="n"),
+    _part_sql("intersect", _INTERSECT_SQL, k="o_custkey"),
+    _part_sql("except", _EXCEPT_SQL, k="o_custkey"),
+])
+
+# --- op_join_filters: anti / semi / left-outer-null-probe (J2/J3/J8) ---
+_JOIN_FILTERS_SQL = _suite_sql([
+    _part_sql("anti_new_keys", _ANTI_JOIN_SQL, k="c_mktsegment", n="new_customers"),
+    _part_sql("semi_exists", _SEMI_JOIN_SQL, k="c_mktsegment", n="customers_with_orders"),
+    _part_sql("left_null_probe", _LEFT_JOIN_NULLS, k="nationkey", n="customers_without_orders"),
+])
+
+# --- op_grouping_variants: ROLLUP / CUBE+GROUPING() / GROUPING SETS
+# (natively aligned schema; shared SQL) ---
+_GROUPING_VARIANTS_SQL = f"""
+SELECT 'rollup' AS part, region, nation,
+       CAST(NULL AS INT) AS g_region, CAST(NULL AS INT) AS g_nation, n_customers
+FROM ({_ROLLUP}) __r
+UNION ALL
+SELECT 'cube' AS part, region, nation, g_region, g_nation, n_customers
+FROM ({_CUBE}) __c
+UNION ALL
+SELECT 'grouping_sets' AS part, coalesce(r_name, 'ALL') AS region,
+       coalesce(n_name, 'ALL') AS nation,
+       CAST(NULL AS INT) AS g_region, CAST(NULL AS INT) AS g_nation, n_customers
+FROM ({_GROUPING_SETS_SQL}) __g
+ORDER BY part, region, nation, g_region, g_nation
+"""
+
+# --- op_window_functions: %-of-total empty frame + window-over-agg
+# (W1/W2 direct forms) ---
+_WINDOW_FUNCTIONS_SQL = _suite_sql([
+    _part_sql("pct_of_total", _PCT_PRIORITY, k="o_orderpriority", n="n_orders", v="pct"),
+    _part_sql(
+        "quarterly_avg",
+        _QUARTER_WINDOW,
+        k="CAST(q AS STRING) || '-' || CAST(m AS STRING)",
+        n="n_orders",
+        v="round(avg_monthly_in_quarter, 6)",
+    ),
+])
+
+# --- op_multijoin_revenue: 3-way and 6-way join revenue rollups ---
+_MULTIJOIN_REVENUE_SQL = _suite_sql([
+    _part_sql(
+        "q3_building_shipping",
+        _Q3_STYLE,
+        k="CAST(o_orderkey AS STRING) || '|' || CAST(orderdate AS STRING)",
+        v="revenue",
+    ),
+    _part_sql(
+        "q10_returned",
+        _Q10_STYLE,
+        k="CAST(c_custkey AS STRING) || '|' || c_mktsegment",
+        v="returned_revenue",
+    ),
+])
+
+# --- op_dim_rollups: region-gated 6-table star revenue + part/supplier
+# countDistinct rollup ---
+_DIM_ROLLUPS_SQL = _suite_sql([
+    _part_sql("q5_asia_nation_revenue", _Q5_STYLE, k="nation", v="revenue"),
+    _part_sql(
+        "part_supplier",
+        _PART_SUPPLIER_JOIN,
+        k="p_brand",
+        n="n_lineitems",
+        n2="n_suppliers",
+    ),
+])
+
+# --- op_distinct_dedup: SELECT DISTINCT + deterministic business-key
+# dedup (A8 + D1-D3 direct forms) ---
+_DISTINCT_DEDUP_SQL = _suite_sql([
+    _part_sql("select_distinct", _DISTINCT_PRIORITIES, k="o_orderpriority"),
+    _part_sql("dedup_business_key", _DEDUP_EVENTS, k="event_type", n="n_kept", n2="id_sum"),
+])
+
+
+# --- op_date_functions: date-part suite + weekend flag (F7-F10) ---
+def _date_functions_sql(d: str) -> str:
+    return _suite_sql([
+        _part_sql(
+            "date_parts",
+            _date_parts_sql(d),
+            k="CAST(year AS STRING) || '-' || CAST(quarter AS STRING)",
+            n="n_orders",
+            n2="min_date_key",
+            v="CAST(max_date_key AS DOUBLE)",
+        ),
+        _part_sql("weekend_flag", _weekend_sql(d), k="day_type", n="n_orders"),
+    ])
+
+
+# --- op_extract_functions: JSON path extraction + regexp_extract ---
+def _extract_functions_sql(d: str) -> str:
+    return _suite_sql([
+        _part_sql("json_props", _json_props_sql(d), k="coalesce(k_value, '(null)')", n="n"),
+        _part_sql("regexp_extract", _REGEXP_EXTRACT_SQL, k="CAST(priority_rank AS STRING)", n="n"),
+    ])
+
+
+# --- op_approx_vs_exact: exact interpolated percentiles (value-oracled)
+# plus the two sketch escape hatches (HLL++ distinct counts,
+# approx_percentile/t-digest) checked as deterministic within-tolerance
+# booleans against each engine's own exact value. The sketches are the
+# documented 100 TB path (one pass, fixed memory, mergeable partials);
+# the tolerance bounds are far looser than either sketch's worst case
+# at these cardinalities, so the booleans are stably TRUE in both
+# engines and the row hashes match. ---
+def _approx_vs_exact_sql(d: str) -> str:
+    if d == D.SPARK:
+        pct, apx = "percentile", "approx_percentile({col}, {q}, 10000)"
+    else:
+        pct, apx = "quantile_cont", "approx_quantile({col}, {q})"
+
+    def _e(col: str, q: str) -> str:
+        return f"CAST({pct}({col}, {q}) AS DOUBLE)"
+
+    def _a(col: str, q: str) -> str:
+        return f"CAST({apx.format(col=col, q=q)} AS DOUBLE)"
+
+    def _pct_ok(col: str, q: str, alias: str) -> str:
+        return (
+            f"(abs({_a(col, q)} - {_e(col, q)}) <= 0.05 * abs({_e(col, q)})) AS {alias}"
+        )
+
+    def _hll_ok(col: str, alias: str) -> str:
+        return (
+            f"(abs(CAST(approx_count_distinct({col}) AS DOUBLE)"
+            f" - CAST(count(DISTINCT {col}) AS DOUBLE))"
+            f" <= 0.1 * CAST(count(DISTINCT {col}) AS DOUBLE)) AS {alias}"
+        )
+
+    return f"""
+SELECT l_returnflag,
+       round({_e("l_extendedprice", "0.5")}, 4) AS p50_price,
+       round({_e("l_extendedprice", "0.95")}, 4) AS p95_price,
+       round({_e("l_quantity", "0.9")}, 4) AS p90_qty,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+       {_hll_ok("l_partkey", "hll_parts_ok")},
+       {_hll_ok("l_orderkey", "hll_orders_ok")},
+       {_pct_ok("l_extendedprice", "0.5", "apx_p50_ok")},
+       {_pct_ok("l_extendedprice", "0.95", "apx_p95_ok")}
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# --- op_agg_expressions: aggregate FILTER clause + sorted array_agg.
+# The array aggregate is emitted as a scalar CSV (concat_ws over the
+# sorted list) — arrays are order-sensitive and unhashable for the
+# driver's pandas canonicalizer; the joined string carries the same
+# information. ---
+def _agg_expressions_sql(d: str) -> str:
+    if d == D.SPARK:
+        arr = "concat_ws(',', sort_array(collect_list(n_name)))"
+    else:
+        arr = "array_to_string(list_sort(list(n_name)), ',')"
+    array_body = f"""
+SELECT r_name, {arr} AS nations_csv
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+    return f"""
+SELECT 'filter_clause' AS part, o_orderpriority AS k,
+       n_orders AS n, n_finished AS n2, n_1997 AS n3, CAST(NULL AS STRING) AS s
+FROM ({_AGG_FILTER_SQL}) __f
+UNION ALL
+SELECT 'array_agg_sorted' AS part, r_name AS k,
+       CAST(NULL AS BIGINT) AS n, CAST(NULL AS BIGINT) AS n2,
+       CAST(NULL AS BIGINT) AS n3, nations_csv AS s
+FROM ({array_body}) __a
+ORDER BY part, k
+"""
+
+
+# --- op_cleaning_suite: the staging-zone cleaning operator family
+# (P9/P10/P13/F4/F5/F6/F11 + J1/A1 groupbys) verified directly against
+# the raw zone; oracle re-derives via the full WITH chain. ---
+def _cleaning_suite_sql(d: str) -> str:
+    guard = (
+        "regexp_like(unique_key, '^[0-9]+$')"
+        if d == D.SPARK
+        else "regexp_matches(unique_key, '^[0-9]+$')"
+    )
+    return _suite_sql([
+        _part_sql(
+            "regex_key_guard",
+            _REGEX_GUARD_STAR.format(guard=guard),
+            k="status",
+            n="numeric_keys",
+        ),
+        _part_sql("not_in_sentinels", _NOT_IN_SENTINELS, k="property_type", n="priced_listings"),
+        _part_sql(
+            "try_cast_currency",
+            _try_cast_currency_sql(d),
+            k="coalesce(room_type, '(null)')",
+            n="castable",
+            v="avg_price",
+        ),
+        _part_sql("ts_parse_utc_hour", _ts_parse_hour_sql(d), k="CAST(utc_hour AS STRING)", n="n"),
+        _part_sql("duration_by_borough", _DURATION_BY_BOROUGH, k="borough", n="n", v="avg_hours"),
+        _part_sql("geohash_groupby", _GEOHASH_GROUPBY, k="geohash", n="n"),
+    ])
+
+
+# --- op_io_roundtrip_suite: CSV/JSON/partitioned-parquet write→read
+# roundtrips + schema-contract padding (S2-S9/K1-K5/P1), one normalized
+# result; the oracle aggregates the ORIGINAL tables, so equality proves
+# each write→read cycle is value-preserving. ---
+def _norm_part(
+    df: DataFrame,
+    part: str,
+    k: Column,
+    n: Column | None = None,
+    n2: Column | None = None,
+) -> DataFrame:
+    return df.select(
+        F.lit(part).alias("part"),
+        k.cast("string").alias("k"),
+        (n if n is not None else F.lit(None)).cast("bigint").alias("n"),
+        (n2 if n2 is not None else F.lit(None)).cast("bigint").alias("n2"),
+    )
+
+
+def _spark_io_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    csv = _norm_part(
+        _spark_csv_roundtrip(spark, sf_dir), "csv_roundtrip",
+        F.col("regionkey"), F.col("n_nations"), F.col("key_sum"),
+    )
+    js = _norm_part(
+        _spark_json_roundtrip(spark, sf_dir), "json_roundtrip",
+        F.col("c_mktsegment"), F.col("n_customers"), F.col("acctbal_cents"),
+    )
+    prune = _norm_part(
+        _spark_partitioned_write_prune(spark, sf_dir), "partitioned_prune",
+        F.lit("lineitem_1996"), F.col("n_rows"), F.col("price_cents"),
+    )
+    pad = _norm_part(
+        _spark_schema_contract(spark, sf_dir), "schema_padding",
+        F.col("n_name"), F.col("n_nationkey"),
+        F.when(F.col("park_borough").isNull(), 1).otherwise(0),
+    )
+    return csv.unionByName(js).unionByName(prune).unionByName(pad).orderBy("part", "k")
+
+
+def _duck_norm(part: str, body: str, k: str, n: str = "NULL", n2: str = "NULL") -> str:
+    return (
+        f"SELECT '{part}' AS part, CAST({k} AS STRING) AS k, CAST({n} AS BIGINT) AS n,"
+        f" CAST({n2} AS BIGINT) AS n2 FROM ({body}) __sub"
+    )
+
+
+_IO_SUITE_ORACLE = "\nUNION ALL\n".join([
+    _duck_norm("csv_roundtrip", _CSV_ROUNDTRIP_ORACLE, k="regionkey", n="n_nations", n2="key_sum"),
+    _duck_norm(
+        "json_roundtrip", _JSON_ROUNDTRIP_ORACLE,
+        k="c_mktsegment", n="n_customers", n2="acctbal_cents",
+    ),
+    _duck_norm(
+        "partitioned_prune", _PARTITIONED_PRUNE_ORACLE,
+        k="'lineitem_1996'", n="n_rows", n2="price_cents",
+    ),
+    _duck_norm(
+        "schema_padding", _SCHEMA_CONTRACT_ORACLE,
+        k="n_name", n="n_nationkey", n2="CASE WHEN park_borough IS NULL THEN 1 ELSE 0 END",
+    ),
+]) + "\nORDER BY part, k"
+
+
+# --- text_token_features: token stats + corpus top-token explode +
+# deterministic md5 train/val/test split ---
+def _spark_text_token_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stats = _spark_token_stats(spark, sf_dir).select(
+        F.lit("token_stats").alias("part"), F.col("lang").alias("k"),
+        F.col("n_docs").cast("bigint").alias("n"),
+        F.col("total_tokens").cast("bigint").alias("n2"),
+        F.col("avg_tokens").cast("double").alias("v"),
+    )
+    top = _spark_explode_tokens(spark, sf_dir).select(
+        F.lit("top_tokens").alias("part"), F.col("token").alias("k"),
+        F.col("occurrences").cast("bigint").alias("n"),
+        F.lit(None).cast("bigint").alias("n2"), F.lit(None).cast("double").alias("v"),
+    )
+    split = _sql(_split_sql(D.SPARK))(spark, sf_dir).select(
+        F.lit("hash_split").alias("part"), F.col("split").alias("k"),
+        F.col("n_docs").cast("bigint").alias("n"),
+        F.col("total_tokens").cast("bigint").alias("n2"),
+        F.lit(None).cast("double").alias("v"),
+    )
+    return stats.unionByName(top).unionByName(split).orderBy("part", "k")
+
+
+def _text_token_features_oracle() -> str:
+    def _n5(part: str, body: str, k: str, n: str, n2: str = "NULL", v: str = "NULL") -> str:
+        return (
+            f"SELECT '{part}' AS part, CAST({k} AS STRING) AS k, CAST({n} AS BIGINT) AS n,"
+            f" CAST({n2} AS BIGINT) AS n2, CAST({v} AS DOUBLE) AS v FROM ({body}) __sub"
+        )
+
+    return "\nUNION ALL\n".join([
+        _n5("token_stats", _TOKEN_STATS_ORACLE, k="lang", n="n_docs", n2="total_tokens", v="avg_tokens"),
+        _n5("top_tokens", _EXPLODE_TOKENS_ORACLE, k="token", n="occurrences"),
+        _n5("hash_split", _split_sql(D.DUCKDB), k="split", n="n_docs", n2="total_tokens"),
+    ]) + "\nORDER BY part, k"
+
+
+# --- text_doc_features: language-ID + doc fingerprint + quality score ---
+def _spark_text_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lang = _spark_lang_id(spark, sf_dir).select(
+        F.lit("lang_id").alias("part"), F.col("predicted_lang").alias("k"),
+        F.col("n").cast("bigint").alias("n"), F.lit(None).cast("bigint").alias("n2"),
+    )
+    fp = _spark_fingerprint(spark, sf_dir).select(
+        F.lit("fingerprint").alias("part"), F.lit("corpus").alias("k"),
+        F.col("n_docs").cast("bigint").alias("n"),
+        F.col("n_distinct_fingerprints").cast("bigint").alias("n2"),
+    )
+    qual = _spark_quality_scores(spark, sf_dir).select(
+        F.lit("quality").alias("part"), F.col("lang").alias("k"),
+        F.col("n_docs").cast("bigint").alias("n"),
+        F.col("quality_centisum").cast("bigint").alias("n2"),
+    )
+    return lang.unionByName(fp).unionByName(qual).orderBy("part", "k")
+
+
+def _text_doc_features_oracle() -> str:
+    return "\nUNION ALL\n".join([
+        _duck_norm("lang_id", _lang_id_oracle(), k="predicted_lang", n="n"),
+        _duck_norm(
+            "fingerprint", _FINGERPRINT_ORACLE,
+            k="'corpus'", n="n_docs", n2="n_distinct_fingerprints",
+        ),
+        _duck_norm("quality", _quality_oracle(), k="lang", n="n_docs", n2="quality_centisum"),
+    ]) + "\nORDER BY part, k"
+
+
+# --- dedup_lsh_pairs: MinHash-LSH + SimHash near-dup candidates.
+# Seeded xxhash64 signatures are not DuckDB-expressible → rows-only;
+# estimator properties and recall floors live in tests/test_dedup.py. ---
+def _spark_dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mh = _spark_minhash(spark, sf_dir).select(
+        F.lit("minhash").alias("part"), "id_a", "id_b",
+        F.round("jaccard_est", 6).cast("double").alias("score"),
+    )
+    sh = _spark_simhash(spark, sf_dir).select(
+        F.lit("simhash").alias("part"), "id_a", "id_b",
+        F.col("hamming").cast("double").alias("score"),
+    )
+    return mh.unionByName(sh).orderBy("part", "id_a", "id_b")
+
+
+# --- sim_ann_topk: SRP-LSH bucketed top-k + SRP near-dup pairs.
+# Random-hyperplane signatures are not DuckDB-expressible → rows-only;
+# recall floors vs the exact baseline live in tests/test_similarity.py. ---
+def _spark_sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lsh = _spark_lsh_topk(spark, sf_dir).select(
+        F.lit("srp_lsh_topk").alias("part"),
+        F.col("query_id").alias("id_a"), F.col("neighbor_id").alias("id_b"),
+        F.col("cosine").cast("double").alias("cosine"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+    nd = _spark_embedding_near_dup(spark, sf_dir).select(
+        F.lit("srp_near_dup").alias("part"),
+        "id_a", "id_b", F.col("cosine").cast("double").alias("cosine"),
+        F.lit(None).cast("int").alias("rank"),
+    )
+    return lsh.unionByName(nd).orderBy("part", "id_a", "id_b")
+
+
+# --- multimodal_suite: image decode + resize + audio decode over the
+# binary payload column (stub codecs; real Arrow/mapInPandas contract) ---
+def _spark_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def _norm(df: DataFrame, part: str, n1: str, n2: str, n3: str | None,
+              n4: str | None, v: Column, v2: Column) -> DataFrame:
+        return df.select(
+            F.lit(part).alias("part"), F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col(n1).cast("bigint").alias("n1"), F.col(n2).cast("bigint").alias("n2"),
+            (F.col(n3) if n3 else F.lit(None)).cast("bigint").alias("n3"),
+            (F.col(n4) if n4 else F.lit(None)).cast("bigint").alias("n4"),
+            v.cast("double").alias("v"), v2.cast("double").alias("v2"),
+        )
+
+    dec = _norm(
+        _spark_multimodal(spark, sf_dir), "image_decode",
+        "n_bytes", "width", "height", "channels", F.col("mean_luma"), F.lit(None),
+    )
+    rez = _norm(
+        _spark_multimodal_resize(spark, sf_dir), "image_resize",
+        "width", "height", "new_width", "new_height", F.col("scale"), F.lit(None),
+    )
+    aud = _norm(
+        _spark_multimodal_audio(spark, sf_dir), "audio_decode",
+        "sample_rate", "n_samples", None, None, F.col("rms"), F.col("duration_s"),
+    )
+    return dec.unionByName(rez).unionByName(aud).orderBy("part", "doc_id")
+
+
+def _multimodal_suite_oracle() -> str:
+    def _n(part: str, body: str, n1: str, n2: str, n3: str, n4: str,
+           v: str, v2: str) -> str:
+        return (
+            f"SELECT '{part}' AS part, CAST(doc_id AS BIGINT) AS doc_id,"
+            f" CAST({n1} AS BIGINT) AS n1, CAST({n2} AS BIGINT) AS n2,"
+            f" CAST({n3} AS BIGINT) AS n3, CAST({n4} AS BIGINT) AS n4,"
+            f" CAST({v} AS DOUBLE) AS v, CAST({v2} AS DOUBLE) AS v2 FROM ({body}) __sub"
+        )
+
+    return "\nUNION ALL\n".join([
+        _n("image_decode", _MULTIMODAL_ORACLE,
+           "n_bytes", "width", "height", "channels", "mean_luma", "NULL"),
+        _n("image_resize", _MULTIMODAL_RESIZE_ORACLE,
+           "width", "height", "new_width", "new_height", "scale", "NULL"),
+        _n("audio_decode", _MULTIMODAL_AUDIO_ORACLE,
+           "sample_rate", "n_samples", "NULL", "NULL", "rms", "duration_s"),
+    ]) + "\nORDER BY part, doc_id"
+
+
+# =====================================================================
 # Registry
 # =====================================================================
 
 
 def operator_queries() -> dict[str, OpQuery]:
-    guard_spark = _REGEX_GUARD_STAR.format(guard="regexp_like(unique_key, '^[0-9]+$')")
-    guard_duck = _REGEX_GUARD_STAR.format(guard="regexp_matches(unique_key, '^[0-9]+$')")
+    """The 40 operator queries (+10 goldens = the driver's 50-query
+    CORRECTNESS budget, exactly). Ordered by verification value: the
+    LLM-pipeline family first (newest components), then the star-
+    cleaning / io / streaming groups, then the relational core."""
     return {
-        # relational core
-        "op_q1_pricing_summary": OpQuery(_sql(_Q1), _Q1),
-        "op_q3_shipping_topk": OpQuery(_sql(_Q3_STYLE), _Q3_STYLE),
-        "op_q5_region_revenue": OpQuery(_sql(_Q5_STYLE), _Q5_STYLE),
-        "op_q10_returned_revenue": OpQuery(_sql(_Q10_STYLE), _Q10_STYLE),
-        "op_part_supplier_rollup": OpQuery(_sql(_PART_SUPPLIER_JOIN), _PART_SUPPLIER_JOIN),
-        "op_topk_orders_per_customer": OpQuery(_sql(_TOPK_ORDERS), _TOPK_ORDERS),
-        "op_pct_of_total_by_priority": OpQuery(_sql(_PCT_PRIORITY), _PCT_PRIORITY),
-        "op_quarterly_window_avg": OpQuery(_sql(_QUARTER_WINDOW), _QUARTER_WINDOW),
-        "op_union_distinct": OpQuery(_sql(_UNION_DISTINCT), _UNION_DISTINCT),
-        "op_union_all_counts": OpQuery(_sql(_UNION_ALL_COUNT), _UNION_ALL_COUNT),
-        "op_anti_join_new_keys": OpQuery(_sql(_ANTI_JOIN_SQL), _ANTI_JOIN_SQL),
-        "op_semi_join_exists": OpQuery(_sql(_SEMI_JOIN_SQL), _SEMI_JOIN_SQL),
-        "op_left_join_null_probe": OpQuery(_sql(_LEFT_JOIN_NULLS), _LEFT_JOIN_NULLS),
-        "op_select_distinct": OpQuery(_sql(_DISTINCT_PRIORITIES), _DISTINCT_PRIORITIES),
-        "op_rollup_region_nation": OpQuery(_sql(_ROLLUP), _ROLLUP),
-        "op_cube_region_nation": OpQuery(_sql(_CUBE), _CUBE),
-        "op_approx_count_distinct": OpQuery(_spark_approx_distinct, None),  # sketch: rows-only
-        "op_approx_percentile": OpQuery(_spark_approx_percentile, None),  # sketch: rows-only
-        "op_percentile_price": OpQuery(
-            _sql(_PERCENTILE_SQL.format(pct="percentile")),
-            _PERCENTILE_SQL.format(pct="quantile_cont"),
+        # --- LLM-pipeline family (dedup / similarity / text / multimodal) ---
+        "dedup_exact_text": OpQuery(_spark_dedup_exact_text, _DEDUP_EXACT_ORACLE),
+        "dedup_ngram_jaccard": OpQuery(_spark_ngram_jaccard, _NGRAM_JACCARD_ORACLE),
+        # seeded xxhash64 signatures: rows-only (tests/test_dedup.py)
+        "dedup_lsh_pairs": OpQuery(_spark_dedup_lsh_pairs, None),
+        "sim_cosine_topk": OpQuery(_spark_cosine_topk, _COSINE_TOPK_ORACLE),
+        "sim_near_dup_exact": OpQuery(_spark_near_dup_exact, _NEAR_DUP_EXACT_ORACLE),
+        # SRP random-hyperplane buckets: rows-only (tests/test_similarity.py)
+        "sim_ann_topk": OpQuery(_spark_sim_ann_topk, None),
+        "sim_ivf_topk": OpQuery(_spark_ivf_topk, _IVF_TOPK_ORACLE),
+        "text_token_features": OpQuery(_spark_text_token_features, _text_token_features_oracle()),
+        "text_doc_features": OpQuery(_spark_text_doc_features, _text_doc_features_oracle()),
+        "pipeline_curation_funnel": OpQuery(_spark_curation_funnel, _funnel_oracle()),
+        "multimodal_suite": OpQuery(_spark_multimodal_suite, _multimodal_suite_oracle()),
+        # --- star-schema cleaning / warehouse operators ---
+        "op_cleaning_suite": OpQuery(
+            _sql(_cleaning_suite_sql(D.SPARK), star=True),
+            oracle_with_chain(_cleaning_suite_sql(D.DUCKDB)),
         ),
-        "op_intersect_keys": OpQuery(_sql(_INTERSECT_SQL), _INTERSECT_SQL),
-        "op_pivot_status_by_year": OpQuery(_spark_pivot_status, _PIVOT_STATUS_ORACLE),
-        "op_lag_lead_rank": OpQuery(_sql(_LAG_LEAD_SQL), _LAG_LEAD_ORACLE),
-        "op_scd2_dimension_apply": OpQuery(_spark_scd2_apply, _SCD2_ORACLE),
-        "op_rolling_7d_window": OpQuery(_sql(_ROLLING_WINDOW_SQL), _ROLLING_WINDOW_SQL),
-        "op_except_keys": OpQuery(_sql(_EXCEPT_SQL), _EXCEPT_SQL),
-        "op_grouping_sets": OpQuery(_sql(_GROUPING_SETS_SQL), _GROUPING_SETS_SQL),
-        "op_agg_filter_clause": OpQuery(_sql(_AGG_FILTER_SQL), _AGG_FILTER_SQL),
-        "op_regexp_extract": OpQuery(_sql(_REGEXP_EXTRACT_SQL), _REGEXP_EXTRACT_SQL),
-        "op_array_agg_sorted": OpQuery(_spark_array_agg, _ARRAY_AGG_ORACLE),
-        "op_dedup_deterministic": OpQuery(_sql(_DEDUP_EVENTS), _DEDUP_EVENTS),
-        "op_date_part_suite": OpQuery(
-            _sql(_date_parts_sql(D.SPARK)), _date_parts_sql(D.DUCKDB)
+        "op_geohash_merge_rollup": OpQuery(
+            _sql(_GEOHASH_MERGE, star=True), oracle_with_chain(_GEOHASH_MERGE)
         ),
-        "op_weekend_flag": OpQuery(_sql(_weekend_sql(D.SPARK)), _weekend_sql(D.DUCKDB)),
-        "op_sessionize_events": OpQuery(
-            _sql(_sessionize_sql(D.SPARK)), _sessionize_sql(D.DUCKDB)
+        "op_upsert_idempotent": OpQuery(_spark_upsert_idempotent, _UPSERT_ORACLE),
+        "op_io_roundtrip_suite": OpQuery(_spark_io_suite, _IO_SUITE_ORACLE),
+        "op_extract_functions": OpQuery(
+            _sql(_extract_functions_sql(D.SPARK)), _extract_functions_sql(D.DUCKDB)
         ),
-        "op_events_tumbling_window": OpQuery(
-            _sql(_events_window_sql(D.SPARK)), _events_window_sql(D.DUCKDB)
+        "op_approx_vs_exact": OpQuery(
+            _sql(_approx_vs_exact_sql(D.SPARK)), _approx_vs_exact_sql(D.DUCKDB)
         ),
-        "op_asof_join_events": OpQuery(_spark_asof_join, _ASOF_ORACLE),
-        "op_range_join_events": OpQuery(_spark_range_join, _RANGE_JOIN_ORACLE),
+        "op_agg_expressions": OpQuery(
+            _sql(_agg_expressions_sql(D.SPARK)), _agg_expressions_sql(D.DUCKDB)
+        ),
+        # --- structured streaming ---
         "stream_windowed_counts": OpQuery(
             _spark_stream_windowed, _stream_windowed_oracle(D.DUCKDB)
         ),
@@ -1632,64 +2012,29 @@ def operator_queries() -> dict[str, OpQuery]:
         ),
         "stream_upsert_ingest": OpQuery(_spark_stream_upsert, _STREAM_UPSERT_ORACLE),
         "stream_stream_join": OpQuery(_spark_stream_stream_join, _STREAM_STREAM_JOIN_ORACLE),
-        "op_json_extract_props": OpQuery(
-            _sql(_json_props_sql(D.SPARK)), _json_props_sql(D.DUCKDB)
+        # --- relational core ---
+        "op_q1_pricing_summary": OpQuery(_sql(_Q1), _Q1),
+        "op_multijoin_revenue": OpQuery(_sql(_MULTIJOIN_REVENUE_SQL), _MULTIJOIN_REVENUE_SQL),
+        "op_dim_rollups": OpQuery(_sql(_DIM_ROLLUPS_SQL), _DIM_ROLLUPS_SQL),
+        "op_topk_orders_per_customer": OpQuery(_sql(_TOPK_ORDERS), _TOPK_ORDERS),
+        "op_window_functions": OpQuery(_sql(_WINDOW_FUNCTIONS_SQL), _WINDOW_FUNCTIONS_SQL),
+        "op_lag_lead_rank": OpQuery(_sql(_LAG_LEAD_SQL), _LAG_LEAD_ORACLE),
+        "op_rolling_7d_window": OpQuery(_sql(_ROLLING_WINDOW_SQL), _ROLLING_WINDOW_SQL),
+        "op_set_operators": OpQuery(_sql(_SET_OPERATORS_SQL), _SET_OPERATORS_SQL),
+        "op_join_filters": OpQuery(_sql(_JOIN_FILTERS_SQL), _JOIN_FILTERS_SQL),
+        "op_grouping_variants": OpQuery(_sql(_GROUPING_VARIANTS_SQL), _GROUPING_VARIANTS_SQL),
+        "op_pivot_status_by_year": OpQuery(_spark_pivot_status, _PIVOT_STATUS_ORACLE),
+        "op_distinct_dedup": OpQuery(_sql(_DISTINCT_DEDUP_SQL), _DISTINCT_DEDUP_SQL),
+        "op_date_functions": OpQuery(
+            _sql(_date_functions_sql(D.SPARK)), _date_functions_sql(D.DUCKDB)
         ),
-        # cleaning / star operators
-        "op_regex_key_guard": OpQuery(
-            _sql(guard_spark, star=True), oracle_with_chain(guard_duck)
+        "op_sessionize_events": OpQuery(
+            _sql(_sessionize_sql(D.SPARK)), _sessionize_sql(D.DUCKDB)
         ),
-        "op_not_in_sentinels": OpQuery(
-            _sql(_NOT_IN_SENTINELS, star=True), oracle_with_chain(_NOT_IN_SENTINELS)
+        "op_events_tumbling_window": OpQuery(
+            _sql(_events_window_sql(D.SPARK)), _events_window_sql(D.DUCKDB)
         ),
-        "op_try_cast_currency": OpQuery(
-            _sql(_try_cast_currency_sql(D.SPARK), star=True),
-            oracle_with_chain(_try_cast_currency_sql(D.DUCKDB)),
-        ),
-        "op_timestamp_parse_multi": OpQuery(
-            _sql(_ts_parse_hour_sql(D.SPARK), star=True),
-            oracle_with_chain(_ts_parse_hour_sql(D.DUCKDB)),
-        ),
-        "op_duration_by_borough": OpQuery(
-            _sql(_DURATION_BY_BOROUGH, star=True), oracle_with_chain(_DURATION_BY_BOROUGH)
-        ),
-        "op_geohash_groupby": OpQuery(
-            _sql(_GEOHASH_GROUPBY, star=True), oracle_with_chain(_GEOHASH_GROUPBY)
-        ),
-        "op_geohash_merge_rollup": OpQuery(
-            _sql(_GEOHASH_MERGE, star=True), oracle_with_chain(_GEOHASH_MERGE)
-        ),
-        "op_schema_contract_padding": OpQuery(_spark_schema_contract, _SCHEMA_CONTRACT_ORACLE),
-        "op_upsert_idempotent": OpQuery(_spark_upsert_idempotent, _UPSERT_ORACLE),
-        # source/sink roundtrips
-        "op_csv_roundtrip": OpQuery(_spark_csv_roundtrip, _CSV_ROUNDTRIP_ORACLE),
-        "op_json_roundtrip": OpQuery(_spark_json_roundtrip, _JSON_ROUNDTRIP_ORACLE),
-        "op_partitioned_write_prune": OpQuery(
-            _spark_partitioned_write_prune, _PARTITIONED_PRUNE_ORACLE
-        ),
-        # text / dedup / similarity / multimodal
-        "text_token_stats": OpQuery(_spark_token_stats, _TOKEN_STATS_ORACLE),
-        "op_explode_tokens": OpQuery(_spark_explode_tokens, _EXPLODE_TOKENS_ORACLE),
-        "op_deterministic_split": OpQuery(
-            _sql(_split_sql(D.SPARK)), _split_sql(D.DUCKDB)
-        ),
-        "text_lang_id": OpQuery(_spark_lang_id, _lang_id_oracle()),
-        "text_fingerprint": OpQuery(_spark_fingerprint, _FINGERPRINT_ORACLE),
-        "dedup_exact_text": OpQuery(_spark_dedup_exact_text, _DEDUP_EXACT_ORACLE),
-        "dedup_ngram_jaccard": OpQuery(_spark_ngram_jaccard, _NGRAM_JACCARD_ORACLE),
-        "dedup_minhash_lsh": OpQuery(_spark_minhash, None),  # seeded xxhash64: rows-only
-        "dedup_simhash": OpQuery(_spark_simhash, None),  # seeded xxhash64: rows-only
-        "sim_cosine_topk": OpQuery(_spark_cosine_topk, _COSINE_TOPK_ORACLE),
-        "sim_near_dup_exact": OpQuery(_spark_near_dup_exact, _NEAR_DUP_EXACT_ORACLE),
-        "sim_lsh_topk": OpQuery(_spark_lsh_topk, None),  # SRP planes: rows-only
-        "sim_ivf_topk": OpQuery(_spark_ivf_topk, _IVF_TOPK_ORACLE),
-        # SRP-bucketed candidates have sub-1 recall vs the exact
-        # all-pairs oracle by design — rows-only; the exact variant
-        # (sim_near_dup_exact) carries the oracle for this family.
-        "sim_embedding_near_dup": OpQuery(_spark_embedding_near_dup, None),
-        "text_quality_scores": OpQuery(_spark_quality_scores, _quality_oracle()),
-        "pipeline_curation_funnel": OpQuery(_spark_curation_funnel, _funnel_oracle()),
-        "multimodal_decode_stub": OpQuery(_spark_multimodal, _MULTIMODAL_ORACLE),
-        "multimodal_image_resize": OpQuery(_spark_multimodal_resize, _MULTIMODAL_RESIZE_ORACLE),
-        "multimodal_audio_decode": OpQuery(_spark_multimodal_audio, _MULTIMODAL_AUDIO_ORACLE),
+        "op_asof_join_events": OpQuery(_spark_asof_join, _ASOF_ORACLE),
+        "op_range_join_events": OpQuery(_spark_range_join, _RANGE_JOIN_ORACLE),
+        "op_scd2_dimension_apply": OpQuery(_spark_scd2_apply, _SCD2_ORACLE),
     }

@@ -39,10 +39,10 @@ BENCH_QUERIES = [
     "op_sessionize_events",
     "op_geohash_merge_rollup",
     "op_events_tumbling_window",
-    "dedup_minhash_lsh",
+    "dedup_lsh_pairs",
     "dedup_ngram_jaccard",
     "sim_cosine_topk",
-    "text_token_stats",
+    "text_token_features",
 ]
 
 

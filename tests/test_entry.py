@@ -7,12 +7,8 @@ import __spark_entry__ as entrymod
 # records rows-only and their correctness authority is tests/
 # test_dedup.py + test_similarity.py + test_plans.py (HLL bound).
 ROWS_ONLY_ALLOWED = {
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "sim_lsh_topk",
-    "sim_embedding_near_dup",
-    "op_approx_count_distinct",
-    "op_approx_percentile",
+    "dedup_lsh_pairs",
+    "sim_ann_topk",
 }
 
 
@@ -26,7 +22,8 @@ def test_entry_returns_rows(spark):
 def test_every_query_has_oracle_or_is_allowlisted(spark):
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    assert len(qs) >= 45
+    # exactly the driver's 50-query CORRECTNESS budget
+    assert len(qs) == 50
     missing = {n for n in qs if n not in oracles}
     assert missing == ROWS_ONLY_ALLOWED
 
