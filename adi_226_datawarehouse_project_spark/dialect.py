@@ -113,6 +113,31 @@ def repartition_hint(dialect: str, *cols: str) -> str:
     return ""
 
 
+def hash_key(dialect: str, *parts: str) -> str:
+    """Deterministic 60-bit surrogate key from the natural key: the
+    first 15 hex digits of md5 over the '|'-joined parts, parsed as a
+    BIGINT. md5 is byte-identical in both engines; Spark parses hex via
+    conv(), DuckDB via the '0x…' string cast. Always positive (60 < 63
+    bits).
+
+    This replaces global-window ``row_number() OVER (ORDER BY …)``
+    surrogate keys, which force a single-partition sort of the whole
+    table at scale. Collision odds are the 60-bit birthday bound
+    (~N²/2^61: ~5e-5 at 10M rows) — the standard hash-surrogate-key
+    tradeoff (cf. data-vault md5 keys).
+
+    Callers must pre-coalesce nullable parts (concat_ws skips NULLs in
+    both engines, which would conflate ('a',NULL) with ('a')) and
+    stringify doubles via an exact integer form (round(x*1e6) micro-
+    units), never raw double→string formatting."""
+    joined = ", ".join(parts)
+    if dialect == SPARK:
+        return (
+            f"CAST(conv(substr(md5(concat_ws('|', {joined})), 1, 15), 16, 10) AS BIGINT)"
+        )
+    return f"CAST('0x' || substr(md5(concat_ws('|', {joined})), 1, 15) AS BIGINT)"
+
+
 def sum_bigint(dialect: str, expr: str) -> str:
     """SUM over integers with BIGINT (not HUGEINT) output."""
     return f"cast(sum({expr}) as bigint)"

@@ -24,10 +24,14 @@ so the DuckDB oracle derives the identical schema from the identical
 fixtures.
 
 Deterministic deviations from the reference (documented, deliberate):
-- surrogate keys are ``row_number() OVER (ORDER BY <natural key> NULLS
-  FIRST)`` instead of pandas positional ``index+1`` — positional keys
-  are nondeterministic under parallelism. NULLS FIRST is pinned because
-  Spark and DuckDB default opposite null orderings.
+- surrogate keys are deterministic functions of the natural key, never
+  pandas positional ``index+1`` (nondeterministic under parallelism).
+  Every dim and fact keys on ``dialect.hash_key`` — a 60-bit md5 hash
+  of the natural key both engines compute identically — so the whole
+  warehouse build contains zero global-window sorts (row_number with
+  no PARTITION BY moves the entire table to one partition; on the
+  fact-sized tables that is the classic scale killer, and even the
+  tiny dims would spam single-partition WindowExec warnings).
 - dedup keeps a deterministic representative: staging_311 implements
   the reference's dropDuplicates(["unique_key"]) as row_number over an
   explicit full-column ordering (the fixture contains real multi-way
@@ -39,9 +43,10 @@ Deterministic deviations from the reference (documented, deliberate):
 Scale notes (100 TB posture): dims are DISTINCT aggregations (small →
 broadcast-joined into the facts by AQE); the fact build's 4 dim joins
 are all broadcastable; the only big shuffles are the DISTINCTs over
-staging, which are partial-aggregated map-side. The global row_number
-on fact_id is the one scale anti-pattern retained for oracle parity —
-production path would use monotonically_increasing_id or a hash key.
+staging, which are partial-aggregated map-side. No global windows on
+fact-sized tables: every fact/large-dim surrogate key is a hash of the
+natural key (``dialect.hash_key``), so the whole build is partition-
+parallel end to end.
 """
 
 from __future__ import annotations
@@ -170,25 +175,34 @@ WHERE dt IS NOT NULL
 """
 
 
-def dim_311_agency_sql(d: str) -> str:  # noqa: ARG001
-    return """
-SELECT row_number() OVER (ORDER BY agency_name NULLS FIRST) AS agency_key, agency_name
+def dim_311_agency_sql(d: str) -> str:
+    return f"""
+SELECT {D.hash_key(d, "agency_name")} AS agency_key, agency_name
 FROM (SELECT DISTINCT trim(agency) AS agency_name FROM staging_311 WHERE agency IS NOT NULL) __a
 """
 
 
-def dim_311_borough_sql(d: str) -> str:  # noqa: ARG001
-    return """
-SELECT row_number() OVER (ORDER BY borough_name NULLS FIRST) AS borough_key, borough_name
+def dim_311_borough_sql(d: str) -> str:
+    return f"""
+SELECT {D.hash_key(d, "borough_name")} AS borough_key, borough_name
 FROM (SELECT DISTINCT upper(trim(borough)) AS borough_name FROM staging_311 WHERE borough IS NOT NULL) __b
 """
 
 
-def dim_311_location_sql(d: str) -> str:  # noqa: ARG001
-    return """
-SELECT row_number() OVER (
-         ORDER BY geohash NULLS FIRST, latitude NULLS FIRST, longitude NULLS FIRST,
-                  city NULLS FIRST, borough NULLS FIRST) AS location_key,
+def dim_311_location_sql(d: str) -> str:
+    # Fact-sized dim (near one row per distinct coordinate) → hash
+    # surrogate key, no global window. Doubles enter the hash as exact
+    # micro-degree integers, never engine-formatted strings.
+    key = D.hash_key(
+        d,
+        "geohash",
+        "CAST(CAST(round(latitude * 1000000, 0) AS BIGINT) AS STRING)",
+        "CAST(CAST(round(longitude * 1000000, 0) AS BIGINT) AS STRING)",
+        "coalesce(city, '~null~')",
+        "coalesce(borough, '~null~')",
+    )
+    return f"""
+SELECT {key} AS location_key,
        geohash, latitude, longitude, city, borough
 FROM (
   SELECT DISTINCT geohash, latitude, longitude,
@@ -199,9 +213,9 @@ FROM (
 """
 
 
-def dim_311_complaint_sql(d: str) -> str:  # noqa: ARG001
-    return """
-SELECT row_number() OVER (ORDER BY complaint_type_name NULLS FIRST) AS complaint_type_key,
+def dim_311_complaint_sql(d: str) -> str:
+    return f"""
+SELECT {D.hash_key(d, "complaint_type_name")} AS complaint_type_key,
        complaint_type_name
 FROM (SELECT DISTINCT trim(complaint_type) AS complaint_type_name
       FROM staging_311 WHERE complaint_type IS NOT NULL) __c
@@ -226,22 +240,30 @@ LEFT JOIN dim_311_location l
        ON l.geohash = s.geohash
       AND l.latitude = s.latitude AND l.longitude = s.longitude
       AND l.city IS NOT DISTINCT FROM nullif(trim(s.city), '')
+      AND l.borough IS NOT DISTINCT FROM nullif(upper(trim(s.borough)), '')
 LEFT JOIN dim_311_complaint c ON c.complaint_type_name = trim(s.complaint_type)
 WHERE s.geohash IS NOT NULL AND s.latitude IS NOT NULL AND s.longitude IS NOT NULL
 """
 
 
-def dim_airbnb_location_sql(d: str) -> str:  # noqa: ARG001
-    return """
-SELECT row_number() OVER (ORDER BY id NULLS FIRST) AS location_id,
+# The airbnb dims replicate the reference's per-listing (non-dedup)
+# dim quirk; they are fact-sized, so all four tables key on
+# hash_key(id) — id is the staging grain (unique after DISTINCT), and
+# the hash is partition-parallel where row_number's global window
+# forced a single-partition sort of the whole table.
+
+
+def dim_airbnb_location_sql(d: str) -> str:
+    return f"""
+SELECT {D.hash_key(d, "CAST(id AS STRING)")} AS location_id,
        geohash, latitude, longitude, neighbourhood, neighbourhood_name, borough
 FROM staging_airbnb
 """
 
 
-def dim_airbnb_property_sql(d: str) -> str:  # noqa: ARG001
-    return """
-SELECT row_number() OVER (ORDER BY id NULLS FIRST) AS property_id,
+def dim_airbnb_property_sql(d: str) -> str:
+    return f"""
+SELECT {D.hash_key(d, "CAST(id AS STRING)")} AS property_id,
        id AS listing_id, property_type,
        coalesce(room_type, 'Entire home/apt') AS room_type,
        accommodates, bathrooms, bedrooms, beds
@@ -249,9 +271,9 @@ FROM staging_airbnb
 """
 
 
-def dim_airbnb_host_sql(d: str) -> str:  # noqa: ARG001
-    return """
-SELECT row_number() OVER (ORDER BY id NULLS FIRST) AS host_id,
+def dim_airbnb_host_sql(d: str) -> str:
+    return f"""
+SELECT {D.hash_key(d, "CAST(id AS STRING)")} AS host_id,
        host_location, host_listings_count, host_total_listings_count
 FROM staging_airbnb
 """
@@ -259,7 +281,7 @@ FROM staging_airbnb
 
 def fact_airbnb_listings_sql(d: str) -> str:
     return f"""
-SELECT {D.repartition_hint(d, "geohash")}row_number() OVER (ORDER BY id NULLS FIRST) AS fact_id,
+SELECT {D.repartition_hint(d, "geohash")}{D.hash_key(d, "CAST(id AS STRING)")} AS fact_id,
        id AS listing_id, geohash, property_type, room_type, price,
        minimum_nights, number_of_reviews, number_of_reviews_l30d,
        reviews_per_month, review_scores_rating, review_scores_location,

@@ -61,9 +61,10 @@ def minhash_signatures(
 
     The hash family is seeded xxhash64 — one independent 64-bit hash
     per signature position, wrapped INSIDE the JVM hash kernel (no
-    Spark-level arithmetic), so it is safe under the driver session's
-    spark.sql.ansi.enabled=true where bigint wraparound throws
-    ARITHMETIC_OVERFLOW. (A Kirsch–Mitzenmacher ``h1 + i*h2`` variant
+    Spark-level arithmetic), so it works under ANY session config:
+    with spark.sql.ansi.enabled=true (the external driver's setting —
+    the engine's own session.py sets false) bigint wraparound in
+    Spark-level arithmetic would throw ARITHMETIC_OVERFLOW. (A Kirsch–Mitzenmacher ``h1 + i*h2`` variant
     was tried and reverted: without full 2^64 modular reduction the
     per-i minima correlate and the Jaccard estimator biases low.)
     Each shingle string is hashed ONCE to a 64-bit base; the family is
@@ -237,8 +238,13 @@ def ngram_jaccard_pairs(
         F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("__g"),
     ).select(F.col(id_col), F.xxhash64(F.col("__g")).alias("__g"))
     if max_shingle_freq is not None:
-        freq = sh.groupBy("__g").count().filter(F.col("count") <= max_shingle_freq)
-        sh = sh.join(F.broadcast(freq.select("__g")), "__g")
+        # Broadcast the STOP list (shingles above the cap), not the keep
+        # list: stop-shingles are a tiny head of the frequency
+        # distribution by construction, while the keep list is nearly
+        # every distinct shingle — broadcasting it would OOM the driver
+        # at corpus scale. left_anti keeps exactly the capped set.
+        stop = sh.groupBy("__g").count().filter(F.col("count") > max_shingle_freq)
+        sh = sh.join(F.broadcast(stop.select("__g")), "__g", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("__n"))
     a = sh.select(F.col(id_col).alias("id_a"), "__g")
     b = sh.select(F.col(id_col).alias("id_b"), "__g")

@@ -59,10 +59,21 @@ def cosine_self_topk(
     vec_col: str,
     k: int = 10,
     probe_ids: list[int] | None = None,
+    allow_full_scan: bool = False,
 ) -> DataFrame:
-    """Exact top-k cosine neighbors for each probe row (all rows if
-    `probe_ids` is None — beware O(n²)). The probe side is broadcast:
-    the big side streams once, no shuffle of the corpus."""
+    """Exact top-k cosine neighbors for each probe row. The probe side
+    is broadcast: the big side streams once, no shuffle of the corpus.
+
+    `probe_ids=None` means ALL rows probe — an O(n²) all-pairs scan
+    that is only sane on small corpora, so it must be opted into with
+    `allow_full_scan=True`; the scale paths for the no-probe-set case
+    are `lsh_bucket_topk` / `ivf_topk`."""
+    if probe_ids is None and not allow_full_scan:
+        raise ValueError(
+            "cosine_self_topk with probe_ids=None is an O(n²) all-pairs scan; "
+            "pass allow_full_scan=True explicitly, or use lsh_bucket_topk/"
+            "ivf_topk for sublinear candidate generation"
+        )
     probes = df.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
     if probe_ids is not None:
         probes = probes.filter(F.col("query_id").isin(probe_ids))

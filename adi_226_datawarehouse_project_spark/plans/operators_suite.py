@@ -778,6 +778,25 @@ ORDER BY room_type NULLS FIRST
 """
 
 
+def _decimal_price_sql(d: str) -> str:
+    """The reference's literal typed path: TRY_CAST(price AS
+    DECIMAL(18,2)) (`Airbnb Listings Analysis.ipynb` cell 0) — exact
+    decimal SUM in both engines, then one final CAST to DOUBLE (the
+    engine-native avg() output types differ: Spark DECIMAL(22,6),
+    DuckDB DOUBLE — so the average is computed as exact-sum/count)."""
+    cleaned = D.regexp_replace_all(d, "price", r"[$,]", "")
+    dec = f"try_cast({cleaned} AS DECIMAL(18,2))"
+    return f"""
+SELECT room_type,
+       COUNT({dec}) AS castable,
+       round(CAST(sum({dec}) AS DOUBLE) / COUNT({dec}), 2) AS avg_price
+FROM listings_raw
+WHERE price NOT IN ('NaN', 'nan', '', 'INF', '-INF')
+GROUP BY room_type
+ORDER BY room_type NULLS FIRST
+"""
+
+
 def _ts_parse_hour_sql(d: str) -> str:
     parsed = D.parse_timestamp(d, "created_date")
     utc = D.to_utc(d, parsed)
@@ -1737,6 +1756,13 @@ def _cleaning_suite_sql(d: str) -> str:
         _part_sql(
             "try_cast_currency",
             _try_cast_currency_sql(d),
+            k="coalesce(room_type, '(null)')",
+            n="castable",
+            v="avg_price",
+        ),
+        _part_sql(
+            "decimal_price",
+            _decimal_price_sql(d),
             k="coalesce(room_type, '(null)')",
             n="castable",
             v="avg_price",

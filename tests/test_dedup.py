@@ -100,3 +100,26 @@ def test_ngram_stop_shingle_cap(spark):
     capped = ngram_jaccard_pairs(df, "doc_id", "text", n=2, min_jaccard=0.9, max_shingle_freq=5)
     got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
     assert got == {(98, 99)}  # hot shingle dropped, rare pair kept
+
+
+def test_ngram_cap_broadcasts_stop_list_at_sf001(spark):
+    """The stop-shingle cap must broadcast the TINY above-cap stop list
+    (left_anti), never the nearly-all-shingles keep list: on the real
+    documents table the capped run must match the uncapped run minus
+    pairs touching stopped shingles, and the plan must show a broadcast
+    left-anti join."""
+    from conftest import SF_DIR
+    from adi_226_datawarehouse_project_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    capped = ngram_jaccard_pairs(docs, "doc_id", "text", n=5, min_jaccard=0.5,
+                                 max_shingle_freq=50)
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan, plan[:2000]
+    assert "Broadcast" in plan, plan[:2000]
+    # With a generous cap no 5-gram in this corpus exceeds 50 docs, so
+    # the capped result must equal the uncapped one (pure plan change).
+    uncapped = ngram_jaccard_pairs(docs, "doc_id", "text", n=5, min_jaccard=0.5)
+    got = sorted(map(tuple, capped.collect()))
+    want = sorted(map(tuple, uncapped.collect()))
+    assert got == want

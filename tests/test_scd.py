@@ -63,3 +63,38 @@ def test_scd2_reapply_is_noop(spark):
     once = scd2_apply(dim, updates, "custkey", "address", BATCH)
     twice = scd2_apply(once, updates, "custkey", "address", datetime.date(2025, 7, 1))
     assert sorted(map(tuple, twice.collect())) == sorted(map(tuple, once.collect()))
+
+
+def test_scd2_null_transitions(spark):
+    """NULL→value and value→NULL are real attribute changes: the old
+    current row must close and a new version open (null-safe
+    inequality; plain != silently drops these)."""
+    rows = [
+        (1, None),        # NULL -> 'a'   : change
+        (2, "keep"),      # 'keep' -> NULL: change
+        (3, "same"),      # no-op
+    ]
+    dim = spark.createDataFrame(rows, "custkey int, address string").select(
+        "custkey", "address",
+        F.lit(datetime.date(2020, 1, 1)).alias("effective_from"),
+        F.lit(datetime.date(9999, 12, 31)).alias("effective_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "same")], "custkey int, address string"
+    )
+    out = scd2_apply(dim, updates, "custkey", "address", BATCH).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.custkey, []).append(r)
+    # keys 1 and 2 have two versions: a closed one and a new current one
+    for key, new_attr in ((1, "a"), (2, None)):
+        versions = sorted(by_key[key], key=lambda r: (r.effective_from, r.is_current))
+        assert len(versions) == 2, f"key {key}: expected close+reopen, got {versions}"
+        closed = [r for r in versions if not r.is_current]
+        current = [r for r in versions if r.is_current]
+        assert len(closed) == 1 and closed[0].effective_to == BATCH
+        assert len(current) == 1 and current[0].address == new_attr
+        assert current[0].effective_from == BATCH
+    # key 3 untouched
+    assert len(by_key[3]) == 1 and by_key[3][0].is_current

@@ -99,3 +99,16 @@ def test_ivf_recall_vs_exact(spark):
         emb, "vec_id", "embedding", k=10, n_probe=8, probe_ids=probes
     ).collect()
     assert _recall(exact, wide) >= _recall(exact, got)
+
+
+def test_cosine_self_topk_guards_full_scan(spark):
+    """probe_ids=None is an O(n²) all-pairs scan — must be an explicit
+    opt-in, not a silent default."""
+    import pytest
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    with pytest.raises(ValueError, match="allow_full_scan"):
+        cosine_self_topk(emb, "vec_id", "embedding", k=3)
+    # explicit opt-in still works
+    out = cosine_self_topk(emb, "vec_id", "embedding", k=1, allow_full_scan=True)
+    assert out.limit(1).count() == 1

@@ -56,3 +56,15 @@ def test_salt_spreads_rows(spark):
     assert len(dist) == 16  # every bucket hit
     counts = [r["count"] for r in dist]
     assert max(counts) < 3 * min(counts)  # roughly uniform
+
+
+def test_salted_join_rejects_outer(spark):
+    """right/full outer would duplicate unmatched small-side rows once
+    per salt replica — the operator must refuse."""
+    import pytest
+
+    orders = load_table(spark, SF_SMALL, "orders").withColumnRenamed("o_custkey", "c_custkey")
+    customer = load_table(spark, SF_SMALL, "customer").select("c_custkey")
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="inner/left-family"):
+            salted_join(orders, customer, on=["c_custkey"], how=how)
