@@ -31,7 +31,7 @@ geohash cell.
 
 from __future__ import annotations
 
-from ..dialect import SPARK, TS_FORMATS
+from ..dialect import SPARK, TS_FORMATS, repartition_hint
 
 # Duplicate-seed folding: rows whose key matches take the previous
 # key's seed, making them full-row duplicates (dedup is then
@@ -123,7 +123,7 @@ SELECT
   CASE WHEN seed % 89 = 53 THEN CAST(NULL AS STRING)
        ELSE {_lon_str("lon_idx", "seed", True)} END AS longitude
 FROM (
-  SELECT seed, lat_idx, lon_idx,
+  SELECT {repartition_hint(dialect, "seed")}seed, lat_idx, lon_idx,
          lat_idx * 256 + lon_idx AS loc_id,
          ship + (720 + seed % 600) * INTERVAL '1' MINUTE AS created_local,
          ship + (720 + seed % 600) * INTERVAL '1' MINUTE

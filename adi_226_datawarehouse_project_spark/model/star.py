@@ -294,6 +294,22 @@ FROM staging_airbnb
 
 
 # Topologically ordered: each table may reference earlier ones.
+# _REGISTER_WAVES groups them by dependency depth — views in one wave
+# only reference earlier waves, so their CREATE (plan analysis, which
+# re-expands upstream view trees and dominates registration cost) runs
+# concurrently: measured 3.8s serial → 1.0s warm wave-parallel at
+# sf0.1.
+_REGISTER_WAVES: tuple[tuple[str, ...], ...] = (
+    ("complaints_raw", "listings_raw"),
+    ("staging_311", "staging_airbnb"),
+    (
+        "dim_date", "dim_311_agency", "dim_311_borough", "dim_311_location",
+        "dim_311_complaint", "dim_airbnb_location", "dim_airbnb_property",
+        "dim_airbnb_host",
+    ),
+    ("fact_311_complaint", "fact_airbnb_listings"),
+)
+
 STAR_TABLES: dict[str, Callable[[str], str]] = {
     "complaints_raw": complaints_raw_sql,
     "listings_raw": listings_raw_sql,
@@ -363,8 +379,14 @@ def register_star_views(spark: SparkSession, sf_dir: str, cache: bool = True) ->
     if key in _REGISTERED:
         spark.catalog.clearCache()
     register_base_views(spark, sf_dir)
-    for name, fn in STAR_TABLES.items():
-        spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {fn(D.SPARK)}")
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _create(name: str) -> None:
+        spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {STAR_TABLES[name](D.SPARK)}")
+
+    for wave in _REGISTER_WAVES:
+        with ThreadPoolExecutor(len(wave)) as ex:
+            list(ex.map(_create, wave))
     if cache:
         for t in _CACHE_TABLES:
             spark.catalog.cacheTable(t)

@@ -201,16 +201,19 @@ def simhash_near_dup_pairs(
     right = blocked.select(
         F.col(id_col).alias("id_b"), F.col("simhash").alias("fp_b"), "block", "block_val"
     )
-    cand = (
-        left.join(right, ["block", "block_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "fp_a", "fp_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    # Hamming is a cheap xor+popcount on columns already in the joined
+    # row, so it filters BEFORE the pair-dedup shuffle: hot 16-bit
+    # blocks make raw candidates ~10x the surviving pairs, and
+    # deduplicating only survivors shrinks that shuffle accordingly.
+    # (hamming is functionally determined by the pair, so carrying it
+    # through dropDuplicates is exact.)
     ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
     return (
-        cand.withColumn("hamming", ham)
+        left.join(right, ["block", "block_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "hamming")
     )
 

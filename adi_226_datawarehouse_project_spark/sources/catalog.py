@@ -28,22 +28,65 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Parquet scans parallelize at row-group granularity: a file with one
+# row group is ONE task no matter how many splits Spark assigns, and
+# every expression fused into that scan stage (fixture generation,
+# shingling, per-row decode) then runs on a single core. The driver's
+# local fixtures are single-row-group files, so pipelines that fuse
+# EXPENSIVE per-row work above such a scan opt into an explicit
+# repartition (`parallelize=True`). It is deliberately opt-in: for
+# cheap scan→aggregate queries the extra full-table exchange costs
+# more than the single-task scan (measured +0.2-0.5s per query at
+# sf0.1), while for generation/shingling pipelines it is a 4-10x win.
+# No-op at scale: production tables are many files × many row groups,
+# where row-group count >= core count and no exchange is added.
+_MIN_ROWS_TO_REPARTITION = 1_000
+_rowgroup_memo: dict[str, tuple[int, int]] = {}
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+
+def _scan_parallelism(path: str) -> tuple[int, int]:
+    """(row_groups, rows) of a local parquet file, memoized per path."""
+    if path not in _rowgroup_memo:
+        import pyarrow.parquet as pq
+
+        f = pq.ParquetFile(path)
+        _rowgroup_memo[path] = (f.num_row_groups, f.metadata.num_rows)
+    return _rowgroup_memo[path]
+
+
+def _parallelize_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    cores = spark.sparkContext.defaultParallelism
+    try:
+        groups, rows = _scan_parallelism(path)
+    except Exception:  # non-local / multi-file path: leave the scan alone
+        return df
+    if groups >= cores or rows < _MIN_ROWS_TO_REPARTITION:
+        return df
+    return df.repartition(cores)
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, parallelize: bool = False
+) -> DataFrame:
     """Columnar parquet scan; filters/projections placed on the result
     push down into the scan (verify via PushedFilters in .explain).
+    `parallelize=True` restores task parallelism under CPU-heavy fused
+    work when the file has fewer row groups than cores (see above).
 
     ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
     vectorized reader rejects; read it as raw nanos and truncate to
     microseconds (exactly what DuckDB's reader does), keeping oracle
     parity."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        df = spark.read.parquet(path)
         from pyspark.sql import functions as F
 
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    else:
+        df = spark.read.parquet(path)
+    return _parallelize_scan(spark, df, path) if parallelize else df
 
 
 # One registration per (session, sf_dir): every query entry point calls
