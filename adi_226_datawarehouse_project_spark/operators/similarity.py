@@ -172,6 +172,106 @@ def lsh_bucket_topk(
     )
 
 
+def sample_centroids(df: DataFrame, id_col: str, vec_col: str, n_clusters: int) -> DataFrame:
+    """Deterministic-sample coarse centroids (the ``n_clusters``
+    smallest ids): bit-reproducible across runs and executors with
+    zero training state — the default when the differential oracle
+    must re-derive the identical cells. Returns ``(centroid_id,
+    centroid)``."""
+    cent_w = Window.orderBy(F.col("centroid_id_src"))
+    return (
+        df.select(F.col(id_col).alias("centroid_id_src"), F.col(vec_col).alias("centroid"))
+        .orderBy("centroid_id_src")
+        .limit(n_clusters)
+        .withColumn("centroid_id", F.row_number().over(cent_w) - 1)
+        .select("centroid_id", "centroid")
+    )
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int = 16,
+    n_iter: int = 5,
+) -> DataFrame:
+    """Spherical k-means (Lloyd) coarse-centroid training for IVF —
+    the quality upgrade over :func:`sample_centroids` when exact
+    cross-engine reproducibility of the cells is not required.
+
+    Distribution contract: the per-row work (assignment) runs as pure
+    Column expressions over the full corpus — centroids enter the plan
+    as *literals* (k×dim doubles), so there is no join, no window and
+    no shuffle in the assignment pass; the mean-update is one
+    map-side-combined groupBy producing exactly ``n_clusters`` rows.
+    The only driver-side state per iteration is the k×dim centroid
+    matrix itself (a few KB) — the same driver-resident model state
+    every distributed k-means keeps (e.g. Spark MLlib's). Nothing
+    corpus-sized is ever collected, so the pass count is ``n_iter``
+    full scans — at 100 TB you cache/checkpoint the (id, vec)
+    projection once and each iteration is a scan of that.
+
+    Empty cells keep their previous centroid. Centroids are
+    L2-normalized (spherical k-means maximizes mean cosine).
+    Returns ``(centroid_id, centroid)`` ready for ``ivf_topk``.
+    """
+    first = df.select(vec_col).first()
+    if first is None:
+        raise ValueError("train_ivf_centroids: empty input")
+    dim = len(first[0])
+    seed_rows = sorted(
+        (r[0], [float(x) for x in r[1]])
+        for r in df.select(id_col, vec_col).orderBy(id_col).limit(n_clusters).collect()
+    )
+    cents = [_l2(v) for _, v in seed_rows]
+    vecs = df.select(F.col(vec_col).alias("__v"))
+    for _ in range(n_iter):
+        assign = vecs.select(_nearest_centroid_lit(F.col("__v"), cents, dim).alias("__c"), "__v")
+        new_rows = (
+            assign.groupBy("__c")
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                *[
+                    F.sum(F.element_at(F.col("__v"), i + 1).cast("double")).alias(f"__s{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()
+        )
+        nxt = list(cents)
+        for r in new_rows:
+            if r["__n"] > 0:
+                nxt[r["__c"]] = _l2([r[f"__s{i}"] / r["__n"] for i in range(dim)])
+        cents = nxt
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], schema="centroid_id INT, centroid ARRAY<DOUBLE>"
+    )
+
+
+def _l2(v: list[float]) -> list[float]:
+    n = sum(x * x for x in v) ** 0.5
+    return [x / n for x in v] if n > 0 else list(v)
+
+
+def _nearest_centroid_lit(vec: Column, cents: list[list[float]], dim: int) -> Column:
+    """argmax-cosine centroid id with the centroid matrix inlined as
+    literals — a flat codegen'd expression, no join/window/shuffle.
+    Centroids are unit vectors, so argmax dot == argmax cosine (the
+    row norm is a positive constant across candidates). Ties break to
+    the smallest centroid_id."""
+    els = [F.element_at(vec, i + 1).cast("double") for i in range(dim)]
+    scored = []
+    for cid, c in enumerate(cents):
+        dot: Column = F.lit(0.0)
+        for i in range(dim):
+            if c[i] != 0.0:
+                dot = dot + els[i] * F.lit(c[i])
+        scored.append(F.struct(dot.alias("s"), F.lit(-cid).alias("nid")))
+    best = F.array_max(F.array(*scored))
+    return (-best["nid"]).cast("int")
+
+
 def ivf_topk(
     df: DataFrame,
     id_col: str,
@@ -180,30 +280,27 @@ def ivf_topk(
     n_clusters: int = 16,
     n_probe: int = 4,
     probe_ids: list[int] | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the second scale path
     next to SRP-LSH: partition the corpus into coarse cells, search
     only the ``n_probe`` most promising cells per query.
 
-    Coarse centroids are a deterministic sample (the ``n_clusters``
-    smallest ids) rather than k-means output, so results are
-    bit-reproducible across runs and executors with zero training
-    state; a production build swaps in k-means centroids without
-    touching the plan shape. Every vector is assigned to its
-    max-cosine centroid (broadcast argmax — the centroid table is tiny
-    by construction); queries probe their ``n_probe`` best cells and
-    candidates come from an equi-join on ``centroid_id`` — a
-    shuffle-partitioned join over ~n_probe/n_clusters of the corpus,
-    never a cross join. Exact cosine re-ranks candidates.
+    ``centroids`` (schema ``(centroid_id, centroid)``) selects the
+    coarse quantizer: pass :func:`train_ivf_centroids` output for
+    k-means cells, or leave ``None`` for the deterministic-sample
+    default — bit-reproducible with zero training state, which the
+    DuckDB differential oracle re-derives identically. Every vector is
+    assigned to its max-cosine centroid (broadcast argmax — the
+    centroid table is tiny by construction); queries probe their
+    ``n_probe`` best cells and candidates come from an equi-join on
+    ``centroid_id`` — a shuffle-partitioned join over
+    ~n_probe/n_clusters of the corpus, never a cross join. Exact
+    cosine re-ranks candidates.
     """
-    cent_w = Window.orderBy(F.col("centroid_id_src"))
-    centroids = (
-        df.select(F.col(id_col).alias("centroid_id_src"), F.col(vec_col).alias("__cv"))
-        .orderBy("centroid_id_src")
-        .limit(n_clusters)
-        .withColumn("centroid_id", F.row_number().over(cent_w) - 1)
-        .select("centroid_id", "__cv")
-    )
+    if centroids is None:
+        centroids = sample_centroids(df, id_col, vec_col, n_clusters)
+    centroids = centroids.select("centroid_id", F.col("centroid").alias("__cv"))
 
     def _cells(side: DataFrame, id_alias: str, vec_alias: str, n: int) -> DataFrame:
         scored = side.join(F.broadcast(centroids)).withColumn(

@@ -101,6 +101,51 @@ def test_ivf_recall_vs_exact(spark):
     assert _recall(exact, wide) >= _recall(exact, got)
 
 
+def test_ivf_kmeans_centroids_recall(spark):
+    """k-means cells must not degrade recall vs the deterministic
+    sample at identical (n_clusters, n_probe); trainer output is
+    unit-norm with exactly n_clusters rows."""
+    from adi_226_datawarehouse_project_spark.operators.similarity import (
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    cents = train_ivf_centroids(emb, "vec_id", "embedding", n_clusters=16, n_iter=4)
+    rows = cents.collect()
+    assert len(rows) == 16
+    assert sorted(r["centroid_id"] for r in rows) == list(range(16))
+    for r in rows:
+        assert abs(sum(x * x for x in r["centroid"]) - 1.0) < 1e-9
+
+    probes = list(range(20))
+    exact = cosine_self_topk(emb, "vec_id", "embedding", k=10, probe_ids=probes).collect()
+    sampled = ivf_topk(emb, "vec_id", "embedding", k=10, probe_ids=probes).collect()
+    trained = ivf_topk(
+        emb, "vec_id", "embedding", k=10, probe_ids=probes, centroids=cents
+    ).collect()
+    assert _recall(exact, trained) >= _recall(exact, sampled) - 0.05
+    assert _recall(exact, trained) >= 0.7
+
+
+def test_kmeans_assignment_plan_is_shuffle_free(spark):
+    """The assignment pass inlines centroids as literals — the plan
+    must contain no Exchange (no join, no window)."""
+    from adi_226_datawarehouse_project_spark.operators.similarity import (
+        _nearest_centroid_lit,
+    )
+
+    from pyspark.sql import functions as F2
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    cents = [[1.0 if i == j else 0.0 for i in range(dim)] for j in range(4)]
+    assign = emb.select(_nearest_centroid_lit(F2.col("embedding"), cents, dim).alias("c"))
+    plan = assign._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert assign.count() == emb.count()
+
+
 def test_cosine_self_topk_guards_full_scan(spark):
     """probe_ids=None is an O(n²) all-pairs scan — must be an explicit
     opt-in, not a silent default."""
