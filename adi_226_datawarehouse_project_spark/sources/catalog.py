@@ -65,6 +65,23 @@ def _parallelize_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFram
     return df.repartition(cores)
 
 
+def events_ts_storage(path: str) -> str:
+    """How the events file physically stores ``ts``: ``"nanos"`` when it
+    is parquet TIMESTAMP(NANOS) or a raw int64 (Spark's vectorized
+    reader rejects nanos, so it must be read as a long and truncated to
+    micros — exactly what DuckDB's reader does), ``"timestamp"`` when it
+    is a micro/millisecond timestamp Spark reads natively. The driver's
+    generator has produced both layouts across rounds, so the loader
+    adapts per file instead of assuming one."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_schema(path).field("ts").type
+    if pa.types.is_integer(t) or (pa.types.is_timestamp(t) and t.unit == "ns"):
+        return "nanos"
+    return "timestamp"
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, parallelize: bool = False
 ) -> DataFrame:
@@ -73,12 +90,10 @@ def load_table(
     `parallelize=True` restores task parallelism under CPU-heavy fused
     work when the file has fewer row groups than cores (see above).
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; read it as raw nanos and truncate to
-    microseconds (exactly what DuckDB's reader does), keeping oracle
-    parity."""
+    ``events.ts`` always comes back as a (naive) TIMESTAMP column
+    regardless of the file's physical layout (see events_ts_storage)."""
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events":
+    if name == "events" and events_ts_storage(path) == "nanos":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         from pyspark.sql import functions as F

@@ -22,21 +22,52 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as raw nanos
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def events_schema(sf_dir: str) -> T.StructType:
+    """Explicit readStream schema matching the events file's physical
+    ``ts`` layout (file streams require a user schema; see
+    sources.catalog.events_ts_storage for the nanos-vs-timestamp
+    adaptivity)."""
+    from ..sources.catalog import events_ts_storage
+
+    storage = events_ts_storage(os.path.join(sf_dir, "events.parquet"))
+    ts_type: T.DataType = T.LongType() if storage == "nanos" else T.TimestampNTZType()
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str, **options: str) -> DataFrame:
+    """File-source readStream over the events parquet with ``ts``
+    normalized to a (naive) TIMESTAMP column, whatever the file's
+    physical layout. Extra ``options`` pass through to the reader
+    (e.g. maxFilesPerTrigger="1")."""
+    schema = events_schema(sf_dir)
+    if isinstance(schema["ts"].dataType, T.LongType):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("path", sf_dir)
+        .option("pathGlobFilter", "events.parquet")
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    df = reader.load()
+    if isinstance(schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
 
 
 def _with_event_time(df: DataFrame) -> DataFrame:
-    """Raw nanos (stream path) and pre-converted timestamp (batch path
-    via sources.catalog.load_table) both normalize to `event_time`."""
+    """Raw nanos (legacy layout) and timestamp ``ts`` both normalize to
+    `event_time`."""
     if isinstance(df.schema["ts"].dataType, T.LongType):
         return df.withColumn("event_time", F.expr("timestamp_micros(ts div 1000)"))
     return df.withColumn("event_time", F.col("ts"))
@@ -68,14 +99,7 @@ def run_windowed_counts_once(
 ) -> DataFrame:
     """Drive the streaming query to completion over the parquet file
     source and return the materialized result."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .format("parquet")
-        .option("path", os.path.join(sf_dir))
-        .option("pathGlobFilter", "events.parquet")
-        .load()
-    )
+    stream = read_events_stream(spark, sf_dir)
     agg = _windowed(_with_event_time(stream).withWatermark("event_time", watermark), window)
     name = "events_windowed_out"
     q = (

@@ -19,7 +19,6 @@ block — per-group Python cost, never per-row.
 
 from __future__ import annotations
 
-import os
 from collections.abc import Iterator
 
 import pandas as pd
@@ -27,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from .events_stream import EVENTS_SCHEMA
+from .events_stream import read_events_stream
 
 OUTPUT_SCHEMA = "user_id bigint, n_sessions bigint"
 STATE_SCHEMA = "last_ts double, n_sessions bigint"
@@ -41,7 +40,9 @@ def _sessionize_fold(gap_seconds: float):
     ) -> Iterator[pd.DataFrame]:
         last_ts, n_sessions = state.get if state.exists else (None, 0)
         ts = pd.concat([pdf["event_time"] for pdf in pdfs]).sort_values()
-        for t in ts.astype("int64") / 1e9:  # ns → epoch seconds
+        # normalize to ns first: Arrow hands micro-resolution batches
+        # as datetime64[us] in pandas 2.x, ns-resolution as [ns]
+        for t in ts.astype("datetime64[ns]").astype("int64") / 1e9:
             if last_ts is None or t - last_ts > gap_seconds:
                 n_sessions += 1
             last_ts = t
@@ -60,15 +61,8 @@ def streaming_sessionize(
     """Run the stateful sessionizer over the events parquet as a
     stream; returns the final per-user session counts (memory sink,
     update mode — last emitted row per user wins)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .format("parquet")
-        .option("path", os.path.join(sf_dir))
-        .option("pathGlobFilter", "events.parquet")
-        .option("maxFilesPerTrigger", "1")
-        .load()
-        .withColumn("event_time", F.expr("timestamp_micros(ts div 1000)"))
+    stream = read_events_stream(spark, sf_dir, maxFilesPerTrigger="1").withColumn(
+        "event_time", F.col("ts")
     )
     sessions = stream.groupBy("user_id").applyInPandasWithState(
         _sessionize_fold(gap_seconds),

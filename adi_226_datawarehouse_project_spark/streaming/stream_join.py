@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .events_stream import EVENTS_SCHEMA
+from .events_stream import read_events_stream
 
 RANGE_SECONDS = 600
 
@@ -60,17 +60,8 @@ def run_stream_stream_join_once(
 ) -> DataFrame:
     """Drive the streaming join to completion over the parquet file
     source and return the summarized matches."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-
     def _stream() -> DataFrame:
-        return (
-            spark.readStream.schema(EVENTS_SCHEMA)
-            .format("parquet")
-            .option("path", sf_dir)
-            .option("pathGlobFilter", "events.parquet")
-            .load()
-            .withColumn("event_time", F.expr("timestamp_micros(ts div 1000)"))
-        )
+        return read_events_stream(spark, sf_dir).withColumn("event_time", F.col("ts"))
 
     clicks = (
         _stream()

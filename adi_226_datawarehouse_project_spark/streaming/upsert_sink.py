@@ -26,7 +26,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .events_stream import EVENTS_SCHEMA
+from .events_stream import read_events_stream
 
 
 def upsert_batch(
@@ -64,16 +64,7 @@ def stream_upsert_events(
     """Drive one full pass of the events file stream into the upsert
     sink (blocks until the source is drained)."""
     keys = keys or ["event_id"]
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .format("parquet")
-        .option("path", sf_dir)
-        .option("pathGlobFilter", "events.parquet")
-        .option("maxFilesPerTrigger", "1")
-        .load()
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
+    stream = read_events_stream(spark, sf_dir, maxFilesPerTrigger="1")
     q = (
         stream.writeStream.foreachBatch(
             lambda bdf, _epoch: upsert_batch(spark, bdf, target_path, keys)
