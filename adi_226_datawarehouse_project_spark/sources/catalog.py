@@ -69,16 +69,22 @@ def events_ts_storage(path: str) -> str:
     """How the events file physically stores ``ts``: ``"nanos"`` when it
     is parquet TIMESTAMP(NANOS) or a raw int64 (Spark's vectorized
     reader rejects nanos, so it must be read as a long and truncated to
-    micros — exactly what DuckDB's reader does), ``"timestamp"`` when it
-    is a micro/millisecond timestamp Spark reads natively. The driver's
-    generator has produced both layouts across rounds, so the loader
-    adapts per file instead of assuming one."""
+    micros — exactly what DuckDB's reader does), ``"ntz"`` when it is a
+    micro/milli timestamp WITHOUT a timezone (Spark 4 infers
+    TIMESTAMP_NTZ by default — illegal for watermarks/unix_micros, so
+    the loader casts it to session-tz TIMESTAMP; the session tz is
+    pinned UTC so values are unchanged), ``"timestamp"`` when it is a
+    tz-adjusted micro/milli timestamp Spark reads natively. The
+    driver's generator has produced all three layouts across rounds, so
+    the loader adapts per file instead of assuming one."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     t = pq.read_schema(path).field("ts").type
     if pa.types.is_integer(t) or (pa.types.is_timestamp(t) and t.unit == "ns"):
         return "nanos"
+    if pa.types.is_timestamp(t) and t.tz is None:
+        return "ntz"
     return "timestamp"
 
 
@@ -101,6 +107,17 @@ def load_table(
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     else:
         df = spark.read.parquet(path)
+    if name == "events":
+        # Whatever layout the file had, ``ts`` leaves here as TIMESTAMP:
+        # TIMESTAMP_NTZ (Spark 4's default inference for non-tz parquet)
+        # rejects watermarks, unix_micros, and numeric casts, and the
+        # session tz is pinned UTC so the cast is value-preserving.
+        from pyspark.sql import types as T
+
+        if isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return _parallelize_scan(spark, df, path) if parallelize else df
 
 

@@ -30,7 +30,11 @@ def events_schema(sf_dir: str) -> T.StructType:
     from ..sources.catalog import events_ts_storage
 
     storage = events_ts_storage(os.path.join(sf_dir, "events.parquet"))
-    ts_type: T.DataType = T.LongType() if storage == "nanos" else T.TimestampNTZType()
+    # "ntz" files (naive micros) are read with a TIMESTAMP schema: the
+    # parquet reader honors the requested type and interprets the naive
+    # value in the session tz (pinned UTC) — never TIMESTAMP_NTZ, which
+    # Spark rejects as an event-time/watermark column.
+    ts_type: T.DataType = T.LongType() if storage == "nanos" else T.TimestampType()
     return T.StructType(
         [
             T.StructField("event_id", T.LongType()),
@@ -66,11 +70,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str, **options: str) -> Data
 
 
 def _with_event_time(df: DataFrame) -> DataFrame:
-    """Raw nanos (legacy layout) and timestamp ``ts`` both normalize to
-    `event_time`."""
+    """Normalize any ``ts`` layout to a watermark-legal `event_time`:
+    raw nanos (legacy layout) via micros truncation; timestamp/NTZ via
+    an explicit cast so a future driver-side layout drift cannot
+    re-break watermarking (TIMESTAMP_NTZ is rejected as event time)."""
     if isinstance(df.schema["ts"].dataType, T.LongType):
         return df.withColumn("event_time", F.expr("timestamp_micros(ts div 1000)"))
-    return df.withColumn("event_time", F.col("ts"))
+    return df.withColumn("event_time", F.col("ts").cast("timestamp"))
 
 
 def _windowed(df: DataFrame, window: str) -> DataFrame:

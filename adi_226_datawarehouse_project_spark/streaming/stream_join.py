@@ -39,7 +39,9 @@ def clicks_purchases_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch form (oracle-checked); identical join shape."""
     from ..sources.catalog import load_table
 
-    ev = load_table(spark, sf_dir, "events").withColumn("event_time", F.col("ts"))
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_time", F.col("ts").cast("timestamp")
+    )
     clicks = ev.filter(F.col("event_type") == "click").select(
         "user_id", F.col("event_time").alias("click_time")
     )
@@ -61,7 +63,11 @@ def run_stream_stream_join_once(
     """Drive the streaming join to completion over the parquet file
     source and return the summarized matches."""
     def _stream() -> DataFrame:
-        return read_events_stream(spark, sf_dir).withColumn("event_time", F.col("ts"))
+        # Explicit cast: watermark columns must be TIMESTAMP, and the
+        # source schema must never be trusted across fixture layouts.
+        return read_events_stream(spark, sf_dir).withColumn(
+            "event_time", F.col("ts").cast("timestamp")
+        )
 
     clicks = (
         _stream()
