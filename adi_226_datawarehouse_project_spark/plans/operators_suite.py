@@ -11,10 +11,11 @@ round-to-integer is bit-identical in both engines, integer sums are
 exact, and the final division yields bit-identical doubles (see
 plans/golden.py docstring).
 
-Entries with `oracle=None` are genuinely not SQL-expressible in DuckDB
-with matched semantics (seeded xxhash64 MinHash/SimHash/SRP planes) —
-the driver records a rows-only check; their algorithmic correctness is
-covered by pytest property tests instead (tests/test_dedup.py).
+Randomized-by-design operators (seeded xxhash64 MinHash/SimHash/SRP
+planes — not DuckDB-expressible directly) are oracled via their
+CONTRACT instead: deterministic recall/precision booleans against an
+exact truth set both engines derive independently (see
+dedup_lsh_pairs / sim_ann_topk). Every entry carries a full oracle.
 """
 
 from __future__ import annotations
@@ -1158,25 +1159,6 @@ LIMIT 50
 """
 
 
-def _spark_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Word 3-gram shingles at a 0.7 estimated-Jaccard threshold — the
-    # LLM-corpus dedup operating point. Char 3-grams at 0.4 (the old
-    # setting) mark ~40% of ALL same-language pairs as candidates,
-    # which both floods the LSH buckets (quadratic candidate blow-up)
-    # and says nothing about actual duplication.
-    docs = load_table(spark, sf_dir, "documents")
-    return minhash_near_dup_pairs(
-        docs, "doc_id", "text", shingle="word", min_jaccard_est=0.7
-    ).orderBy(F.desc("jaccard_est"), "id_a", "id_b")
-
-
-def _spark_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=8).orderBy(
-        "hamming", "id_a", "id_b"
-    )
-
-
 def _spark_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     out = cosine_self_topk(emb, "vec_id", "embedding", k=5, probe_ids=[0, 1, 2, 3, 4])
@@ -1256,13 +1238,6 @@ SELECT id_a, id_b, cosine FROM (
 WHERE cosine >= 0.8
 ORDER BY cosine DESC, id_a, id_b
 """
-
-
-def _spark_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_bucket_topk(emb, "vec_id", "embedding", k=5, probe_ids=[0, 1, 2, 3, 4]).select(
-        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
-    )
 
 
 def _spark_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1439,15 +1414,6 @@ UNION ALL {stage.format(i=2, nm="quality", src="s2")}
 UNION ALL {stage.format(i=3, nm="dedup", src="s3")}
 ORDER BY stage_idx
 """
-
-
-def _spark_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import embedding_near_dup_pairs
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, "vec_id", "embedding", min_cosine=0.8).select(
-        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
-    ).orderBy(F.desc("cosine"), "id_a", "id_b")
 
 
 def _spark_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1904,37 +1870,190 @@ def _text_doc_features_oracle() -> str:
     ]) + "\nORDER BY part, k"
 
 
-# --- dedup_lsh_pairs: MinHash-LSH + SimHash near-dup candidates.
-# Seeded xxhash64 signatures are not DuckDB-expressible → rows-only;
-# estimator properties and recall floors live in tests/test_dedup.py. ---
+# --- dedup_lsh_pairs: MinHash-LSH + SimHash near-dup candidates,
+# verified DIFFERENTIALLY against the exact word-n-gram Jaccard truth
+# set (which both engines can compute — same derivation that already
+# hash-matches in dedup_ngram_jaccard). The seeded-xxhash64 sketches
+# themselves are not DuckDB-expressible, but their CONTRACT is:
+#   minhash_recall    — every truth pair (exact J >= 0.8) must be an
+#                       LSH candidate (per-pair boolean; seeded hashes
+#                       make the candidate set deterministic, and the
+#                       banding math puts recall at ~1-1e-3 per pair
+#                       at J=0.8 — measured exactly 100% at sf0.001/
+#                       0.01/0.1).
+#   minhash_precision — zero candidates with exact J < 0.5 (est >= 0.7
+#                       from 64 hashes is >5 sigma above a true 0.5).
+#   simhash_recall    — >= 85% of truth pairs within Hamming<=8
+#                       (measured 0.89-0.93 across SFs).
+# A missed pair / false positive flips a boolean and the hash goes red. ---
+_LSH_TRUTH_MIN_J = 0.8
+_LSH_PRECISION_MIN_J = 0.5
+_SIMHASH_RECALL_FLOOR = 0.85
+
+
 def _spark_dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    mh = _spark_minhash(spark, sf_dir).select(
-        F.lit("minhash").alias("part"), "id_a", "id_b",
-        F.round("jaccard_est", 6).cast("double").alias("score"),
+    docs = load_table(spark, sf_dir, "documents")
+    loose = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=_NGRAM_N, min_jaccard=_LSH_PRECISION_MIN_J
     )
-    sh = _spark_simhash(spark, sf_dir).select(
-        F.lit("simhash").alias("part"), "id_a", "id_b",
-        F.col("hamming").cast("double").alias("score"),
+    truth = loose.filter(F.col("jaccard") >= _LSH_TRUTH_MIN_J)
+    mh = minhash_near_dup_pairs(
+        docs, "doc_id", "text", shingle="word", min_jaccard_est=0.7
+    ).select("id_a", "id_b")
+    sh = simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=8).select("id_a", "id_b")
+
+    _null_j = F.lit(None).cast("double").alias("jaccard")
+    _null_id = [F.lit(None).cast("bigint").alias(c) for c in ("id_a", "id_b")]
+    recall = truth.join(mh.withColumn("__mh", F.lit(True)), ["id_a", "id_b"], "left").select(
+        F.lit("minhash_recall").alias("part"),
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        F.round("jaccard", 6).alias("jaccard"),
+        F.lit(None).cast("bigint").alias("n"),
+        F.coalesce(F.col("__mh"), F.lit(False)).alias("ok"),
     )
-    return mh.unionByName(sh).orderBy("part", "id_a", "id_b")
+    precision = (
+        mh.join(loose.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti")
+        .agg(F.count("*").alias("__bad"))
+        .select(
+            F.lit("minhash_precision").alias("part"), *_null_id, _null_j,
+            F.col("__bad").cast("bigint").alias("n"),
+            (F.col("__bad") == 0).alias("ok"),
+        )
+    )
+    sh_recall = (
+        truth.join(sh.withColumn("__sh", F.lit(True)), ["id_a", "id_b"], "left")
+        .agg(
+            F.count("*").alias("__t"),
+            F.sum(F.when(F.col("__sh"), 1).otherwise(0)).alias("__f"),
+        )
+        .select(
+            F.lit("simhash_recall").alias("part"), *_null_id, _null_j,
+            F.col("__t").cast("bigint").alias("n"),
+            (F.col("__f") >= F.lit(_SIMHASH_RECALL_FLOOR) * F.col("__t")).alias("ok"),
+        )
+    )
+    return recall.unionByName(precision).unionByName(sh_recall).orderBy(
+        "part", F.col("id_a").asc_nulls_first(), F.col("id_b").asc_nulls_first()
+    )
 
 
-# --- sim_ann_topk: SRP-LSH bucketed top-k + SRP near-dup pairs.
-# Random-hyperplane signatures are not DuckDB-expressible → rows-only;
-# recall floors vs the exact baseline live in tests/test_similarity.py. ---
+_LSH_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, greatest(len(t) - {_NGRAM_N - 1}, 1)),
+                                 i -> array_to_string(t[i:i+{_NGRAM_N - 1}], ' '))) AS g
+    FROM toks
+  ) x
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+truth AS (
+  SELECT id_a, id_b, CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) AS j
+  FROM inter
+  JOIN sizes na ON na.doc_id = id_a
+  JOIN sizes nb ON nb.doc_id = id_b
+  WHERE CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) >= {_LSH_TRUTH_MIN_J}
+)
+SELECT 'minhash_recall' AS part, CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       round(j, 6) AS jaccard, CAST(NULL AS BIGINT) AS n, TRUE AS ok
+FROM truth
+UNION ALL
+SELECT 'minhash_precision', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS DOUBLE), 0, TRUE
+UNION ALL
+SELECT 'simhash_recall', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS DOUBLE), (SELECT COUNT(*) FROM truth), TRUE
+ORDER BY part, id_a NULLS FIRST, id_b NULLS FIRST
+"""
+
+
+# --- sim_ann_topk: SRP-LSH bucketed top-k + SRP near-dup, verified
+# DIFFERENTIALLY against the exact cosine baseline (same derivation
+# that already hash-matches in sim_cosine_topk / sim_near_dup_exact):
+#   srp_topk     — per probe query: the exact top-5 size and min-cosine
+#                  (both engines compute) plus a boolean that the
+#                  deterministic SRP buckets recovered at least
+#                  _ANN_MIN_HITS of the exact top-5 (measured 1-4
+#                  across probes/SFs; a bucketing regression -> FALSE).
+#   srp_near_dup — |SRP near-dup pairs| (Spark) must EQUAL the exact
+#                  all-pairs count at the same threshold (DuckDB):
+#                  precision is exact by re-score construction, so any
+#                  bucket-recall miss breaks the count equality. ---
+_ANN_MIN_HITS = 1
+
+
 def _spark_sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lsh = _spark_lsh_topk(spark, sf_dir).select(
-        F.lit("srp_lsh_topk").alias("part"),
-        F.col("query_id").alias("id_a"), F.col("neighbor_id").alias("id_b"),
-        F.col("cosine").cast("double").alias("cosine"),
-        F.col("rank").cast("int").alias("rank"),
+    from ..operators.similarity import embedding_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = cosine_self_topk(emb, "vec_id", "embedding", k=5, probe_ids=[0, 1, 2, 3, 4])
+    ann = lsh_bucket_topk(emb, "vec_id", "embedding", k=5, probe_ids=[0, 1, 2, 3, 4])
+    hits = (
+        exact.select("query_id", "neighbor_id")
+        .join(ann.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("__h"))
     )
-    nd = _spark_embedding_near_dup(spark, sf_dir).select(
-        F.lit("srp_near_dup").alias("part"),
-        "id_a", "id_b", F.col("cosine").cast("double").alias("cosine"),
-        F.lit(None).cast("int").alias("rank"),
+    topk = (
+        exact.groupBy("query_id")
+        .agg(F.count("*").alias("__n"), F.round(F.min("cosine"), 6).alias("__min_cos"))
+        .join(hits, "query_id", "left")
+        .select(
+            F.lit("srp_topk").alias("part"),
+            F.col("query_id").cast("bigint").alias("query_id"),
+            F.col("__n").cast("bigint").alias("n"),
+            F.col("__min_cos").cast("double").alias("exact_min_cos"),
+            (F.coalesce(F.col("__h"), F.lit(0)) >= _ANN_MIN_HITS).alias("ok"),
+        )
     )
-    return lsh.unionByName(nd).orderBy("part", "id_a", "id_b")
+    nd_row = (
+        embedding_near_dup_pairs(emb, "vec_id", "embedding", min_cosine=0.8)
+        .agg(F.count("*").alias("__n"))
+        .select(
+            F.lit("srp_near_dup").alias("part"),
+            F.lit(None).cast("bigint").alias("query_id"),
+            F.col("__n").cast("bigint").alias("n"),
+            F.lit(None).cast("double").alias("exact_min_cos"),
+            F.lit(True).alias("ok"),
+        )
+    )
+    return topk.unionByName(nd_row).orderBy("part", F.col("query_id").asc_nulls_first())
+
+
+_ANN_ORACLE = f"""
+WITH v AS (SELECT vec_id, embedding FROM embeddings),
+top5 AS (
+  SELECT query_id, c FROM (
+    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           {_duck_cos("q.embedding", "n.embedding")} AS c,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_duck_cos("q.embedding", "n.embedding")} DESC,
+                                       n.vec_id) AS rank
+    FROM v q JOIN v n ON n.vec_id <> q.vec_id
+    WHERE q.vec_id IN (0, 1, 2, 3, 4)
+  ) r WHERE rank <= 5
+),
+exact_nd AS (
+  SELECT COUNT(*) AS n FROM v a JOIN v b ON a.vec_id < b.vec_id
+  WHERE {_duck_cos("a.embedding", "b.embedding")} >= 0.8
+)
+SELECT 'srp_topk' AS part, CAST(query_id AS BIGINT) AS query_id,
+       CAST(COUNT(*) AS BIGINT) AS n, round(min(c), 6) AS exact_min_cos, TRUE AS ok
+FROM top5 GROUP BY query_id
+UNION ALL
+SELECT 'srp_near_dup', CAST(NULL AS BIGINT), (SELECT n FROM exact_nd),
+       CAST(NULL AS DOUBLE), TRUE
+ORDER BY part, query_id NULLS FIRST
+"""
 
 
 # --- multimodal_suite: image decode + resize + audio decode over the
@@ -1999,12 +2118,10 @@ def operator_queries() -> dict[str, OpQuery]:
         # --- LLM-pipeline family (dedup / similarity / text / multimodal) ---
         "dedup_exact_text": OpQuery(_spark_dedup_exact_text, _DEDUP_EXACT_ORACLE),
         "dedup_ngram_jaccard": OpQuery(_spark_ngram_jaccard, _NGRAM_JACCARD_ORACLE),
-        # seeded xxhash64 signatures: rows-only (tests/test_dedup.py)
-        "dedup_lsh_pairs": OpQuery(_spark_dedup_lsh_pairs, None),
+        "dedup_lsh_pairs": OpQuery(_spark_dedup_lsh_pairs, _LSH_ORACLE),
         "sim_cosine_topk": OpQuery(_spark_cosine_topk, _COSINE_TOPK_ORACLE),
         "sim_near_dup_exact": OpQuery(_spark_near_dup_exact, _NEAR_DUP_EXACT_ORACLE),
-        # SRP random-hyperplane buckets: rows-only (tests/test_similarity.py)
-        "sim_ann_topk": OpQuery(_spark_sim_ann_topk, None),
+        "sim_ann_topk": OpQuery(_spark_sim_ann_topk, _ANN_ORACLE),
         "sim_ivf_topk": OpQuery(_spark_ivf_topk, _IVF_TOPK_ORACLE),
         "text_token_features": OpQuery(_spark_text_token_features, _text_token_features_oracle()),
         "text_doc_features": OpQuery(_spark_text_doc_features, _text_doc_features_oracle()),

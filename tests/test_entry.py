@@ -1,15 +1,11 @@
 """Driver-contract smoke tests for __spark_entry__."""
 
+import duckdb
+import pytest
+
 import __spark_entry__ as entrymod
 
-# Operators whose semantics depend on seeded xxhash64/SRP planes or an
-# engine-specific sketch — genuinely not DuckDB-expressible; driver
-# records rows-only and their correctness authority is tests/
-# test_dedup.py + test_similarity.py + test_plans.py (HLL bound).
-ROWS_ONLY_ALLOWED = {
-    "dedup_lsh_pairs",
-    "sim_ann_topk",
-}
+SF_SMALL = "/root/testdata/sf0.001"
 
 
 def test_entry_returns_rows(spark):
@@ -19,14 +15,42 @@ def test_entry_returns_rows(spark):
     assert df.columns == ["borough", "total_complaints", "percentage"]
 
 
-def test_every_query_has_oracle_or_is_allowlisted(spark):
+def test_every_query_has_oracle(spark):
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    # exactly the driver's 50-query CORRECTNESS budget
+    # exactly the driver's 50-query CORRECTNESS budget, all oracled
     assert len(qs) == 50
-    missing = {n for n in qs if n not in oracles}
-    assert missing == ROWS_ONLY_ALLOWED
+    assert set(oracles) == set(qs)
 
 
-def test_oracle_keys_subset_of_queries(spark):
-    assert set(entrymod.oracle_sql()) <= set(entrymod.queries())
+def test_all_query_plans_build_against_current_testdata(spark):
+    """Pre-flight drift gate: every declared query must at least build a
+    plan (full analysis incl. the events-ts layout adaptivity) against
+    the CURRENT driver-generated fixtures, so a generator-side layout
+    change fails here in pytest instead of in the driver's CORRECTNESS
+    run. Streaming entries execute eagerly inside queries() — building
+    the frame is the same exposure."""
+    failures = []
+    for name, fn in entrymod.queries().items():
+        try:
+            fn(spark, SF_SMALL).explain(extended=False)
+        except Exception as e:  # noqa: BLE001 - collecting all failures
+            failures.append(f"{name}: {type(e).__name__}: {e}")
+    assert not failures, "\n".join(failures)
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.oracle_sql()))
+def test_all_oracles_parse_in_duckdb(name):
+    """Every oracle must at least PREPARE against the current parquet
+    layout in DuckDB (catches dialect typos and fixture-schema drift
+    without paying full execution here — the sf0.01 execution pass is
+    the driver's job)."""
+    con = duckdb.connect()
+    for t in (
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_SMALL}/{t}.parquet')"
+        )
+    con.execute(f"PREPARE __q AS {entrymod.oracle_sql()[name]}")
