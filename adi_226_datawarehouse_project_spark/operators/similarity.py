@@ -188,22 +188,61 @@ def sample_centroids(df: DataFrame, id_col: str, vec_col: str, n_clusters: int) 
     )
 
 
+# Literal-inlined argmax materializes k×dim multiply-add terms in ONE
+# codegen'd expression. Past ~10^4 terms Catalyst falls back to
+# interpreted evaluation (or trips the 64KB JVM method limit), so
+# production-width models (k=4096, d=1024) must assign via the
+# broadcast-centroid join instead. The literal path stays the default
+# below the threshold because it is shuffle-free.
+_INLINE_MAX_TERMS = 10_000
+
+
+def _assign_join(vecs: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """(__c assigned-centroid, __v) via broadcast join + map-side-
+    combined argmax — the k-means assignment scale path. The centroid
+    table (k rows) broadcasts; the n×k scored rows collapse to n via
+    partial aggregation before any shuffle, and centroids are unit
+    vectors so argmax dot == argmax cosine (ties to smallest id, same
+    contract as :func:`_nearest_centroid_lit`)."""
+    spark = vecs.sparkSession
+    cent = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], schema="centroid_id INT, __cv ARRAY<DOUBLE>"
+    )
+    scored = vecs.join(F.broadcast(cent)).withColumn(
+        "__dot", _dot(F.col("__v"), F.col("__cv"))
+    )
+    best = F.max(
+        F.struct(F.col("__dot").alias("s"), (-F.col("centroid_id")).alias("nid"))
+    ).alias("__b")
+    return (
+        scored.groupBy("__id")
+        .agg(best, F.first("__v").alias("__v"))
+        .select((-F.col("__b.nid")).cast("int").alias("__c"), "__v")
+    )
+
+
 def train_ivf_centroids(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     n_clusters: int = 16,
     n_iter: int = 5,
+    inline_max_terms: int = _INLINE_MAX_TERMS,
 ) -> DataFrame:
     """Spherical k-means (Lloyd) coarse-centroid training for IVF —
     the quality upgrade over :func:`sample_centroids` when exact
     cross-engine reproducibility of the cells is not required.
 
-    Distribution contract: the per-row work (assignment) runs as pure
-    Column expressions over the full corpus — centroids enter the plan
-    as *literals* (k×dim doubles), so there is no join, no window and
-    no shuffle in the assignment pass; the mean-update is one
-    map-side-combined groupBy producing exactly ``n_clusters`` rows.
+    Distribution contract: below ``inline_max_terms`` total k×dim
+    terms, the per-row assignment runs as pure Column expressions over
+    the full corpus — centroids enter the plan as *literals*, so there
+    is no join, no window and no shuffle in the assignment pass. Above
+    the threshold (where a literal expression would blow codegen — see
+    ``_INLINE_MAX_TERMS``) assignment switches to the broadcast-
+    centroid join with a map-side-combined argmax (:func:`_assign_join`)
+    — same assignments, one bounded shuffle of n pre-combined rows. The
+    mean-update is one map-side-combined groupBy producing exactly
+    ``n_clusters`` rows either way.
     The only driver-side state per iteration is the k×dim centroid
     matrix itself (a few KB) — the same driver-resident model state
     every distributed k-means keeps (e.g. Spark MLlib's). Nothing
@@ -224,9 +263,15 @@ def train_ivf_centroids(
         for r in df.select(id_col, vec_col).orderBy(id_col).limit(n_clusters).collect()
     )
     cents = [_l2(v) for _, v in seed_rows]
-    vecs = df.select(F.col(vec_col).alias("__v"))
+    use_join = n_clusters * dim > inline_max_terms
+    vecs = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
     for _ in range(n_iter):
-        assign = vecs.select(_nearest_centroid_lit(F.col("__v"), cents, dim).alias("__c"), "__v")
+        if use_join:
+            assign = _assign_join(vecs, cents)
+        else:
+            assign = vecs.select(
+                _nearest_centroid_lit(F.col("__v"), cents, dim).alias("__c"), "__v"
+            )
         new_rows = (
             assign.groupBy("__c")
             .agg(

@@ -146,6 +146,51 @@ def test_kmeans_assignment_plan_is_shuffle_free(spark):
     assert assign.count() == emb.count()
 
 
+def test_kmeans_assignment_thresholds_to_broadcast_join(spark):
+    """Past _INLINE_MAX_TERMS (k×dim), literal inlining would blow
+    codegen — assignment must switch to the broadcast-join argmax and
+    produce IDENTICAL centroids to the literal path at any width."""
+    import numpy as np
+
+    from adi_226_datawarehouse_project_spark.operators.similarity import (
+        _assign_join,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.default_rng(7)
+
+    # Path equivalence at a width where the literal path is feasible:
+    # dim=64 k=32 (2048 terms -> literal by default; force join with
+    # inline_max_terms=0) must yield bit-compatible centroids.
+    dim, n, k = 64, 300, 32
+    rows = [(i, rng.standard_normal(dim).tolist()) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+    lits = train_ivf_centroids(emb, "vec_id", "embedding", n_clusters=k, n_iter=2)
+    joined = train_ivf_centroids(
+        emb, "vec_id", "embedding", n_clusters=k, n_iter=2, inline_max_terms=0
+    )
+    got = {r["centroid_id"]: r["centroid"] for r in joined.collect()}
+    want = {r["centroid_id"]: r["centroid"] for r in lits.collect()}
+    assert got.keys() == want.keys()
+    for cid in want:
+        assert np.allclose(got[cid], want[cid], atol=1e-12), f"centroid {cid} differs"
+
+    # Production width (dim=256, k*dim=12288 > _INLINE_MAX_TERMS): the
+    # auto path must train without a literal blowup (the forced-literal
+    # form OOMs codegen here) and the assignment plan must be a
+    # broadcast join, never a sort-merge join of the corpus.
+    dim_w, k_w = 256, 48
+    wide_rows = [(i, rng.standard_normal(dim_w).tolist()) for i in range(150)]
+    wide = spark.createDataFrame(wide_rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+    cents_wide = train_ivf_centroids(wide, "vec_id", "embedding", n_clusters=k_w, n_iter=1)
+    assert cents_wide.count() == k_w
+    vecs = wide.select(F.col("vec_id").alias("__id"), F.col("embedding").alias("__v"))
+    cents = [r["centroid"] for r in cents_wide.collect()]
+    plan = _assign_join(vecs, cents)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_cosine_self_topk_guards_full_scan(spark):
     """probe_ids=None is an O(n²) all-pairs scan — must be an explicit
     opt-in, not a silent default."""
