@@ -942,6 +942,41 @@ FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+def _spark_manifest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-struct manifest write→read (§1.2 nested struct row): the
+    read-back must expose the struct fields by name, and the stats
+    struct carries a value only the data can produce (orders count) so
+    the oracle check is genuinely differential."""
+    from ..sources.writers import read_run_manifest, write_run_manifest
+
+    path = f"{_io_dir(sf_dir)}/run_manifest"
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    write_run_manifest(
+        spark,
+        path,
+        job_name="merge_311_airbnb",
+        run_utc="2026-01-01T00:00:00Z",
+        inputs={"complaints": "events.parquet", "airbnb": "documents.parquet"},
+        outputs={"joined": "joined"},
+        stats={"n_orders": n_orders},
+    )
+    m = read_run_manifest(spark, path)
+    return m.select(
+        F.concat_ws(
+            "|", F.col("job_name"), F.col("inputs.airbnb"),
+            F.col("inputs.complaints"), F.col("outputs.joined"), F.col("run_utc"),
+        ).alias("k"),
+        F.col("stats.n_orders").alias("n_orders"),
+    )
+
+
+_MANIFEST_ROUNDTRIP_ORACLE = """
+SELECT 'merge_311_airbnb|documents.parquet|events.parquet|joined|2026-01-01T00:00:00Z' AS k,
+       COUNT(*) AS n_orders
+FROM orders
+"""
+
+
 def _spark_partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gold-zone partitioned layout (K1 + §4 partition pruning): write
     lineitem partitioned by ship year, read back filtered to one year —
@@ -1776,7 +1811,14 @@ def _spark_io_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name"), F.col("n_nationkey"),
         F.when(F.col("park_borough").isNull(), 1).otherwise(0),
     )
-    return csv.unionByName(js).unionByName(prune).unionByName(pad).orderBy("part", "k")
+    man = _norm_part(
+        _spark_manifest_roundtrip(spark, sf_dir), "manifest_struct",
+        F.col("k"), F.col("n_orders"),
+    )
+    return (
+        csv.unionByName(js).unionByName(prune).unionByName(pad).unionByName(man)
+        .orderBy("part", "k")
+    )
 
 
 def _duck_norm(part: str, body: str, k: str, n: str = "NULL", n2: str = "NULL") -> str:
@@ -1800,6 +1842,7 @@ _IO_SUITE_ORACLE = "\nUNION ALL\n".join([
         "schema_padding", _SCHEMA_CONTRACT_ORACLE,
         k="n_name", n="n_nationkey", n2="CASE WHEN park_borough IS NULL THEN 1 ELSE 0 END",
     ),
+    _duck_norm("manifest_struct", _MANIFEST_ROUNDTRIP_ORACLE, k="k", n="n_orders"),
 ]) + "\nORDER BY part, k"
 
 

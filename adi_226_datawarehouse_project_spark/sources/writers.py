@@ -67,6 +67,58 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def write_run_manifest(
+    spark: SparkSession,
+    path: str,
+    job_name: str,
+    run_utc: str,
+    inputs: dict[str, str],
+    outputs: dict[str, str],
+    stats: dict[str, int] | None = None,
+) -> None:
+    """Nested-struct run manifest (K5 + SURVEY §1.2 nested struct row):
+    the reference writes a one-row JSON manifest whose ``inputs`` /
+    ``outputs`` are nested objects (`Glue job to merge 311
+    Airbnb.py:154-162`). Typed as STRUCTs (not maps) with sorted field
+    names so readers get named-field access and a deterministic
+    schema; ``stats`` carries numeric run metrics (row counts etc.).
+    One row → single_file semantics are inherent (coalesce(1))."""
+    from pyspark.sql import types as T
+
+    stats = stats or {}
+
+    def _str_struct(d: dict[str, str]) -> T.StructType:
+        return T.StructType([T.StructField(k, T.StringType()) for k in sorted(d)])
+
+    schema = T.StructType(
+        [
+            T.StructField("job_name", T.StringType()),
+            T.StructField("run_utc", T.StringType()),
+            T.StructField("inputs", _str_struct(inputs)),
+            T.StructField("outputs", _str_struct(outputs)),
+            T.StructField(
+                "stats",
+                T.StructType([T.StructField(k, T.LongType()) for k in sorted(stats)]),
+            ),
+        ]
+    )
+    row = (
+        job_name,
+        run_utc,
+        tuple(inputs[k] for k in sorted(inputs)),
+        tuple(outputs[k] for k in sorted(outputs)),
+        tuple(int(stats[k]) for k in sorted(stats)),
+    )
+    spark.createDataFrame([row], schema).coalesce(1).write.mode("overwrite").json(path)
+
+
+def read_run_manifest(spark: SparkSession, path: str) -> DataFrame:
+    """Read a run manifest back; nested structs must survive the JSON
+    roundtrip (schema inference rebuilds them as structs, which the
+    io-suite oracle verifies value-by-value)."""
+    return spark.read.json(path)
+
+
 def overwrite_table(spark: SparkSession, df: DataFrame, name: str) -> None:
     """Truncate-and-reload staging semantics (K6/K7: TRUNCATE + COPY →
     overwrite). With a real catalog this is saveAsTable(overwrite); in

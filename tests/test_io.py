@@ -95,3 +95,34 @@ def test_ingest_if_absent_is_idempotent(spark):
     assert ingest_if_absent(spark, "k8_region", build) is False
     assert len(calls) == 1  # second call skipped the build entirely
     assert spark.table("k8_region").count() == 5
+
+
+def test_run_manifest_nested_struct_roundtrip(spark, tmp_path):
+    """§1.2 nested struct row: the manifest's inputs/outputs/stats must
+    come back as STRUCT columns with the written values intact."""
+    from adi_226_datawarehouse_project_spark.sources.writers import (
+        read_run_manifest,
+        write_run_manifest,
+    )
+
+    from pyspark.sql import types as T
+
+    path = str(tmp_path / "manifest")
+    write_run_manifest(
+        spark,
+        path,
+        job_name="job_x",
+        run_utc="2026-02-03T04:05:06Z",
+        inputs={"complaints": "s3://raw/311/", "airbnb": "s3://raw/airbnb/"},
+        outputs={"joined": "s3://gold/joined/"},
+        stats={"n_rows": 12345},
+    )
+    m = read_run_manifest(spark, path)
+    assert isinstance(m.schema["inputs"].dataType, T.StructType)
+    assert isinstance(m.schema["stats"].dataType, T.StructType)
+    (r,) = m.collect()
+    assert r["job_name"] == "job_x"
+    assert r["inputs"]["airbnb"] == "s3://raw/airbnb/"
+    assert r["inputs"]["complaints"] == "s3://raw/311/"
+    assert r["outputs"]["joined"] == "s3://gold/joined/"
+    assert r["stats"]["n_rows"] == 12345
