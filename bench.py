@@ -46,11 +46,41 @@ BENCH_QUERIES = [
 ]
 
 
+def _bench_lsh_pairs(spark, sf_dir):
+    """Bench form of the LSH dedup family: the minhash-LSH + simhash
+    candidate operators themselves (signatures → banded buckets →
+    scored pairs). The queries() entry of the same name wraps these in
+    a differential verification harness (exact-Jaccard truth joins) —
+    correct for the oracle gate, but benching it would time the test
+    fixture instead of the operator."""
+    from pyspark.sql import functions as F
+
+    from adi_226_datawarehouse_project_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+        simhash_near_dup_pairs,
+    )
+    from adi_226_datawarehouse_project_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    mh = minhash_near_dup_pairs(
+        docs, "doc_id", "text", shingle="word", min_jaccard_est=0.7
+    ).select(
+        F.lit("minhash").alias("part"), "id_a", "id_b",
+        F.round("jaccard_est", 6).cast("double").alias("score"),
+    )
+    sh = simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=8).select(
+        F.lit("simhash").alias("part"), "id_a", "id_b",
+        F.col("hamming").cast("double").alias("score"),
+    )
+    return mh.unionByName(sh)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     spark = get_spark("bench")
     qs = entrymod.queries()
+    qs["dedup_lsh_pairs"] = _bench_lsh_pairs
 
     # Warm up the JVM so per-query times measure the plan, not session
     # startup: run the actual pipeline once at the tiny sf0.001 so
