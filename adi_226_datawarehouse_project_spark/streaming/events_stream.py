@@ -51,7 +51,14 @@ def read_events_stream(spark: SparkSession, sf_dir: str, **options: str) -> Data
     """File-source readStream over the events parquet with ``ts``
     normalized to a (naive) TIMESTAMP column, whatever the file's
     physical layout. Extra ``options`` pass through to the reader
-    (e.g. maxFilesPerTrigger="1")."""
+    (e.g. maxFilesPerTrigger="1").
+
+    Side effect (nanos layout only): sets
+    spark.sql.legacy.parquet.nanosAsLong for the SESSION — harmless
+    for micro/milli files read elsewhere, but a genuine TIMESTAMP
+    (NANOS) table read later in the same session would come back as
+    raw longs. Scoped restoration isn't possible here because the
+    conf must hold for the stream's whole lifetime."""
     schema = events_schema(sf_dir)
     if isinstance(schema["ts"].dataType, T.LongType):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -70,12 +77,11 @@ def read_events_stream(spark: SparkSession, sf_dir: str, **options: str) -> Data
 
 
 def _with_event_time(df: DataFrame) -> DataFrame:
-    """Normalize any ``ts`` layout to a watermark-legal `event_time`:
-    raw nanos (legacy layout) via micros truncation; timestamp/NTZ via
-    an explicit cast so a future driver-side layout drift cannot
-    re-break watermarking (TIMESTAMP_NTZ is rejected as event time)."""
-    if isinstance(df.schema["ts"].dataType, T.LongType):
-        return df.withColumn("event_time", F.expr("timestamp_micros(ts div 1000)"))
+    """Derive a watermark-legal `event_time` via an explicit cast:
+    both readers (load_table / read_events_stream) already normalize
+    every physical ``ts`` layout to TIMESTAMP, and the cast keeps a
+    future layout drift from re-breaking watermarking (TIMESTAMP_NTZ
+    is rejected as event time)."""
     return df.withColumn("event_time", F.col("ts").cast("timestamp"))
 
 
