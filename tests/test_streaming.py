@@ -24,3 +24,52 @@ def test_stream_matches_batch(spark):
     got_s = _normalize(stream)
     assert len(got_b) > 0
     assert got_s == got_b
+
+
+def test_events_ts_layout_matrix(spark, tmp_path):
+    """Drift-proofing for the driver's events generator: every physical
+    ts layout seen across rounds (int64 nanos, TIMESTAMP_NTZ micros,
+    tz-adjusted micros) must load as a session-tz TIMESTAMP with
+    identical values, in BOTH the batch loader and the readStream
+    schema derivation."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from adi_226_datawarehouse_project_spark.sources.catalog import (
+        events_ts_storage,
+        load_table,
+    )
+    from adi_226_datawarehouse_project_spark.streaming.events_stream import (
+        events_schema,
+    )
+
+    from pyspark.sql import types as T
+
+    micros = [1_700_000_000_000_000 + i * 60_000_000 for i in range(4)]
+    base = {
+        "event_id": pa.array(range(4), pa.int64()),
+        "user_id": pa.array([1, 1, 2, 2], pa.int64()),
+        "event_type": pa.array(["click"] * 4),
+        "value": pa.array([1.0] * 4),
+        "props": pa.array(["{}"] * 4),
+    }
+    layouts = {
+        "nanos": pa.array([m * 1000 for m in micros], pa.int64()),
+        "ntz": pa.array(micros, pa.timestamp("us")),
+        "timestamp": pa.array(micros, pa.timestamp("us", tz="UTC")),
+    }
+    got = {}
+    for name, ts_arr in layouts.items():
+        d = tmp_path / name
+        d.mkdir()
+        path = str(d / "events.parquet")
+        pq.write_table(pa.table({"event_id": base["event_id"], "ts": ts_arr, **{
+            k: v for k, v in base.items() if k != "event_id"}}), path)
+        assert events_ts_storage(path) == name
+        df = load_table(spark, str(d), "events")
+        assert isinstance(df.schema["ts"].dataType, T.TimestampType), name
+        got[name] = sorted(r["ts"] for r in df.select("ts").collect())
+        stream_ts = events_schema(str(d))["ts"].dataType
+        assert isinstance(stream_ts, (T.LongType, T.TimestampType)), name
+        assert not isinstance(stream_ts, T.TimestampNTZType), name
+    assert got["nanos"] == got["ntz"] == got["timestamp"]
