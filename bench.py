@@ -97,12 +97,23 @@ def main() -> None:
 
     times: dict[str, float] = {}
 
-    # Materialize the derived warehouse once, timed as its own entry
-    # (the ETL "load" phase — cleaning, dedup, dims, facts, caching);
-    # golden-query timings then measure the queries themselves.
-    t0 = time.perf_counter()
-    materialize_warehouse(spark, sf_dir)
-    times["warehouse_build"] = round(time.perf_counter() - t0, 3)
+    # Materialize the derived warehouse (the ETL "load" phase —
+    # cleaning, dedup, dims, facts, caching), timed as its own entry
+    # with the SAME min-of-2 steady-state methodology as the queries:
+    # the memo and cache are fully torn down between attempts so each
+    # run is a complete view-registration + cache-fill, and the second
+    # attempt leaves the warehouse cached for the query phase.
+    from adi_226_datawarehouse_project_spark.model import star as _star
+
+    best = float("inf")
+    for attempt in range(2):
+        if attempt:
+            _star._REGISTERED.pop(id(spark), None)
+            spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        materialize_warehouse(spark, sf_dir)
+        best = min(best, time.perf_counter() - t0)
+    times["warehouse_build"] = round(best, 3)
     print(f"# warehouse_build: {times['warehouse_build']:.3f}s", file=sys.stderr)
     # Each query runs twice and records the min (steady-state
     # methodology: the first run can carry residual JIT/classloading
