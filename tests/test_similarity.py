@@ -135,12 +135,10 @@ def test_kmeans_assignment_plan_is_shuffle_free(spark):
         _nearest_centroid_lit,
     )
 
-    from pyspark.sql import functions as F2
-
     emb = load_table(spark, SF_SMALL, "embeddings")
     dim = len(emb.select("embedding").first()[0])
     cents = [[1.0 if i == j else 0.0 for i in range(dim)] for j in range(4)]
-    assign = emb.select(_nearest_centroid_lit(F2.col("embedding"), cents, dim).alias("c"))
+    assign = emb.select(_nearest_centroid_lit("embedding", cents, dim).alias("c"))
     plan = assign._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert assign.count() == emb.count()
