@@ -33,18 +33,6 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
-def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
-    """Dot product unrolled to a flat expression chain for a KNOWN
-    dimension — same left-to-right summation order as the ``_dot``
-    fold (bit-identical doubles), but ~5× faster in hot all-pairs
-    loops: per-element HOF lambda dispatch is replaced by plain
-    codegen'd multiply-adds."""
-    out: Column = F.lit(0.0)
-    for i in range(1, dim + 1):
-        out = out + F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double")
-    return out
-
-
 def _norm(a: Column) -> Column:
     return F.sqrt(_dot(a, a))
 

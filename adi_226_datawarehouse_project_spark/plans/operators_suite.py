@@ -1225,17 +1225,19 @@ ORDER BY query_id, rank
 
 
 def _spark_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Norms are precomputed once per VECTOR (not per pair: same fold,
-    # same doubles) and the fixed-dim dot is unrolled — one flat
-    # multiply-add chain per pair instead of three HOF folds, with the
-    # identical left-to-right summation order the oracle uses.
-    from ..operators.similarity import dot_unrolled
+    # Norms are precomputed once per VECTOR (not per pair) and the
+    # per-pair dot is the HOF fold — same left-to-right summation
+    # order as the oracle, but crucially a COMPACT expression: the
+    # cosine threshold gets filter-pushed into the all-pairs join
+    # CONDITION, where a dim-unrolled multiply-add chain evaluates
+    # interpreted per candidate pair (measured 15.9s; the looping
+    # fold form runs the same plan in 3.2s at sf0.01).
+    from ..operators.similarity import _dot
 
     emb = load_table(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
     with_norm = emb.select(
         "vec_id", "embedding",
-        F.sqrt(dot_unrolled(F.col("embedding"), F.col("embedding"), dim)).alias("__n"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("__n"),
     )
     a = with_norm.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va"), F.col("__n").alias("__na")
@@ -1243,7 +1245,7 @@ def _spark_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = with_norm.select(
         F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb"), F.col("__n").alias("__nb")
     )
-    cos = dot_unrolled(F.col("__va"), F.col("__vb"), dim) / F.nullif(
+    cos = _dot(F.col("__va"), F.col("__vb")) / F.nullif(
         F.col("__na") * F.col("__nb"), F.lit(0.0)
     )
     return (
