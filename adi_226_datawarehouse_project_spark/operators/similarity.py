@@ -80,29 +80,25 @@ def cosine_self_topk(
     )
 
 
-def _plane_component(plane: int, dim_index: Column) -> Column:
-    """Deterministic ±1 hyperplane component from (plane, dim):
-    xxhash64 integer mix → sign. Same value on every executor, no
-    state to ship."""
-    h = F.xxhash64(F.lit(plane), dim_index)
-    return F.when(h.bitwiseAND(F.lit(1)) == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
+def srp_signature(vec_col: str, num_planes: int = 16) -> Column:
+    """Signed-random-projection bit signature packed into a bigint.
+    The ±1 hyperplane components are deterministic xxhash64 mixes of
+    (plane, dim) — same value on every executor, no state to ship.
 
-
-def srp_signature(vec: Column, num_planes: int = 16) -> Column:
-    """Signed-random-projection bit signature packed into a bigint."""
-    sig = F.lit(0).cast("bigint")
+    Built as ONE SQL text expression (the py4j construction-tax
+    finding, see dedup.simhash): 16 planes of per-op Column folds were
+    ~1.3s of client round trips per query build; signatures are
+    bit-identical to the Column form."""
+    terms = []
     for p in range(num_planes):
-        proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.sequence(F.lit(0), F.size(vec) - 1),
-                lambda x, i: x.cast("double") * _plane_component(p, i),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        proj = (
+            f"aggregate(zip_with({vec_col}, sequence(0, size({vec_col}) - 1),"
+            f" (x, i) -> CAST(x AS DOUBLE) *"
+            f" (CASE WHEN (xxhash64({p}, i) & 1) = 1 THEN 1.0D ELSE -1.0D END)),"
+            f" 0.0D, (acc, x) -> acc + x)"
         )
-        sig = sig + F.when(proj > 0, F.lit(1 << p).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
-    return sig
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << p}L ELSE 0L END)")
+    return F.expr("CAST(0 AS BIGINT) + " + " + ".join(terms))
 
 
 def lsh_bucket_topk(
@@ -121,7 +117,7 @@ def lsh_bucket_topk(
     bits_per_band = num_planes // bands
     mask = (1 << bits_per_band) - 1
     with_sig = df.select(
-        F.col(id_col), F.col(vec_col), srp_signature(F.col(vec_col), num_planes).alias("__sig")
+        F.col(id_col), F.col(vec_col), srp_signature(vec_col, num_planes).alias("__sig")
     )
     banded = with_sig.select(
         id_col,
@@ -383,7 +379,7 @@ def embedding_near_dup_pairs(
     """Embedding-cosine near-duplicate pairs (id_a < id_b) via SRP
     buckets + exact re-score — the embedding flavor of dedup."""
     sig = df.select(
-        F.col(id_col), F.col(vec_col), srp_signature(F.col(vec_col), num_planes).alias("__sig")
+        F.col(id_col), F.col(vec_col), srp_signature(vec_col, num_planes).alias("__sig")
     )
     a = sig.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), F.col("__sig"))
     b = sig.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), F.col("__sig"))
