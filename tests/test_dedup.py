@@ -123,3 +123,51 @@ def test_ngram_cap_broadcasts_stop_list_at_sf001(spark):
     got = sorted(map(tuple, capped.collect()))
     want = sorted(map(tuple, uncapped.collect()))
     assert got == want
+
+
+def test_simhash_matches_python_reference(spark):
+    """The lane-packed SQL simhash must equal a direct per-bit
+    majority-vote reference computed in Python over the same xxhash64
+    token hashes (hashes read back from Spark so the hash family is
+    identical; the packing/majority arithmetic is what's under test)."""
+    from adi_226_datawarehouse_project_spark.functions.text import word_tokens
+    from adi_226_datawarehouse_project_spark.operators.dedup import simhash
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different text with other words entirely"),
+        (4, "a a a a b"),  # repeated tokens: votes weigh duplicates
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r["doc_id"]: r["simhash"] for r in simhash(df, "doc_id", "text").collect()}
+
+    tok_hashes = (
+        df.select(F.col("doc_id"), F.explode(word_tokens(F.col("text"))).alias("t"))
+        .withColumn("h", F.xxhash64("t"))
+        .collect()
+    )
+    by_doc: dict = {}
+    for r in tok_hashes:
+        by_doc.setdefault(r["doc_id"], []).append(r["h"])
+    for doc_id, hashes in by_doc.items():
+        fp = 0
+        for i in range(64):
+            votes = sum(1 if (h >> i) & 1 else -1 for h in hashes)
+            if votes > 0:
+                fp |= 1 << i
+        if fp >= 1 << 63:
+            fp -= 1 << 64  # two's complement bigint
+        assert got[doc_id] == fp, f"doc {doc_id}"
+
+
+def test_simhash_lane_overflow_guard(spark):
+    """Documents with >= 2^16 tokens would carry between the packed
+    16-bit vote lanes — the operator must refuse loudly, never wrap."""
+    import pytest
+
+    from adi_226_datawarehouse_project_spark.operators.dedup import simhash
+
+    big = spark.createDataFrame([(1, "tok " * 70_000)], ["doc_id", "text"])
+    with pytest.raises(Exception, match="16-bit vote lanes"):
+        simhash(big, "doc_id", "text").collect()
