@@ -43,6 +43,38 @@ def fetch_json(url: str, timeout: float = 30.0) -> list[dict]:
         return json.loads(resp.read().decode("utf-8"))
 
 
+def fetch_with_retries(
+    fetch=fetch_json,
+    retries: int = 2,
+    retry_delay_s: float = 60.0,
+    backoff: float = 1.0,
+    sleep=None,
+):
+    """Task-level retry semantics around a fetcher — the engine analog
+    of the reference DAG's Airflow ``retries=2, retry_delay=60s``
+    (`nyc_ingestion_dag.py:134-136`), applied at the page granularity
+    where the engine owns the call. ``retries`` counts re-attempts
+    AFTER the first try; delays are ``retry_delay_s * backoff**i``
+    (backoff=1.0 reproduces Airflow's fixed delay). ``sleep`` is
+    injectable for tests. Raises the LAST error once exhausted."""
+    import time as _time
+
+    do_sleep = _time.sleep if sleep is None else sleep
+
+    def wrapped(url: str):
+        last: Exception | None = None
+        for attempt in range(retries + 1):
+            if attempt:
+                do_sleep(retry_delay_s * backoff ** (attempt - 1))
+            try:
+                return fetch(url)
+            except Exception as e:  # noqa: BLE001 - re-raised when exhausted
+                last = e
+        raise last  # type: ignore[misc]
+
+    return wrapped
+
+
 def soda_pages(
     base_url: str,
     page_size: int = 1000,

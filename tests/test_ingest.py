@@ -90,3 +90,65 @@ def test_ingest_soda_empty_source_needs_shape(spark):
         spark, "file:///nope", expected_cols=["unique_key"], fetch=empty_fetch
     )
     assert df.columns == ["unique_key"] and df.count() == 0
+
+
+def test_fetch_with_retries_semantics():
+    """Airflow-analog retry: N re-attempts with fixed delay, success
+    stops early, exhaustion re-raises the last error."""
+    from adi_226_datawarehouse_project_spark.sources.ingest import fetch_with_retries
+
+    calls, sleeps = [], []
+
+    def flaky_then_ok(url):
+        calls.append(url)
+        if len(calls) < 3:
+            raise OSError(f"transient {len(calls)}")
+        return [{"ok": 1}]
+
+    wrapped = fetch_with_retries(
+        flaky_then_ok, retries=2, retry_delay_s=60.0, sleep=sleeps.append
+    )
+    assert wrapped("u") == [{"ok": 1}]
+    assert len(calls) == 3 and sleeps == [60.0, 60.0]
+
+    def always_down(url):
+        raise OSError("down")
+
+    import pytest
+
+    bad = fetch_with_retries(always_down, retries=2, retry_delay_s=1.0, sleep=sleeps.append)
+    with pytest.raises(OSError, match="down"):
+        bad("u")
+
+
+def test_ingest_soda_with_retrying_fetcher(spark, tmp_path):
+    """The retry wrapper composes with the pager: a fetcher that fails
+    once per page still yields the full ingest."""
+    import json as _json
+
+    from adi_226_datawarehouse_project_spark.sources.ingest import (
+        fetch_json,
+        fetch_with_retries,
+        ingest_soda,
+    )
+
+    f = tmp_path / "page.json"
+    f.write_text(_json.dumps([{"unique_key": "1", "borough": "QUEENS"}]))
+    url = f"file://{f}"
+    fails = {"n": 0}
+
+    def once_flaky(u):
+        if fails["n"] == 0:
+            fails["n"] += 1
+            raise OSError("blip")
+        return fetch_json(url)  # ignore paging params for the fixture
+
+    df = ingest_soda(
+        spark,
+        "http://unused.example",
+        expected_cols=["unique_key", "borough", "missing_col"],
+        fetch=fetch_with_retries(once_flaky, retries=1, retry_delay_s=0.0, sleep=lambda s: None),
+        max_pages=1,
+    )
+    (r,) = df.collect()
+    assert r["borough"] == "QUEENS" and r["missing_col"] is None
