@@ -154,9 +154,12 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     - Lane packing: instead of one SUM(CASE ±1) aggregate per bit (64
       agg buffers), each token contributes its bits as 4 one-bit counts
       packed into 16-bit lanes of a bigint — 16 lane sums + one token
-      count per document. Lanes can't carry below 65536 tokens per doc
-      (runtime-enforced via assert_true, never a silent wrap). The
-      majority rule is identical: sum(±1) > 0 ⟺ 2·ones > n_tokens.
+      count per document. The packed SUM is safe below 32768 tokens per
+      doc (runtime-enforced via assert_true, never a silent wrap): the
+      binding limit is not lane carry (lanes hold counts < 65536) but
+      the top lane's contribution n·2^48 to the signed-bigint pack sum —
+      32767·(2^48+2^32+2^16+1) < 2^63 while 32768·2^48 = 2^63 overflows.
+      The majority rule is identical: sum(±1) > 0 ⟺ 2·ones > n_tokens.
     - SQL-text construction: the wide expressions are built as ONE
       ``F.expr`` string per column instead of per-op Column calls.
       Each Python Column operation is a py4j round trip; at 64-term
@@ -190,8 +193,8 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
             else f"(CASE WHEN {b} = 1 THEN {-(1 << 63)}L ELSE 0L END)"
         )
     guard = (
-        "coalesce(CAST(assert_true(__n < 65536,"
-        " 'simhash: document exceeds 16-bit vote lanes') AS BIGINT), 0L)"
+        "coalesce(CAST(assert_true(__n < 32768,"
+        " 'simhash: document exceeds 16-bit vote lanes (pack-sum bound 32767)') AS BIGINT), 0L)"
     )
     return voted.selectExpr(id_col, f"({' + '.join(terms)} + {guard}) AS simhash")
 

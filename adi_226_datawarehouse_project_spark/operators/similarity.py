@@ -374,18 +374,53 @@ def ivf_topk(
 
 
 def embedding_near_dup_pairs(
-    df: DataFrame, id_col: str, vec_col: str, min_cosine: float = 0.95, num_planes: int = 16
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    min_cosine: float = 0.95,
+    num_planes: int = 16,
+    bands: int = 4,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (id_a < id_b) via SRP
-    buckets + exact re-score — the embedding flavor of dedup."""
-    sig = df.select(
-        F.col(id_col), F.col(vec_col), srp_signature(vec_col, num_planes).alias("__sig")
+    """Embedding-cosine near-duplicate pairs (id_a < id_b) via BANDED
+    SRP buckets + exact re-score — the embedding flavor of dedup.
+
+    Banding is what makes the recall hold away from cosine=1: a pair at
+    cosine c agrees on one plane with p = 1 − arccos(c)/π, so a single
+    16-plane bucket has recall p¹⁶ (≈0.18 at c=0.95 — useless), while
+    4 bands of 4 planes give 1 − (1 − p⁴)⁴ (≈0.985 at c=0.95, ≈0.87 at
+    c=0.8). Candidates come from per-band equi-joins; the pair-dedup
+    shuffle moves bare ids only (the minhash pattern — vectors re-attach
+    after dedup via two id joins), and precision is exact because every
+    candidate is re-scored with the true cosine before the threshold."""
+    bits_per_band = num_planes // bands
+    mask = (1 << bits_per_band) - 1
+    banded = df.select(
+        F.col(id_col),
+        srp_signature(vec_col, num_planes).alias("__sig"),
+    ).select(
+        id_col,
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("__sig"), b * bits_per_band).bitwiseAND(F.lit(mask))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
     )
-    a = sig.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), F.col("__sig"))
-    b = sig.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), F.col("__sig"))
-    return (
-        a.join(b, "__sig")
+    left = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    right = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    pair_ids = (
+        left.join(right, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        pair_ids.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn("cosine", cosine(F.col("__va"), F.col("__vb")))
         .filter(F.col("cosine") >= min_cosine)
         .select("id_a", "id_b", "cosine")

@@ -1224,7 +1224,55 @@ ORDER BY query_id, rank
 """
 
 
-def _spark_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+# --- augmented embeddings: the driver's embeddings fixture has NO
+# near-duplicate pairs (max pairwise cosine ~0.5-0.6 across SFs), so a
+# near-dup oracle over the raw table verifies an EMPTY truth set —
+# vacuously green. Both engines therefore derive the SAME augmented
+# corpus in-query: every `_AUG_STRIDE`-th vector gains a perturbed copy
+# (id + `_AUG_ID_OFFSET`) whose components are scaled by deterministic
+# pseudo-noise built from pure integer arithmetic and exact-in-double
+# literals (1.0 / 10.0 / 6.0) — the expression trees are operation-for-
+# operation identical in Spark and DuckDB, so the derived vectors and
+# every downstream cosine are bit-identical. The relative amplitude
+# steps with vec_id % 4 (rho = 0.2/0.4/0.6/0.8), planting pairs spread
+# over cosine ≈ 0.99/0.97/0.93/0.87 — a genuine recall exercise for the
+# banded SRP join, not just cosine=1 clones. ---
+_AUG_STRIDE = 25
+_AUG_ID_OFFSET = 1_000_000
+
+
+def _spark_aug_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.selectExpr(
+        "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding"
+    )
+    # Spark's transform index `i` is 0-based; the DuckDB form below uses
+    # 1-based generate_series — hence `(i + 1)` here so both engines
+    # compute the identical per-component factor.
+    pert = emb.filter(F.expr(f"vec_id % {_AUG_STRIDE} = 0")).selectExpr(
+        f"vec_id + {_AUG_ID_OFFSET} AS vec_id",
+        "transform(embedding, (x, i) -> CAST(x AS DOUBLE) * (1.0D"
+        " + ((CAST(2 + 2 * (vec_id % 4) AS DOUBLE) / 10.0D)"
+        " * (CAST(((vec_id * 31 + (i + 1) * 17) % 13) - 6 AS DOUBLE) / 6.0D))))"
+        " AS embedding",
+    )
+    return base.unionByName(pert)
+
+
+_AUG_EMB_SQL = f"""
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + {_AUG_ID_OFFSET} AS vec_id,
+         list_transform(generate_series(1, len(embedding)),
+           i -> CAST(embedding[i] AS DOUBLE) * (1.0
+             + ((CAST(2 + 2 * (vec_id % 4) AS DOUBLE) / 10.0)
+               * (CAST(((vec_id * 31 + i * 17) % 13) - 6 AS DOUBLE) / 6.0)))) AS embedding
+  FROM embeddings WHERE vec_id % {_AUG_STRIDE} = 0
+"""
+
+
+def _exact_near_dup_pairs(emb: DataFrame, min_cos: float = 0.8) -> DataFrame:
     # Norms are precomputed once per VECTOR (not per pair) and the
     # per-pair dot is the HOF fold — same left-to-right summation
     # order as the oracle, but crucially a COMPACT expression: the
@@ -1234,7 +1282,6 @@ def _spark_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fold form runs the same plan in 3.2s at sf0.01).
     from ..operators.similarity import _dot
 
-    emb = load_table(spark, sf_dir, "embeddings")
     with_norm = emb.select(
         "vec_id", "embedding",
         F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("__n"),
@@ -1251,14 +1298,18 @@ def _spark_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", F.round(cos, 6))
-        .filter(F.col("cosine") >= 0.8)
+        .filter(F.col("cosine") >= min_cos)
         .select("id_a", "id_b", "cosine")
-        .orderBy(F.desc("cosine"), "id_a", "id_b")
     )
 
 
-_NEAR_DUP_EXACT_ORACLE = """
-WITH v AS (SELECT vec_id, embedding FROM embeddings)
+def _spark_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _spark_aug_embeddings(spark, sf_dir)
+    return _exact_near_dup_pairs(emb).orderBy(F.desc("cosine"), "id_a", "id_b")
+
+
+_NEAR_DUP_EXACT_ORACLE = f"""
+WITH v AS ({_AUG_EMB_SQL})
 SELECT id_a, id_b, cosine FROM (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          round(
@@ -1921,11 +1972,16 @@ def _text_doc_features_oracle() -> str:
 # hash-matches in dedup_ngram_jaccard). The seeded-xxhash64 sketches
 # themselves are not DuckDB-expressible, but their CONTRACT is:
 #   minhash_recall    — every truth pair (exact J >= 0.8) must be an
-#                       LSH candidate (per-pair boolean; seeded hashes
-#                       make the candidate set deterministic, and the
-#                       banding math puts recall at ~1-1e-3 per pair
-#                       at J=0.8 — measured exactly 100% at sf0.001/
-#                       0.01/0.1).
+#                       LSH *candidate* — checked against the PRE-
+#                       threshold banding candidate set (min_jaccard_
+#                       est=0.0), not the est>=0.7-filtered output:
+#                       for a truth pair at exactly J=0.8, P(est < 0.7
+#                       over 64 hashes) is ~2-3% (z≈-2) — a spurious
+#                       red on any fresh fixture with a borderline
+#                       pair — while the banding miss itself is only
+#                       ~2e-4 per pair (1-(1-0.8^4)^16). Seeded hashes
+#                       make the candidate set deterministic; measured
+#                       100% recall at sf0.001/0.01/0.1.
 #   minhash_precision — zero candidates with exact J < 0.5 (est >= 0.7
 #                       from 64 hashes is >5 sigma above a true 0.5).
 #   simhash_recall    — >= 85% of truth pairs within Hamming<=8
@@ -1942,14 +1998,18 @@ def _spark_dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", n=_NGRAM_N, min_jaccard=_LSH_PRECISION_MIN_J
     )
     truth = loose.filter(F.col("jaccard") >= _LSH_TRUTH_MIN_J)
-    mh = minhash_near_dup_pairs(
-        docs, "doc_id", "text", shingle="word", min_jaccard_est=0.7
-    ).select("id_a", "id_b")
+    # One signature/banding lineage: candidates (pre-threshold) feed the
+    # recall check; the est>=0.7-filtered subset feeds precision.
+    mh_all = minhash_near_dup_pairs(
+        docs, "doc_id", "text", shingle="word", min_jaccard_est=0.0
+    )
+    cands = mh_all.select("id_a", "id_b")
+    mh = mh_all.filter(F.col("jaccard_est") >= 0.7).select("id_a", "id_b")
     sh = simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=8).select("id_a", "id_b")
 
     _null_j = F.lit(None).cast("double").alias("jaccard")
     _null_id = [F.lit(None).cast("bigint").alias(c) for c in ("id_a", "id_b")]
-    recall = truth.join(mh.withColumn("__mh", F.lit(True)), ["id_a", "id_b"], "left").select(
+    recall = truth.join(cands.withColumn("__mh", F.lit(True)), ["id_a", "id_b"], "left").select(
         F.lit("minhash_recall").alias("part"),
         F.col("id_a").cast("bigint").alias("id_a"),
         F.col("id_b").cast("bigint").alias("id_b"),
@@ -2029,11 +2089,22 @@ ORDER BY part, id_a NULLS FIRST, id_b NULLS FIRST
 #                  deterministic SRP buckets recovered at least
 #                  _ANN_MIN_HITS of the exact top-5 (measured 1-4
 #                  across probes/SFs; a bucketing regression -> FALSE).
-#   srp_near_dup — |SRP near-dup pairs| (Spark) must EQUAL the exact
-#                  all-pairs count at the same threshold (DuckDB):
-#                  precision is exact by re-score construction, so any
-#                  bucket-recall miss breaks the count equality. ---
+#   srp_near_dup — over the AUGMENTED corpus (planted near-dup pairs,
+#                  see _spark_aug_embeddings — the raw fixture's truth
+#                  set is empty): n is the exact all-pairs truth count
+#                  at cosine>=0.8, which both engines compute
+#                  bit-identically; ok asserts the banded SRP pair set
+#                  has zero false positives (guaranteed — candidates
+#                  are re-scored with the true cosine, and the SRP
+#                  filter on the unrounded value implies the truth
+#                  filter on the rounded one) AND recall >= 0.7 of the
+#                  truth set. 4×4-bit banding puts per-pair recall at
+#                  ~0.94-0.999 over the planted cosine range (expected
+#                  misses < 1 of ~20 pairs); a regression to the old
+#                  single-band join (recall ~0.06-0.52 per pair over
+#                  the same range) lands far below the floor. ---
 _ANN_MIN_HITS = 1
+_SRP_ND_RECALL_FLOOR_PCT = 70  # integer percent: floor = n * 70 / 100
 
 
 def _spark_sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2060,16 +2131,28 @@ def _spark_sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce(F.col("__h"), F.lit(0)) >= _ANN_MIN_HITS).alias("ok"),
         )
     )
-    nd_row = (
-        embedding_near_dup_pairs(emb, "vec_id", "embedding", min_cosine=0.8)
-        .agg(F.count("*").alias("__n"))
-        .select(
-            F.lit("srp_near_dup").alias("part"),
-            F.lit(None).cast("bigint").alias("query_id"),
-            F.col("__n").cast("bigint").alias("n"),
-            F.lit(None).cast("double").alias("exact_min_cos"),
-            F.lit(True).alias("ok"),
-        )
+    aug = _spark_aug_embeddings(spark, sf_dir)
+    truth = _exact_near_dup_pairs(aug).select("id_a", "id_b")
+    srp = embedding_near_dup_pairs(aug, "vec_id", "embedding", min_cosine=0.8).select(
+        "id_a", "id_b"
+    )
+    found = truth.join(srp.withColumn("__hit", F.lit(True)), ["id_a", "id_b"], "left").agg(
+        F.count("*").alias("__n"),
+        F.sum(F.when(F.col("__hit"), 1).otherwise(0)).alias("__f"),
+    )
+    false_pos = srp.join(truth, ["id_a", "id_b"], "left_anti").agg(
+        F.count("*").alias("__fp")
+    )
+    nd_row = found.crossJoin(false_pos).select(
+        F.lit("srp_near_dup").alias("part"),
+        F.lit(None).cast("bigint").alias("query_id"),
+        F.col("__n").cast("bigint").alias("n"),
+        F.lit(None).cast("double").alias("exact_min_cos"),
+        (
+            (F.col("__n") > 0)
+            & (F.col("__f") * 100 >= F.col("__n") * _SRP_ND_RECALL_FLOOR_PCT)
+            & (F.col("__fp") == 0)
+        ).alias("ok"),
     )
     return topk.unionByName(nd_row).orderBy("part", F.col("query_id").asc_nulls_first())
 
@@ -2087,9 +2170,10 @@ top5 AS (
     WHERE q.vec_id IN (0, 1, 2, 3, 4)
   ) r WHERE rank <= 5
 ),
+aug AS ({_AUG_EMB_SQL}),
 exact_nd AS (
-  SELECT COUNT(*) AS n FROM v a JOIN v b ON a.vec_id < b.vec_id
-  WHERE {_duck_cos("a.embedding", "b.embedding")} >= 0.8
+  SELECT COUNT(*) AS n FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+  WHERE round({_duck_cos("a.embedding", "b.embedding")}, 6) >= 0.8
 )
 SELECT 'srp_topk' AS part, CAST(query_id AS BIGINT) AS query_id,
        CAST(COUNT(*) AS BIGINT) AS n, round(min(c), 6) AS exact_min_cos, TRUE AS ok

@@ -162,12 +162,25 @@ def test_simhash_matches_python_reference(spark):
 
 
 def test_simhash_lane_overflow_guard(spark):
-    """Documents with >= 2^16 tokens would carry between the packed
-    16-bit vote lanes — the operator must refuse loudly, never wrap."""
+    """The packed vote sum overflows signed bigint once a doc reaches
+    32768 tokens (top lane contributes n·2^48; 32768·2^48 = 2^63) — the
+    operator must refuse loudly at that bound, never wrap. 40k tokens
+    sits BETWEEN the pack-sum bound (32768) and the lane-carry bound
+    (65536), pinning that the guard enforces the tighter one."""
     import pytest
 
     from adi_226_datawarehouse_project_spark.operators.dedup import simhash
 
-    big = spark.createDataFrame([(1, "tok " * 70_000)], ["doc_id", "text"])
-    with pytest.raises(Exception, match="16-bit vote lanes"):
-        simhash(big, "doc_id", "text").collect()
+    for n_tok in (40_000, 70_000):
+        big = spark.createDataFrame([(1, "tok " * n_tok)], ["doc_id", "text"])
+        with pytest.raises(Exception, match="16-bit vote lanes"):
+            simhash(big, "doc_id", "text").collect()
+
+    # just under the bound: must fingerprint cleanly (no wrap, no raise)
+    ok = spark.createDataFrame([(1, "tok " * 32_767)], ["doc_id", "text"])
+    rows = simhash(ok, "doc_id", "text").collect()
+    assert len(rows) == 1
+    # all-identical tokens: every vote is unanimous, so the fingerprint
+    # must equal the token's own hash bit pattern.
+    h = spark.sql("SELECT xxhash64('tok') AS h").collect()[0]["h"]
+    assert rows[0]["simhash"] == h
