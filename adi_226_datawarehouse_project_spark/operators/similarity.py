@@ -230,9 +230,13 @@ def train_ivf_centroids(
     The only driver-side state per iteration is the k×dim centroid
     matrix itself (a few KB) — the same driver-resident model state
     every distributed k-means keeps (e.g. Spark MLlib's). Nothing
-    corpus-sized is ever collected, so the pass count is ``n_iter``
-    full scans — at 100 TB you cache/checkpoint the (id, vec)
-    projection once and each iteration is a scan of that.
+    corpus-sized is ever collected. The (id, vec) projection is
+    ``persist()``-ed before the Lloyd loop and unpersisted after, so
+    the source table is scanned ONCE and each of the ``n_iter``
+    iterations re-reads the cached two-column projection — at 100 TB
+    that's the difference between n_iter full-table scans and one
+    (MEMORY_AND_DISK spills gracefully when the projection exceeds
+    executor memory).
 
     Empty cells keep their previous centroid. Centroids are
     L2-normalized (spherical k-means maximizes mean cosine).
@@ -248,28 +252,31 @@ def train_ivf_centroids(
     )
     cents = [_l2(v) for _, v in seed_rows]
     use_join = n_clusters * dim > inline_max_terms
-    vecs = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    vecs = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")).persist()
     mean_aggs = [
         F.expr(f"sum(CAST(element_at(__v, {i + 1}) AS DOUBLE))").alias(f"__s{i}")
         for i in range(dim)
     ]
-    for _ in range(n_iter):
-        if use_join:
-            assign = _assign_join(vecs, cents)
-        else:
-            assign = vecs.select(
-                _nearest_centroid_lit("__v", cents, dim).alias("__c"), "__v"
+    try:
+        for _ in range(n_iter):
+            if use_join:
+                assign = _assign_join(vecs, cents)
+            else:
+                assign = vecs.select(
+                    _nearest_centroid_lit("__v", cents, dim).alias("__c"), "__v"
+                )
+            new_rows = (
+                assign.groupBy("__c")
+                .agg(F.count(F.lit(1)).alias("__n"), *mean_aggs)
+                .collect()
             )
-        new_rows = (
-            assign.groupBy("__c")
-            .agg(F.count(F.lit(1)).alias("__n"), *mean_aggs)
-            .collect()
-        )
-        nxt = list(cents)
-        for r in new_rows:
-            if r["__n"] > 0:
-                nxt[r["__c"]] = _l2([r[f"__s{i}"] / r["__n"] for i in range(dim)])
-        cents = nxt
+            nxt = list(cents)
+            for r in new_rows:
+                if r["__n"] > 0:
+                    nxt[r["__c"]] = _l2([r[f"__s{i}"] / r["__n"] for i in range(dim)])
+            cents = nxt
+    finally:
+        vecs.unpersist()
     spark = df.sparkSession
     return spark.createDataFrame(
         [(i, c) for i, c in enumerate(cents)], schema="centroid_id INT, centroid ARRAY<DOUBLE>"

@@ -100,8 +100,23 @@ def load_table(
     regardless of the file's physical layout (see events_ts_storage)."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events" and events_ts_storage(path) == "nanos":
+        # Scoped: nanosAsLong is captured into the relation when
+        # spark.read resolves it (verified empirically — restoring the
+        # conf immediately after .parquet() does not break deferred
+        # execution), so the session conf can be restored right away
+        # and a genuine TIMESTAMP(NANOS) table read later in the
+        # session is unaffected. The streaming reader cannot scope it
+        # this way (the conf must hold for the stream's lifetime) —
+        # see streaming.events_stream.read_events_stream.
+        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+        try:
+            df = spark.read.parquet(path)
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))

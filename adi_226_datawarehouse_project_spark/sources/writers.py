@@ -82,6 +82,10 @@ def write_run_manifest(
     Airbnb.py:154-162`). Typed as STRUCTs (not maps) with sorted field
     names so readers get named-field access and a deterministic
     schema; ``stats`` carries numeric run metrics (row counts etc.).
+    An omitted/empty ``stats`` dict omits the field ENTIRELY — an
+    empty struct serializes as ``"stats":{}``, which JSON schema
+    inference on read-back drops or mistypes, breaking consumers that
+    probe ``stats.*``; absent-field semantics are well-defined instead.
     One row → single_file semantics are inherent (coalesce(1))."""
     from pyspark.sql import types as T
 
@@ -90,26 +94,28 @@ def write_run_manifest(
     def _str_struct(d: dict[str, str]) -> T.StructType:
         return T.StructType([T.StructField(k, T.StringType()) for k in sorted(d)])
 
-    schema = T.StructType(
-        [
-            T.StructField("job_name", T.StringType()),
-            T.StructField("run_utc", T.StringType()),
-            T.StructField("inputs", _str_struct(inputs)),
-            T.StructField("outputs", _str_struct(outputs)),
-            T.StructField(
-                "stats",
-                T.StructType([T.StructField(k, T.LongType()) for k in sorted(stats)]),
-            ),
-        ]
-    )
-    row = (
+    fields = [
+        T.StructField("job_name", T.StringType()),
+        T.StructField("run_utc", T.StringType()),
+        T.StructField("inputs", _str_struct(inputs)),
+        T.StructField("outputs", _str_struct(outputs)),
+    ]
+    row = [
         job_name,
         run_utc,
         tuple(inputs[k] for k in sorted(inputs)),
         tuple(outputs[k] for k in sorted(outputs)),
-        tuple(int(stats[k]) for k in sorted(stats)),
-    )
-    spark.createDataFrame([row], schema).coalesce(1).write.mode("overwrite").json(path)
+    ]
+    if stats:
+        fields.append(
+            T.StructField(
+                "stats",
+                T.StructType([T.StructField(k, T.LongType()) for k in sorted(stats)]),
+            )
+        )
+        row.append(tuple(int(stats[k]) for k in sorted(stats)))
+    schema = T.StructType(fields)
+    spark.createDataFrame([tuple(row)], schema).coalesce(1).write.mode("overwrite").json(path)
 
 
 def read_run_manifest(spark: SparkSession, path: str) -> DataFrame:

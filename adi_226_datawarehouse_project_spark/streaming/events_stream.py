@@ -53,15 +53,15 @@ def read_events_stream(spark: SparkSession, sf_dir: str, **options: str) -> Data
     physical layout. Extra ``options`` pass through to the reader
     (e.g. maxFilesPerTrigger="1").
 
-    Side effect (nanos layout only): sets
-    spark.sql.legacy.parquet.nanosAsLong for the SESSION — harmless
-    for micro/milli files read elsewhere, but a genuine TIMESTAMP
-    (NANOS) table read later in the same session would come back as
-    raw longs. Scoped restoration isn't possible here because the
-    conf must hold for the stream's whole lifetime."""
+    nanos layout: spark.sql.legacy.parquet.nanosAsLong is set only
+    around ``load()`` and restored immediately — the streaming source
+    captures the conf when the relation is created (verified
+    empirically: micro-batches triggered AFTER the restore still read
+    the nanos file correctly), so the session conf never leaks and a
+    genuine TIMESTAMP(NANOS) table read later in the session is
+    unaffected (same scoping as sources.catalog.load_table)."""
     schema = events_schema(sf_dir)
-    if isinstance(schema["ts"].dataType, T.LongType):
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    nanos = isinstance(schema["ts"].dataType, T.LongType)
     reader = (
         spark.readStream.schema(schema)
         .format("parquet")
@@ -70,9 +70,19 @@ def read_events_stream(spark: SparkSession, sf_dir: str, **options: str) -> Data
     )
     for k, v in options.items():
         reader = reader.option(k, v)
-    df = reader.load()
-    if isinstance(schema["ts"].dataType, T.LongType):
+    if nanos:
+        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        try:
+            df = reader.load()
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    else:
+        df = reader.load()
     return df
 
 

@@ -126,3 +126,29 @@ def test_run_manifest_nested_struct_roundtrip(spark, tmp_path):
     assert r["inputs"]["complaints"] == "s3://raw/311/"
     assert r["outputs"]["joined"] == "s3://gold/joined/"
     assert r["stats"]["n_rows"] == 12345
+
+
+def test_run_manifest_empty_stats_omits_field(spark, tmp_path):
+    """An empty/omitted stats dict must omit the field entirely: an
+    empty struct serializes as '"stats":{}' and JSON inference on
+    read-back drops or mistypes it — absent is the well-defined shape."""
+    from adi_226_datawarehouse_project_spark.sources.writers import (
+        read_run_manifest,
+        write_run_manifest,
+    )
+
+    path = str(tmp_path / "manifest_nostats")
+    write_run_manifest(
+        spark,
+        path,
+        job_name="job_y",
+        run_utc="2026-02-03T04:05:06Z",
+        inputs={"a": "s3://raw/a/"},
+        outputs={"o": "s3://gold/o/"},
+    )
+    m = read_run_manifest(spark, path)
+    assert "stats" not in m.columns
+    (r,) = m.collect()
+    assert r["job_name"] == "job_y"
+    assert r["inputs"]["a"] == "s3://raw/a/"
+    assert r["outputs"]["o"] == "s3://gold/o/"

@@ -167,6 +167,42 @@ def test_ivf_kmeans_centroids_recall(spark):
     assert _recall(exact, trained) >= 0.7
 
 
+def test_train_ivf_caches_projection_across_iterations(spark, monkeypatch):
+    """Lloyd iterations must scan the cached (id, vec) projection, not
+    re-scan the source each pass: train_ivf_centroids persists the
+    projection exactly once before the loop and unpersists it after —
+    at 100 TB that's one table scan instead of n_iter."""
+    from adi_226_datawarehouse_project_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    # patch the CONCRETE class (pyspark 4 routes the public
+    # pyspark.sql.DataFrame through a classic/connect subclass whose
+    # overrides would bypass a base-class patch)
+    cls = type(emb)
+    persisted: list[list[str]] = []
+    unpersisted: list[list[str]] = []
+    orig_p, orig_u = cls.persist, cls.unpersist
+
+    def rec_persist(self, *a, **k):
+        persisted.append(self.columns)
+        return orig_p(self, *a, **k)
+
+    def rec_unpersist(self, *a, **k):
+        unpersisted.append(self.columns)
+        return orig_u(self, *a, **k)
+
+    monkeypatch.setattr(cls, "persist", rec_persist)
+    monkeypatch.setattr(cls, "unpersist", rec_unpersist)
+    cents = train_ivf_centroids(emb, "vec_id", "embedding", n_clusters=4, n_iter=3)
+    assert cents.count() == 4
+    assert ["__id", "__v"] in persisted, "the (id, vec) projection must be persisted"
+    assert ["__id", "__v"] in unpersisted, "and unpersisted after the loop"
+    # cached once, not once per iteration
+    assert persisted.count(["__id", "__v"]) == 1
+
+
 def test_kmeans_assignment_plan_is_shuffle_free(spark):
     """The assignment pass inlines centroids as literals — the plan
     must contain no Exchange (no join, no window)."""

@@ -55,21 +55,65 @@ def test_events_ts_layout_matrix(spark, tmp_path):
     }
     layouts = {
         "nanos": pa.array([m * 1000 for m in micros], pa.int64()),
+        "nanos_ts": pa.array([m * 1000 for m in micros], pa.timestamp("ns")),
         "ntz": pa.array(micros, pa.timestamp("us")),
         "timestamp": pa.array(micros, pa.timestamp("us", tz="UTC")),
     }
-    got = {}
+    # storage classification folds both physical nanos encodings
+    # (raw int64 and parquet TIMESTAMP(NANOS)) into "nanos"
+    expected_storage = {
+        "nanos": "nanos", "nanos_ts": "nanos", "ntz": "ntz", "timestamp": "timestamp"
+    }
+    got, got_stream = {}, {}
     for name, ts_arr in layouts.items():
         d = tmp_path / name
         d.mkdir()
         path = str(d / "events.parquet")
         pq.write_table(pa.table({"event_id": base["event_id"], "ts": ts_arr, **{
             k: v for k, v in base.items() if k != "event_id"}}), path)
-        assert events_ts_storage(path) == name
+        assert events_ts_storage(path) == expected_storage[name]
         df = load_table(spark, str(d), "events")
         assert isinstance(df.schema["ts"].dataType, T.TimestampType), name
+        # the nanosAsLong workaround must stay scoped to the read —
+        # never leak into the session (a genuine TIMESTAMP(NANOS)
+        # table read later would silently come back as longs)
+        assert (
+            spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true"
+        ), f"{name}: nanosAsLong leaked into the session"
         got[name] = sorted(r["ts"] for r in df.select("ts").collect())
         stream_ts = events_schema(str(d))["ts"].dataType
         assert isinstance(stream_ts, (T.LongType, T.TimestampType)), name
         assert not isinstance(stream_ts, T.TimestampNTZType), name
-    assert got["nanos"] == got["ntz"] == got["timestamp"]
+        # drive ONE real micro-batch per layout (not just the schema):
+        # the ntz layout in particular relies on the parquet reader
+        # honoring an explicit TIMESTAMP schema over an NTZ-stored
+        # file — version-sensitive, so execute it, don't assume it
+        got_stream[name] = _stream_ts_values(spark, str(d), name)
+    assert got["nanos"] == got["nanos_ts"] == got["ntz"] == got["timestamp"]
+    for name in layouts:
+        assert got_stream[name] == got[name], (
+            f"{name}: streamed ts values diverge from the batch loader"
+        )
+
+
+def _stream_ts_values(spark, sf_dir, name):
+    """Run the file-source stream over one layout dir to completion and
+    return the sorted ts values it emitted."""
+    from adi_226_datawarehouse_project_spark.streaming.events_stream import (
+        read_events_stream,
+    )
+
+    out = f"layout_stream_{name}"
+    q = (
+        read_events_stream(spark, sf_dir)
+        .select("event_id", "ts")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(out)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return sorted(r["ts"] for r in spark.sql(f"SELECT ts FROM {out}").collect())
