@@ -241,6 +241,89 @@ def simhash_near_dup_pairs(
     )
 
 
+def near_dup_clusters(
+    ids: DataFrame, id_col: str, pairs: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph:
+    ``(id, cluster_id)`` where ``cluster_id`` is the MINIMUM id in the
+    node's component. This is the canonical-representative step every
+    curation pipeline runs after pairwise near-dup detection — pairs
+    alone can't answer "keep one doc per duplicate GROUP" when dups
+    chain (A~B, B~C but A≁C must still collapse to one survivor).
+
+    Algorithm: min-label propagation. Each iteration sends every
+    node's current label along its edges and takes the min of
+    (own label, incoming labels) — all hash joins + a map-side-combined
+    groupBy min, no windows, no collects of anything graph-sized; the
+    only driver-side value per iteration is the changed-label COUNT
+    (the convergence probe). Converges in component-diameter
+    iterations: near-dup components are LSH cliques and short chains
+    (diameter ≲ 5), so the loop is a handful of bounded shuffles.
+
+    Labels are ``localCheckpoint(eager=True)``-ed every iteration —
+    NOT merely persisted: each round's plan embeds the previous
+    round's twice (label join + convergence join), so without lineage
+    truncation the logical plan grows ~2^iterations and the DRIVER
+    dies of plan-analysis OOM around iteration 8 (observed). The
+    checkpoint materializes the round and replaces its plan with a
+    flat scan, which is exactly how GraphX/GraphFrames pace their
+    iterative jobs; on a cluster with executor churn swap in reliable
+    ``checkpoint()`` against a checkpoint dir. For adversarial
+    long-path graphs (diameter > ``max_iter``) this raises rather than
+    returning partial clusters; the O(log n)-round upgrade path is the
+    large-star/small-star contraction of Kiveris et al. (2014), which
+    drops in behind the same (id, cluster_id) contract.
+
+    The result is returned still checkpoint-backed — recomputing it
+    from scratch would replay every iteration.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .dropDuplicates(["src", "dst"])
+        .persist()
+    )
+    lab = ids.select(
+        F.col(id_col).alias("__id"), F.col(id_col).alias("__lbl")
+    ).localCheckpoint(eager=True)
+    try:
+        for _ in range(max_iter):
+            incoming = (
+                edges.join(lab, F.col("src") == F.col("__id"))
+                .select(F.col("dst").alias("__id"), F.col("__lbl"))
+                .groupBy("__id")
+                .agg(F.min("__lbl").alias("__nl"))
+            )
+            new_lab = (
+                lab.join(incoming, "__id", "left")
+                .select(
+                    "__id",
+                    F.least(
+                        F.col("__lbl"), F.coalesce(F.col("__nl"), F.col("__lbl"))
+                    ).alias("__lbl"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_lab.alias("n")
+                .join(lab.alias("o"), "__id")
+                .filter(F.col("n.__lbl") != F.col("o.__lbl"))
+                .count()
+            )
+            lab = new_lab
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"near_dup_clusters: labels still changing after {max_iter} "
+                "iterations (component diameter exceeds max_iter); raise "
+                "max_iter or switch to star-contraction for this graph"
+            )
+    finally:
+        edges.unpersist()
+    return lab.select(F.col("__id").alias(id_col), F.col("__lbl").alias("cluster_id"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

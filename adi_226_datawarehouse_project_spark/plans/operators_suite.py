@@ -35,6 +35,7 @@ from ..multimodal.binary_ops import attach_binary_payload, decode_image_stub
 from ..operators.dedup import (
     dedup_exact,
     minhash_near_dup_pairs,
+    near_dup_clusters,
     ngram_jaccard_pairs,
     simhash_near_dup_pairs,
 )
@@ -1437,13 +1438,26 @@ def _spark_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus curation funnel — the composite an
     LLM data pipeline actually runs, with per-stage survivor counts:
     language filter (en) → quality floor (≥0.75) → exact dedup
-    (earliest doc per text). Every stage is the already-oracled
-    operator, composed; output is one row per stage so the oracle
-    checks the whole funnel's selectivity AND token mass."""
+    (earliest doc per text) → NEAR-dup cluster collapse (connected
+    components over the exact word-5-gram Jaccard≥0.8 pair graph, keep
+    the min-id representative per component — pairwise detection alone
+    can't collapse chained duplicates A~B~C to one survivor). Every
+    stage is the already-oracled operator, composed; output is one row
+    per stage so the oracle checks the whole funnel's selectivity AND
+    token mass. The components stage is the iterative min-label
+    propagation (operators.dedup.near_dup_clusters); its DuckDB oracle
+    is a recursive-CTE transitive closure over the identical edge set."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     s1 = docs.filter(TX.lang_id("text") == "en")
     s2 = s1.filter(TX.quality_score("text") >= 0.75)
     s3 = dedup_exact(s2, ["text"], order_by=["doc_id"])
+    edges = ngram_jaccard_pairs(
+        s3, "doc_id", "text", n=_NGRAM_N, min_jaccard=_LSH_TRUTH_MIN_J
+    ).select("id_a", "id_b")
+    comp = near_dup_clusters(s3.select("doc_id"), "doc_id", edges)
+    s4 = s3.join(
+        comp.filter(F.col("cluster_id") == F.col("doc_id")).select("doc_id"), "doc_id"
+    )
 
     def _stage(df: DataFrame, idx: int, name: str) -> DataFrame:
         return df.agg(
@@ -1458,6 +1472,7 @@ def _spark_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_stage(s1, 1, "lang_en"))
         .unionByName(_stage(s2, 2, "quality"))
         .unionByName(_stage(s3, 3, "dedup"))
+        .unionByName(_stage(s4, 4, "cluster_dedup"))
         .orderBy("stage_idx")
     )
 
@@ -1485,7 +1500,7 @@ def _funnel_oracle() -> str:
         f" CAST(sum(len({toks})) AS BIGINT) AS total_tokens FROM {{src}}"
     )
     return f"""
-WITH s1 AS (
+WITH RECURSIVE s1 AS (
   SELECT doc_id, text FROM (
     SELECT doc_id, text, {case} AS predicted_lang FROM (
       SELECT *, {best} AS __best FROM (
@@ -1495,11 +1510,45 @@ WITH s1 AS (
   ) f2 WHERE predicted_lang = 'en'
 ),
 s2 AS (SELECT doc_id, text FROM s1 WHERE {q} >= 0.75),
-s3 AS (SELECT min(doc_id) AS doc_id, text FROM s2 GROUP BY text)
+s3 AS (SELECT min(doc_id) AS doc_id, text FROM s2 GROUP BY text),
+s4grams AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, greatest(len(t) - {_NGRAM_N - 1}, 1)),
+                                 i -> array_to_string(t[i:i+{_NGRAM_N - 1}], ' '))) AS g
+    FROM (SELECT doc_id, {_DUCK_TOKENS} AS t FROM s3) s3t
+  ) x
+),
+s4sizes AS (SELECT doc_id, COUNT(*) AS n FROM s4grams GROUP BY doc_id),
+s4edges AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+    FROM s4grams a JOIN s4grams b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+  ) iv
+  JOIN s4sizes na ON na.doc_id = id_a
+  JOIN s4sizes nb ON nb.doc_id = id_b
+  WHERE CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) >= {_LSH_TRUTH_MIN_J}
+),
+s4sym AS (
+  SELECT id_a AS a, id_b AS b FROM s4edges
+  UNION ALL SELECT id_b, id_a FROM s4edges
+),
+reach(src, node) AS (
+  SELECT doc_id, doc_id FROM s3
+  UNION
+  SELECT reach.src, e.b FROM reach JOIN s4sym e ON e.a = reach.node
+),
+comp AS (SELECT src AS doc_id, min(node) AS cluster_id FROM reach GROUP BY src),
+s4 AS (
+  SELECT s3.doc_id, s3.text FROM s3
+  JOIN comp ON comp.doc_id = s3.doc_id AND comp.cluster_id = s3.doc_id
+)
 {stage.format(i=0, nm="raw", src="documents")}
 UNION ALL {stage.format(i=1, nm="lang_en", src="s1")}
 UNION ALL {stage.format(i=2, nm="quality", src="s2")}
 UNION ALL {stage.format(i=3, nm="dedup", src="s3")}
+UNION ALL {stage.format(i=4, nm="cluster_dedup", src="s4")}
 ORDER BY stage_idx
 """
 

@@ -161,6 +161,76 @@ def test_simhash_matches_python_reference(spark):
         assert got[doc_id] == fp, f"doc {doc_id}"
 
 
+def _uf_components(n_ids, edges):
+    """Reference union-find: id -> min id of its component."""
+    parent = {i: i for i in n_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in n_ids}
+
+
+def test_near_dup_clusters_matches_union_find(spark):
+    """Min-label propagation must agree with a Python union-find on
+    graphs covering the awkward shapes: chains (worst diameter),
+    cliques, singletons, and a component whose min id enters last."""
+    import random
+
+    from adi_226_datawarehouse_project_spark.operators.dedup import near_dup_clusters
+
+    cases = [
+        # chain 0-1-2-3-4 (diameter 4), plus singleton 9
+        ([0, 1, 2, 3, 4, 9], [(0, 1), (1, 2), (2, 3), (3, 4)]),
+        # two cliques and a bridge-free singleton
+        ([1, 2, 3, 10, 11, 12, 99], [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12)]),
+        # min id (0) attached at the END of a chain: labels must flow far
+        ([0, 5, 6, 7, 8], [(8, 7), (7, 6), (6, 5), (5, 0)]),
+        # no edges at all
+        ([3, 1, 4], []),
+    ]
+    rng = random.Random(7)
+    ids = list(range(40))
+    rnd_edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(30)]
+    rnd_edges = [(min(a, b), max(a, b)) for a, b in rnd_edges if a != b]
+    cases.append((ids, rnd_edges))
+
+    for node_ids, edges in cases:
+        nodes = spark.createDataFrame([(i,) for i in node_ids], ["doc_id"])
+        if edges:
+            pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+        else:
+            pairs = spark.createDataFrame([], "id_a LONG, id_b LONG")
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in near_dup_clusters(nodes, "doc_id", pairs).collect()
+        }
+        want = _uf_components(node_ids, edges)
+        assert got == want, f"nodes={node_ids} edges={edges}"
+
+
+def test_near_dup_clusters_raises_past_max_iter(spark):
+    """A chain longer than max_iter must refuse loudly (partial labels
+    would silently under-merge clusters)."""
+    import pytest
+
+    from adi_226_datawarehouse_project_spark.operators.dedup import near_dup_clusters
+
+    ids = list(range(8))
+    chain = [(i, i + 1) for i in range(7)]
+    nodes = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    pairs = spark.createDataFrame(chain, ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="max_iter"):
+        near_dup_clusters(nodes, "doc_id", pairs, max_iter=3)
+
+
 def test_simhash_lane_overflow_guard(spark):
     """The packed vote sum overflows signed bigint once a doc reaches
     32768 tokens (top lane contributes n·2^48; 32768·2^48 = 2^63) — the
