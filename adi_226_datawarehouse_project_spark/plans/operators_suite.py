@@ -2136,8 +2136,15 @@ ORDER BY part, id_a NULLS FIRST, id_b NULLS FIRST
 #   srp_topk     — per probe query: the exact top-5 size and min-cosine
 #                  (both engines compute) plus a boolean that the
 #                  deterministic SRP buckets recovered at least
-#                  _ANN_MIN_HITS of the exact top-5 (measured 1-4
-#                  across probes/SFs; a bucketing regression -> FALSE).
+#                  _ANN_MIN_HITS of the exact top-5. The check runs the
+#                  8-band (2-bit) operating point: the probe side is 5
+#                  rows, so the wider net costs ~nothing, per-neighbor
+#                  bucket recall is ~0.99 even at cosine 0.45, and the
+#                  floor can sit at 3/5 with ~1e-5 fixture-drift flake
+#                  risk (the old 4-band/floor-1 form measured hits of
+#                  1-4 — one fixture regen from a spurious red).
+#                  A bucketing regression (narrowed/broken candidate
+#                  generation) still collapses hits -> FALSE.
 #   srp_near_dup — over the AUGMENTED corpus (planted near-dup pairs,
 #                  see _spark_aug_embeddings — the raw fixture's truth
 #                  set is empty): n is the exact all-pairs truth count
@@ -2152,7 +2159,8 @@ ORDER BY part, id_a NULLS FIRST, id_b NULLS FIRST
 #                  misses < 1 of ~20 pairs); a regression to the old
 #                  single-band join (recall ~0.06-0.52 per pair over
 #                  the same range) lands far below the floor. ---
-_ANN_MIN_HITS = 1
+_ANN_MIN_HITS = 3
+_ANN_CHECK_BANDS = 8  # 2-bit bands: wide-recall operating point for the check
 _SRP_ND_RECALL_FLOOR_PCT = 70  # integer percent: floor = n * 70 / 100
 
 
@@ -2161,7 +2169,9 @@ def _spark_sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     exact = cosine_self_topk(emb, "vec_id", "embedding", k=5, probe_ids=[0, 1, 2, 3, 4])
-    ann = lsh_bucket_topk(emb, "vec_id", "embedding", k=5, probe_ids=[0, 1, 2, 3, 4])
+    ann = lsh_bucket_topk(
+        emb, "vec_id", "embedding", k=5, bands=_ANN_CHECK_BANDS, probe_ids=[0, 1, 2, 3, 4]
+    )
     hits = (
         exact.select("query_id", "neighbor_id")
         .join(ann.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi")
