@@ -34,6 +34,43 @@ def test_no_python_udf_in_any_declared_query(spark):
         assert "BatchEvalPython" not in plan, f"{name} uses a row-wise Python UDF"
 
 
+def test_no_cartesian_product_in_any_declared_query(spark):
+    """Every candidate generator must be an equi-join (LSH bands, SRP
+    buckets, IVF cells, hashed shingles): no declared query's plan may
+    contain a CartesianProduct. The one sanctioned all-pairs query
+    (sim_near_dup_exact) runs as a broadcast nested-loop with the
+    cosine threshold pushed into the join condition — also not a
+    CartesianProduct node."""
+    qs = entrymod.queries()
+    for name, fn in qs.items():
+        plan = _physical(fn(spark, SF_SMALL))
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+def test_banded_near_dup_joins_on_buckets(spark):
+    """embedding_near_dup_pairs must generate candidates via the banded
+    bucket equi-join (hash-partitioned on band+bucket), never a
+    signature-free cross join; the pair-dedup shuffle carries bare ids
+    (no vector columns in the dedup exchange)."""
+    from adi_226_datawarehouse_project_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    plan = _physical(embedding_near_dup_pairs(emb, "vec_id", "embedding"))
+    assert "CartesianProduct" not in plan
+    assert "band" in plan and "bucket" in plan  # candidate equi-join keys
+    # pair dedup physicalizes as a HashAggregate keyed on the bare id
+    # pair — if a vector column ever appears among the keys, the dedup
+    # shuffle is carrying 512-byte arrays instead of 16-byte rows
+    import re
+
+    dedup_keys = re.findall(r"HashAggregate\(keys=\[(id_a[^\]]*)\]", plan)
+    assert dedup_keys, "pair dedup must be a HashAggregate on id_a/id_b"
+    for keys in dedup_keys:
+        assert "embedding" not in keys and "__v" not in keys
+
+
 def test_parquet_filter_pushdown(spark):
     li = load_table(spark, SF_SMALL, "lineitem").filter(F.col("l_quantity") > 49).select(
         "l_orderkey", "l_quantity"
