@@ -1,0 +1,284 @@
+"""Training-data assembly operators: deterministic mixture sampling,
+sequence packing into fixed context windows, and deterministic global
+shuffle ordering.
+
+These are the last mile of an LLM data-curation pipeline (after the
+lang/quality/dedup funnel): decide HOW MUCH of each stratum to keep
+(mixture weighting), lay the surviving tokens into fixed-size training
+sequences (packing), and fix a reproducible pseudo-random visit order
+(global shuffle). The reference pipeline stops at warehouse gold
+tables; these extend the same engine to corpus assembly, which is why
+they live beside dedup/similarity rather than in the star model.
+
+Design rules shared by all three:
+
+- **Determinism via portable hashing, not RNG.** Sampling and shuffle
+  keys are md5 of ``seed || ':' || id`` — identical bytes in every
+  engine (the DuckDB oracles recompute them), stable under re-runs,
+  repartitioning, and data append (an existing row never changes its
+  fate when new rows arrive). Same scheme as the suite's md5
+  train/val/test split.
+- **No global single-partition window.** Packing and ranking need a
+  corpus-wide prefix sum over a total order — the naive
+  ``Window.orderBy(id)`` plans an ``Exchange SinglePartition`` that
+  serializes 100 TB through one task. :func:`distributed_prefix_sum`
+  is the classic two-phase scan instead: range-partition on the order
+  key, per-partition (parallel) intra sums, then a prefix over the
+  ~num_partitions per-partition totals (a frame of a few thousand
+  rows at cluster scale) broadcast back. The only single-partition
+  window in the plan runs over that tiny totals frame.
+- **Narrow where possible.** Stratified sampling is a pure filter
+  Column — no shuffle at all; it composes under the scan's other
+  pushed predicates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_HEX_WIDTH = 6  # 16^6 = 16.7M buckets: fraction granularity ~6e-8
+
+
+def _hash_hex(id_col: Column | str, seed: str, width: int = _HEX_WIDTH) -> Column:
+    """Fixed-width lowercase-hex hash bucket of (seed, id) — the
+    portable uniform variate. Lexicographic comparison of fixed-width
+    lowercase hex equals numeric comparison, so a threshold test needs
+    no hex→int conversion (which DuckDB and Spark spell differently)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.substring(
+        F.md5(F.concat(F.lit(seed), F.lit(":"), c.cast("string"))), 1, width
+    )
+
+
+def fraction_threshold(fraction: float, width: int = _HEX_WIDTH) -> str:
+    """Hex threshold t such that P[hash_hex < t] == round(f·16^w)/16^w."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction out of [0,1]: {fraction}")
+    return format(int(round(fraction * 16**width)), f"0{width}x")
+
+
+def keep_fraction(id_col: Column | str, fraction: float, seed: str) -> Column:
+    """Boolean Column: keep this row with the given deterministic
+    fraction. fraction>=1 keeps all (the 'ffffff' prefix would
+    otherwise be dropped at ~6e-8 probability); fraction<=0 drops all."""
+    if fraction >= 1.0:
+        return F.lit(True)
+    if fraction <= 0.0:
+        return F.lit(False)
+    return _hash_hex(id_col, seed) < F.lit(fraction_threshold(fraction))
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    seed: str,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — mixture weighting over
+    domains/languages/sources. Pure narrow filter (zero shuffle): each
+    row's fate is a threshold test on md5(seed:id) against its
+    stratum's hex threshold, so the predicate composes with scan
+    pushdown and the sample is reproducible and append-stable. Strata
+    absent from ``fractions`` get ``default_fraction``.
+
+    At 100 TB this is exactly as scalable as the scan itself; contrast
+    ``df.sampleBy`` which is seeded per-partition-RNG (repartitioning
+    changes the sample) and not reproducible across engines."""
+    whens = None
+    h = _hash_hex(id_col, seed)
+    for stratum, frac in sorted(fractions.items()):
+        if frac >= 1.0:
+            cond: Column = F.lit(True)
+        elif frac <= 0.0:
+            cond = F.lit(False)
+        else:
+            cond = h < F.lit(fraction_threshold(frac))
+        branch = (F.col(strata_col) == F.lit(stratum), cond)
+        whens = F.when(*branch) if whens is None else whens.when(*branch)
+    otherwise = keep_fraction(id_col, default_fraction, seed)
+    pred = otherwise if whens is None else whens.otherwise(otherwise)
+    return df.filter(pred)
+
+
+def distributed_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "prefix_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXCLUSIVE prefix sum of ``value_col`` over the total order given
+    by ``order_col`` (must be unique — ties would make per-row
+    exclusive sums order-dependent), without a global single-partition
+    window.
+
+    Two-phase scan: (1) range-partition on the order key and compute
+    intra-partition exclusive sums with a window PARTITIONED BY the
+    physical partition id — fully parallel; (2) aggregate one total per
+    partition, prefix those (a window over ~num_partitions rows — the
+    only unpartitioned window in the plan), broadcast-join the offsets
+    back. The result is invariant to the partition count/boundaries, so
+    Spark's sampled range boundaries never affect values.
+
+    The ranged frame is localCheckpoint'ed (same rationale as
+    ``near_dup_clusters``): both phases consume it, and pinning the
+    materialized partitioning removes any recompute-alignment concern
+    between the totals branch and the main branch. At cluster scale
+    you'd persist to MEMORY_AND_DISK instead — a prefix scan is
+    inherently a two-pass barrier."""
+    n = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    ranged = (
+        df.repartitionByRange(n, F.col(order_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w_intra = (
+        Window.partitionBy("__pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    intra = ranged.withColumn(
+        "__intra", F.coalesce(F.sum(value_col).over(w_intra), F.lit(0).cast("bigint"))
+    )
+    w_tot = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        ranged.groupBy("__pid")
+        .agg(F.sum(value_col).alias("__t"))
+        .withColumn(
+            "__off", F.coalesce(F.sum("__t").over(w_tot), F.lit(0).cast("bigint"))
+        )
+        .select("__pid", "__off")
+    )
+    return (
+        intra.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, (F.col("__intra") + F.col("__off")).cast("bigint"))
+        .drop("__pid", "__intra", "__off")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    max_len: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are laid end-to-end
+    in ``id_col`` order into one virtual token stream, which is cut
+    into fixed ``max_len`` context windows (documents may straddle a
+    boundary — GPT-style packing, zero padding waste). Emits one row
+    per document:
+
+      id, n_tokens, token_offset (exclusive prefix sum),
+      chunk_first = offset div L,
+      chunk_last  = (offset + max(n_tokens,1) - 1) div L
+
+    A zero-token document occupies no stream space; it is pinned to the
+    chunk at its offset (chunk_first == chunk_last) so every doc has a
+    well-defined home. The offset comes from
+    :func:`distributed_prefix_sum` — no global-order single-partition
+    window; the plan stays parallel at any corpus size."""
+    if max_len <= 0:
+        raise ValueError(f"max_len must be positive: {max_len}")
+    packed = distributed_prefix_sum(
+        df.select(id_col, F.col(tokens_col).cast("bigint").alias("n_tokens")),
+        order_col=id_col,
+        value_col="n_tokens",
+        out_col="token_offset",
+        num_partitions=num_partitions,
+    )
+    off, nt, L = F.col("token_offset"), F.col("n_tokens"), F.lit(max_len)
+    return packed.select(
+        id_col,
+        "n_tokens",
+        "token_offset",
+        F.floor(off / L).cast("bigint").alias("chunk_first"),
+        F.floor((off + F.greatest(nt, F.lit(1)) - 1) / L)
+        .cast("bigint")
+        .alias("chunk_last"),
+    )
+
+
+def pack_chunk_stats(packed: DataFrame, id_col: str, max_len: int) -> DataFrame:
+    """Per-chunk rollup of :func:`pack_sequences` output: for every
+    context window, how many documents contribute tokens to it and how
+    many tokens it holds (== max_len everywhere except the final
+    chunk). A document spanning chunks [first, last] contributes
+    ``min((c+1)L, off+n) − max(cL, off)`` tokens to chunk c; the
+    explode fans each doc out to its ≤ ceil(n/L)+1 chunks — bounded
+    per-row fan-out, then a map-side-combinable sum by chunk_id.
+    Zero-token docs contribute nothing and are filtered before the
+    shuffle."""
+    L = F.lit(max_len)
+    c = F.col("chunk_id")
+    off, nt = F.col("token_offset"), F.col("n_tokens")
+    return (
+        packed.filter(F.col("n_tokens") > 0)
+        .select(
+            id_col,
+            "token_offset",
+            "n_tokens",
+            F.explode(F.sequence(F.col("chunk_first"), F.col("chunk_last"))).alias(
+                "chunk_id"
+            ),
+        )
+        .withColumn(
+            "chunk_tokens",
+            F.least((c + 1) * L, off + nt) - F.greatest(c * L, off),
+        )
+        .filter(F.col("chunk_tokens") > 0)
+        .groupBy("chunk_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("chunk_tokens").cast("bigint").alias("chunk_tokens"),
+        )
+    )
+
+
+def global_shuffle_rank(
+    df: DataFrame,
+    id_col: str,
+    seed: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets a
+    dense 0-based rank in the pseudo-random order md5(seed:id) (id as
+    tiebreaker — md5 prefix collisions at width 12 are ~1e-7 per 10^5
+    rows and the tiebreak makes even those deterministic). Same
+    two-phase prefix machinery as packing, counting rows instead of
+    tokens: range-partition on the shuffle key, count per partition,
+    prefix the tiny totals frame, add intra-partition row_number. The
+    output order is reproducible across runs, engines, and cluster
+    sizes — `ORDER BY rand()` is none of those."""
+    keyed = df.withColumn("__skey", _hash_hex(id_col, seed, width=12))
+    n = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    ranged = (
+        keyed.repartitionByRange(n, F.col("__skey"), F.col(id_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w_intra = Window.partitionBy("__pid").orderBy("__skey", id_col)
+    intra = ranged.withColumn(
+        "__r", F.row_number().over(w_intra).cast("bigint") - 1
+    )
+    w_tot = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        ranged.groupBy("__pid")
+        .agg(F.count("*").alias("__t"))
+        .withColumn(
+            "__off", F.coalesce(F.sum("__t").over(w_tot), F.lit(0).cast("bigint"))
+        )
+        .select("__pid", "__off")
+    )
+    return (
+        intra.join(F.broadcast(offsets), "__pid")
+        .withColumn("shuffle_rank", F.col("__r") + F.col("__off"))
+        .drop("__pid", "__r", "__off", "__skey")
+    )

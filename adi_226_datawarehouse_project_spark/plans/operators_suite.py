@@ -40,6 +40,13 @@ from ..operators.dedup import (
     simhash_near_dup_pairs,
 )
 from ..operators.similarity import cosine, cosine_self_topk, ivf_topk, lsh_bucket_topk
+from ..operators.training import (
+    fraction_threshold,
+    global_shuffle_rank,
+    pack_chunk_stats,
+    pack_sequences,
+    stratified_sample,
+)
 from ..operators.upsert import incremental_upsert
 from ..sources.catalog import load_table, register_base_views
 from ..sources.readers import read_csv, read_json, read_parquet
@@ -1985,7 +1992,97 @@ def _text_token_features_oracle() -> str:
     ]) + "\nORDER BY part, k"
 
 
-# --- text_doc_features: language-ID + doc fingerprint + quality score ---
+# --- training-data assembly parts (verified inside text_doc_features):
+# deterministic mixture sampling, concat-and-chunk sequence packing,
+# and deterministic global shuffle order. All portable-hash / window
+# derivations both engines compute bit-identically; the Spark side is
+# the operators.training module (two-phase prefix sums — no global
+# single-partition window; plan shape pinned in tests/test_training.py).
+_MIX_SEED = "mix-v1"
+_MIX_FRACTIONS = {"en": 0.5, "de": 0.25, "zh": 0.125, "fr": 1.0, "es": 0.0}
+_PACK_LEN = 512
+_SHUFFLE_SEED = "order-v1"
+
+
+def _spark_strat_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return stratified_sample(
+        docs, "doc_id", "lang", _MIX_FRACTIONS, seed=_MIX_SEED
+    ).select(
+        F.concat("lang", F.lit(":"), F.col("doc_id").cast("string")).alias("k"),
+        F.col("doc_id").cast("bigint").alias("n"),
+        TX.token_count("text").cast("bigint").alias("n2"),
+    )
+
+
+def _strat_sample_oracle() -> str:
+    arms = []
+    for stratum, frac in sorted(_MIX_FRACTIONS.items()):
+        if frac >= 1.0:
+            cond = "TRUE"
+        elif frac <= 0.0:
+            cond = "FALSE"
+        else:
+            cond = (
+                f"substr(md5(concat('{_MIX_SEED}:', CAST(doc_id AS VARCHAR))), 1, 6)"
+                f" < '{fraction_threshold(frac)}'"
+            )
+        arms.append(f"WHEN '{stratum}' THEN {cond}")
+    return f"""
+SELECT concat(lang, ':', CAST(doc_id AS VARCHAR)) AS k,
+       doc_id AS n, CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n2
+FROM documents
+WHERE CASE lang {" ".join(arms)} ELSE FALSE END
+"""
+
+
+def _spark_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", TX.token_count("text").alias("nt")
+    )
+    return pack_sequences(docs, "doc_id", "nt", _PACK_LEN)
+
+
+_DUCK_PACKED = f"""
+SELECT doc_id, nt, off, off // {{L}} AS cf,
+       (off + greatest(nt, 1) - 1) // {{L}} AS cl
+FROM (
+  SELECT doc_id, nt,
+         CAST(COALESCE(sum(nt) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS off
+  FROM (SELECT doc_id, CAST(len({_DUCK_TOKENS}) AS BIGINT) AS nt FROM documents) d
+) p
+"""
+
+_PACK_DOCS_ORACLE = (
+    f"SELECT doc_id AS k, off AS n, cl AS n2 FROM ({_DUCK_PACKED}) pd"
+).format(L=_PACK_LEN)
+
+_PACK_CHUNKS_ORACLE = f"""
+SELECT c AS k, COUNT(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS chunk_tokens
+FROM (
+  SELECT least((c + 1) * {_PACK_LEN}, off + nt) - greatest(c * {_PACK_LEN}, off) AS tok, c
+  FROM (
+    SELECT off, nt, unnest(generate_series(cf, cl)) AS c
+    FROM ({_DUCK_PACKED.format(L=_PACK_LEN)}) pd WHERE nt > 0
+  ) x
+) y
+WHERE tok > 0
+GROUP BY c
+"""
+
+_SHUFFLE_RANK_ORACLE = f"""
+SELECT doc_id AS k,
+       row_number() OVER (
+         ORDER BY substr(md5(concat('{_SHUFFLE_SEED}:', CAST(doc_id AS VARCHAR))), 1, 12),
+                  doc_id) - 1 AS n
+FROM documents
+"""
+
+
+# --- text_doc_features: language-ID + doc fingerprint + quality score
+# + the training-assembly family (mixture sample / packing / shuffle) ---
 def _spark_text_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     lang = _spark_lang_id(spark, sf_dir).select(
         F.lit("lang_id").alias("part"), F.col("predicted_lang").alias("k"),
@@ -2001,7 +2098,38 @@ def _spark_text_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_docs").cast("bigint").alias("n"),
         F.col("quality_centisum").cast("bigint").alias("n2"),
     )
-    return lang.unionByName(fp).unionByName(qual).orderBy("part", "k")
+    samp = _spark_strat_sample(spark, sf_dir).select(
+        F.lit("strat_sample").alias("part"), "k", "n", "n2"
+    )
+    packed = _spark_packed(spark, sf_dir)
+    pdocs = packed.select(
+        F.lit("pack_docs").alias("part"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("token_offset").alias("n"),
+        F.col("chunk_last").alias("n2"),
+    )
+    chunks = pack_chunk_stats(packed, "doc_id", _PACK_LEN).select(
+        F.lit("pack_chunks").alias("part"),
+        F.col("chunk_id").cast("string").alias("k"),
+        F.col("n_docs").alias("n"),
+        F.col("chunk_tokens").alias("n2"),
+    )
+    docs_only = load_table(spark, sf_dir, "documents").select("doc_id")
+    ranks = global_shuffle_rank(docs_only, "doc_id", seed=_SHUFFLE_SEED).select(
+        F.lit("shuffle_rank").alias("part"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("shuffle_rank").alias("n"),
+        F.lit(None).cast("bigint").alias("n2"),
+    )
+    return (
+        lang.unionByName(fp)
+        .unionByName(qual)
+        .unionByName(samp)
+        .unionByName(pdocs)
+        .unionByName(chunks)
+        .unionByName(ranks)
+        .orderBy("part", "k")
+    )
 
 
 def _text_doc_features_oracle() -> str:
@@ -2012,6 +2140,10 @@ def _text_doc_features_oracle() -> str:
             k="'corpus'", n="n_docs", n2="n_distinct_fingerprints",
         ),
         _duck_norm("quality", _quality_oracle(), k="lang", n="n_docs", n2="quality_centisum"),
+        _duck_norm("strat_sample", _strat_sample_oracle(), k="k", n="n", n2="n2"),
+        _duck_norm("pack_docs", _PACK_DOCS_ORACLE, k="k", n="n", n2="n2"),
+        _duck_norm("pack_chunks", _PACK_CHUNKS_ORACLE, k="k", n="n_docs", n2="chunk_tokens"),
+        _duck_norm("shuffle_rank", _SHUFFLE_RANK_ORACLE, k="k", n="n"),
     ]) + "\nORDER BY part, k"
 
 

@@ -1,0 +1,216 @@
+"""Training-data assembly operators: property tests against plain-
+Python references (hashlib md5 / a sequential packing loop) plus
+plan-shape gates proving the prefix-sum machinery never plans a
+global single-partition window over the input."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from adi_226_datawarehouse_project_spark.operators.training import (
+    distributed_prefix_sum,
+    fraction_threshold,
+    global_shuffle_rank,
+    pack_chunk_stats,
+    pack_sequences,
+    stratified_sample,
+)
+
+
+def _md5_hex(seed: str, key, width: int = 6) -> str:
+    return hashlib.md5(f"{seed}:{key}".encode()).hexdigest()[:width]
+
+
+# ---------------------------------------------------------------- sampling
+
+
+def test_stratified_sample_exact_membership(spark):
+    rows = [Row(id=i, stratum=["a", "b", "c"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows)
+    fracs = {"a": 0.5, "b": 0.25, "c": 0.0}
+    got = {
+        r["id"]
+        for r in stratified_sample(df, "id", "stratum", fracs, seed="s1").collect()
+    }
+    want = {
+        r.id
+        for r in rows
+        if fracs[r.stratum] > 0
+        and _md5_hex("s1", r.id) < fraction_threshold(fracs[r.stratum])
+    }
+    assert got == want
+    assert 0 < len(want) < 300  # non-degenerate at these fractions
+
+
+def test_stratified_sample_edge_fractions_and_default(spark):
+    rows = [Row(id=i, stratum="keep" if i % 2 else "other") for i in range(40)]
+    df = spark.createDataFrame(rows)
+    all_kept = stratified_sample(df, "id", "stratum", {"keep": 1.0}, seed="x")
+    got = {(r["id"], r["stratum"]) for r in all_kept.collect()}
+    # fraction 1.0 keeps every 'keep' row (no hash-boundary loss);
+    # default_fraction=0 drops every unlisted stratum
+    assert got == {(r.id, r.stratum) for r in rows if r.stratum == "keep"}
+    half_default = stratified_sample(
+        df, "id", "stratum", {"keep": 0.0}, seed="x", default_fraction=1.0
+    )
+    assert {r["stratum"] for r in half_default.collect()} == {"other"}
+
+
+def test_stratified_sample_is_append_stable(spark):
+    # adding rows never changes an existing row's fate
+    small = spark.createDataFrame([Row(id=i, stratum="a") for i in range(50)])
+    big = spark.createDataFrame([Row(id=i, stratum="a") for i in range(200)])
+    fr = {"a": 0.4}
+    kept_small = {
+        r["id"] for r in stratified_sample(small, "id", "stratum", fr, "s").collect()
+    }
+    kept_big = {
+        r["id"] for r in stratified_sample(big, "id", "stratum", fr, "s").collect()
+    }
+    assert kept_small == {i for i in kept_big if i < 50}
+
+
+def test_stratified_sample_plans_no_shuffle(spark):
+    df = spark.createDataFrame([Row(id=i, stratum="a") for i in range(10)])
+    plan = (
+        stratified_sample(df, "id", "stratum", {"a": 0.5}, "s")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # pure narrow filter
+
+
+# ---------------------------------------------------------------- prefix sum
+
+
+@pytest.mark.parametrize("parts", [1, 3, 8])
+def test_prefix_sum_matches_python_any_partitioning(spark, parts):
+    vals = [(i, (i * 7919) % 23) for i in range(157)]
+    df = spark.createDataFrame(vals, ["k", "v"]).repartition(5)
+    got = {
+        r["k"]: r["prefix_sum"]
+        for r in distributed_prefix_sum(
+            df, "k", "v", num_partitions=parts
+        ).collect()
+    }
+    acc, want = 0, {}
+    for k, v in vals:  # exclusive scan in k order
+        want[k] = acc
+        acc += v
+    assert got == want
+
+
+def test_prefix_sum_requires_no_global_window(spark):
+    df = spark.createDataFrame([(i, 1) for i in range(50)], ["k", "v"])
+    plan = (
+        distributed_prefix_sum(df, "k", "v", num_partitions=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the intra window is partitioned by the physical partition id;
+    # the only unpartitioned window runs over the per-partition totals
+    # (post-aggregate, ~num_partitions rows). A partitioned Window node
+    # prints two bracket groups after the function list
+    # (`], [partSpec], [orderSpec]`); an unpartitioned one prints one.
+    win_lines = [l for l in plan.splitlines() if "windowspecdefinition(" in l]
+    assert len(win_lines) == 2
+    for line in win_lines:
+        if line.count("], [") < 2:  # unpartitioned window
+            assert "sum(__t" in line, f"global window over non-totals frame: {line}"
+        else:
+            assert line.split("], [")[1].startswith("__pid#")
+
+
+# ---------------------------------------------------------------- packing
+
+
+def _pack_reference(docs, L):
+    """Sequential concat-and-chunk loop: the semantics in one pass."""
+    off, out = 0, {}
+    for i, n in docs:  # docs sorted by id
+        first = off // L
+        last = (off + max(n, 1) - 1) // L
+        out[i] = (n, off, first, last)
+        off += n
+    return out
+
+
+@pytest.mark.parametrize("L", [16, 64, 1000])
+def test_pack_sequences_matches_sequential_reference(spark, L):
+    docs = [(i, (i * 131) % 37) for i in range(200)]  # includes 0-token docs
+    df = spark.createDataFrame(docs, ["doc_id", "nt"])
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["token_offset"],
+            r["chunk_first"],
+            r["chunk_last"],
+        )
+        for r in pack_sequences(df, "doc_id", "nt", L, num_partitions=6).collect()
+    }
+    assert got == _pack_reference(docs, L)
+
+
+def test_pack_chunk_stats_conserves_tokens_and_fills_chunks(spark):
+    L = 64
+    docs = [(i, (i * 131) % 37) for i in range(200)]
+    df = spark.createDataFrame(docs, ["doc_id", "nt"])
+    packed = pack_sequences(df, "doc_id", "nt", L, num_partitions=6)
+    stats = {
+        r["chunk_id"]: (r["n_docs"], r["chunk_tokens"])
+        for r in pack_chunk_stats(packed, "doc_id", L).collect()
+    }
+    total = sum(n for _, n in docs)
+    assert sum(t for _, t in stats.values()) == total  # token conservation
+    n_chunks = (total + L - 1) // L
+    assert set(stats) == set(range(n_chunks))  # contiguous, no gaps
+    for c, (_, t) in stats.items():  # every chunk full except the last
+        assert t == (L if c < n_chunks - 1 else total - L * (n_chunks - 1))
+    # per-chunk doc counts against the reference layout
+    ref = _pack_reference(docs, L)
+    for c in stats:
+        want_docs = sum(
+            1 for i, (n, off, fi, la) in ref.items() if n > 0 and fi <= c <= la
+        )
+        assert stats[c][0] == want_docs
+
+
+# ---------------------------------------------------------------- shuffle
+
+
+def test_global_shuffle_rank_matches_python_md5_order(spark):
+    ids = list(range(0, 400, 3))
+    df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    got = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in global_shuffle_rank(df, "doc_id", seed="ep0").collect()
+    }
+    order = sorted(ids, key=lambda i: (_md5_hex("ep0", i, 12), i))
+    want = {i: r for r, i in enumerate(order)}
+    assert got == want
+    # a different seed produces a genuinely different permutation
+    got2 = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in global_shuffle_rank(df, "doc_id", seed="ep1").collect()
+    }
+    assert got2 != got
+    assert sorted(got2.values()) == list(range(len(ids)))
+
+
+def test_shuffle_rank_partition_invariance(spark):
+    df = spark.createDataFrame([(i,) for i in range(120)], ["doc_id"])
+    a = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in global_shuffle_rank(df, "doc_id", "s", num_partitions=2).collect()
+    }
+    b = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in global_shuffle_rank(
+            df.repartition(7), "doc_id", "s", num_partitions=9
+        ).collect()
+    }
+    assert a == b
