@@ -77,9 +77,18 @@ def events_ts_storage(path: str) -> str:
     tz-adjusted micro/milli timestamp Spark reads natively. The
     driver's generator has produced all three layouts across rounds, so
     the loader adapts per file instead of assuming one."""
+    import glob
+
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    if os.path.isdir(path):
+        # Spark-written tables are directories of part files; every part
+        # shares one schema, so probe the first (sorted for determinism).
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            raise FileNotFoundError(f"no parquet part files under {path}")
+        path = parts[0]
     t = pq.read_schema(path).field("ts").type
     if pa.types.is_integer(t) or (pa.types.is_timestamp(t) and t.unit == "ns"):
         return "nanos"
@@ -118,8 +127,15 @@ def load_table(
             else:
                 spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        # nanosAsLong only affects files WITHOUT an embedded Spark
+        # schema (the driver generator's pyarrow layouts). A
+        # Spark-WRITTEN nanos file carries its logical schema in the
+        # footer and comes back as TIMESTAMP already — converting
+        # unconditionally would div a timestamp.
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     else:
         df = spark.read.parquet(path)
     if name == "events":

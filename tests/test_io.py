@@ -152,3 +152,26 @@ def test_run_manifest_empty_stats_omits_field(spark, tmp_path):
     assert r["job_name"] == "job_y"
     assert r["inputs"]["a"] == "s3://raw/a/"
     assert r["outputs"]["o"] == "s3://gold/o/"
+
+
+def test_events_load_from_directory_table(spark, tmp_path):
+    """Spark-WRITTEN events tables are directories of part files; the
+    layout-adaptive loader must probe the ts schema through the
+    directory (not just driver-generated single-file layouts)."""
+    from pyspark.sql import types as T
+
+    from adi_226_datawarehouse_project_spark.sources.catalog import (
+        events_ts_storage,
+        load_table,
+    )
+    from tests.conftest import SF_SMALL
+
+    src = load_table(spark, SF_SMALL, "events")
+    out = tmp_path / "rewritten"
+    src.write.parquet(str(out / "events.parquet"))
+    assert events_ts_storage(str(out / "events.parquet")) in (
+        "nanos", "ntz", "timestamp",
+    )
+    df = load_table(spark, str(out), "events")
+    assert isinstance(df.schema["ts"].dataType, T.TimestampType)
+    assert df.count() == src.count()
