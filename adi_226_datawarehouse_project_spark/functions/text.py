@@ -123,6 +123,70 @@ def quality_score(col: Column | str) -> Column:
     return len_ok + punct_ok + sw_ok + wl_ok
 
 
+def repeated_token_fraction(col: Column | str) -> Column:
+    """Fraction of tokens that are repeats of an earlier token:
+    ``1 - |distinct tokens| / |tokens|``. The cheapest of the
+    Gopher-style repetition signals (Rae et al. 2021 §A1.1 use
+    duplicate line/paragraph fractions; token-level is the word-salad
+    analogue). 0 for an all-distinct doc, → 1 for a doc that loops one
+    token."""
+    return _let(
+        word_tokens(col),
+        lambda toks: (F.size(toks) - F.size(F.array_distinct(toks))).cast("double")
+        / F.greatest(F.size(toks), F.lit(1)).cast("double"),
+    )
+
+
+def repeated_ngram_fraction(col: Column | str, n: int = 2) -> Column:
+    """Fraction of word n-grams that are duplicates of an earlier
+    n-gram — catches phrase-level loops that token-level repetition
+    misses (a doc cycling 'a b c a b c' has low token novelty already,
+    but 'x1 y1 x2 y2 x1 y1' only shows up at n≥2)."""
+    return _let(
+        word_ngrams(col, n),
+        lambda g: (F.size(g) - F.size(F.array_distinct(g))).cast("double")
+        / F.greatest(F.size(g), F.lit(1)).cast("double"),
+    )
+
+
+# PII patterns chosen to parse identically under Java regex (Spark) and
+# RE2 (DuckDB): no backreferences, no lookaround, ASCII word boundaries.
+_PII_PATTERNS: list[tuple[str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
+]
+
+
+def scrub_pii(col: Column | str, replacement: str = "[PII]") -> Column:
+    """Redact emails, NANP-style phone numbers and IPv4 addresses with
+    ``replacement`` — the pre-training PII scrub pass. A chain of
+    ``regexp_replace`` Column ops (JVM-side, codegen'd, no UDF); order
+    matters: emails first so 'user@1.2.3.4'-style hosts are consumed
+    before the IPv4 rule sees them."""
+    out = F.col(col) if isinstance(col, str) else col
+    for _, pat in _PII_PATTERNS:
+        out = F.regexp_replace(out, pat, replacement)
+    return out
+
+
+def pii_match_count(col: Column | str, replacement: str = "[PII]") -> Column:
+    """Number of PII spans :func:`scrub_pii` would redact — counted by
+    length delta over the scrubbed text so the count is exactly
+    consistent with the scrub itself (no second regex engine pass that
+    could disagree)."""
+    c = F.col(col) if isinstance(col, str) else col
+    scrubbed = scrub_pii(c, replacement)
+    marker_len = len(replacement)
+    return (
+        (
+            F.length(scrubbed)
+            - F.length(F.replace(scrubbed, F.lit(replacement), F.lit("")))
+        )
+        / marker_len
+    ).cast("bigint")
+
+
 def fingerprint(col: Column | str) -> Column:
     """Order-insensitive document fingerprint: md5 of the sorted
     distinct token set (key-collapsing fingerprint à la OpenRefine).

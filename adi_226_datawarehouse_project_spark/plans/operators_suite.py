@@ -32,6 +32,7 @@ from ..functions import text as TX
 from ..functions.cleaning import ensure_columns, parse_timestamp_multi, to_utc
 from ..model.star import oracle_with_chain, register_star_views
 from ..multimodal.binary_ops import attach_binary_payload, decode_image_stub
+from ..operators.decontamination import decontaminate
 from ..operators.dedup import (
     dedup_exact,
     minhash_near_dup_pairs,
@@ -1441,6 +1442,10 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+_DECON_MOD = 7  # benchmark stratum: raw docs with doc_id % 7 == 0
+_DECON_MIN_OVERLAP = 2  # contaminated = >= 2 distinct shared 5-grams
+
+
 def _spark_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus curation funnel — the composite an
     LLM data pipeline actually runs, with per-stage survivor counts:
@@ -1448,12 +1453,20 @@ def _spark_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     (earliest doc per text) → NEAR-dup cluster collapse (connected
     components over the exact word-5-gram Jaccard≥0.8 pair graph, keep
     the min-id representative per component — pairwise detection alone
-    can't collapse chained duplicates A~B~C to one survivor). Every
+    can't collapse chained duplicates A~B~C to one survivor) →
+    benchmark DECONTAMINATION (drop survivors that are benchmark
+    members or share ≥2 distinct word-5-grams with the benchmark
+    corpus — the GPT-3-style eval-overlap scrub; the benchmark is the
+    deterministic doc_id % 7 == 0 stratum of the RAW corpus, so both
+    engines derive the identical eval set with no side state). Every
     stage is the already-oracled operator, composed; output is one row
     per stage so the oracle checks the whole funnel's selectivity AND
     token mass. The components stage is the iterative min-label
     propagation (operators.dedup.near_dup_clusters); its DuckDB oracle
-    is a recursive-CTE transitive closure over the identical edge set."""
+    is a recursive-CTE transitive closure over the identical edge set.
+    The decontamination stage is operators.decontamination (broadcast
+    bench-gram inverted index); its oracle is the same distinct-gram
+    overlap count in SQL."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     s1 = docs.filter(TX.lang_id("text") == "en")
     s2 = s1.filter(TX.quality_score("text") >= 0.75)
@@ -1464,6 +1477,15 @@ def _spark_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = near_dup_clusters(s3.select("doc_id"), "doc_id", edges)
     s4 = s3.join(
         comp.filter(F.col("cluster_id") == F.col("doc_id")).select("doc_id"), "doc_id"
+    )
+    bench = docs.filter(F.col("doc_id") % _DECON_MOD == 0)
+    s5 = decontaminate(
+        s4.filter(F.col("doc_id") % _DECON_MOD != 0),
+        bench,
+        "doc_id",
+        "text",
+        n=_NGRAM_N,
+        min_overlap=_DECON_MIN_OVERLAP,
     )
 
     def _stage(df: DataFrame, idx: int, name: str) -> DataFrame:
@@ -1480,6 +1502,7 @@ def _spark_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_stage(s2, 2, "quality"))
         .unionByName(_stage(s3, 3, "dedup"))
         .unionByName(_stage(s4, 4, "cluster_dedup"))
+        .unionByName(_stage(s5, 5, "decontaminated"))
         .orderBy("stage_idx")
     )
 
@@ -1550,12 +1573,36 @@ comp AS (SELECT src AS doc_id, min(node) AS cluster_id FROM reach GROUP BY src),
 s4 AS (
   SELECT s3.doc_id, s3.text FROM s3
   JOIN comp ON comp.doc_id = s3.doc_id AND comp.cluster_id = s3.doc_id
+),
+s5bench AS (
+  SELECT DISTINCT g FROM (
+    SELECT unnest(list_transform(generate_series(1, greatest(len(t) - {_NGRAM_N - 1}, 1)),
+           i -> array_to_string(t[i:i+{_NGRAM_N - 1}], ' '))) AS g
+    FROM (SELECT {toks} AS t FROM documents WHERE doc_id % {_DECON_MOD} = 0) bd
+  ) bx
+),
+s5traing AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(t) - {_NGRAM_N - 1}, 1)),
+           i -> array_to_string(t[i:i+{_NGRAM_N - 1}], ' '))) AS g
+    FROM (SELECT doc_id, {toks} AS t FROM s4 WHERE doc_id % {_DECON_MOD} <> 0) td
+  ) tx
+),
+s5bad AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, COUNT(*) AS c FROM s5traing JOIN s5bench USING (g) GROUP BY doc_id
+  ) ov WHERE c >= {_DECON_MIN_OVERLAP}
+),
+s5 AS (
+  SELECT doc_id, text FROM s4
+  WHERE doc_id % {_DECON_MOD} <> 0 AND doc_id NOT IN (SELECT doc_id FROM s5bad)
 )
 {stage.format(i=0, nm="raw", src="documents")}
 UNION ALL {stage.format(i=1, nm="lang_en", src="s1")}
 UNION ALL {stage.format(i=2, nm="quality", src="s2")}
 UNION ALL {stage.format(i=3, nm="dedup", src="s3")}
 UNION ALL {stage.format(i=4, nm="cluster_dedup", src="s4")}
+UNION ALL {stage.format(i=5, nm="decontaminated", src="s5")}
 ORDER BY stage_idx
 """
 
@@ -2081,6 +2128,124 @@ FROM documents
 """
 
 
+# --- PII scrub part: deterministic synthetic PII (email / phone /
+# IPv4, keyed off doc_id % 5 so both engines plant the identical spans;
+# classes 3-4 stay clean and must report ZERO redactions — the
+# false-positive leg) is appended in-query, scrubbed with
+# functions.text.scrub_pii, and per-class redaction counts compared
+# against DuckDB's independent RE2 engine running the same patterns. ---
+def _spark_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cls = F.col("doc_id") % 5
+    did = F.col("doc_id").cast("string")
+    inj = (
+        F.when(cls == 0, F.concat(F.lit(" contact user"), did, F.lit("@example.com now")))
+        .when(
+            cls == 1,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit(" ok"),
+            ),
+        )
+        .when(
+            cls == 2,
+            F.concat(
+                F.lit(" from 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit("."),
+                (F.col("doc_id") % 254 + 1).cast("string"),
+                F.lit(" port"),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    with_pii = docs.select(cls.alias("cls"), F.concat(F.col("text"), inj).alias("t"))
+    counted = with_pii.select("cls", TX.pii_match_count("t").alias("c"))
+    return (
+        counted.groupBy("cls")
+        .agg(
+            F.sum(F.when(F.col("c") > 0, 1).otherwise(0)).alias("n_redacted"),
+            F.sum("c").alias("n_pii"),
+        )
+        .orderBy("cls")
+    )
+
+
+def _pii_scrub_oracle() -> str:
+    # Same injection + patterns under DuckDB's RE2. The scrub chain is
+    # applied email→phone→ipv4 exactly like functions.text.scrub_pii.
+    inj = """
+CASE doc_id % 5
+  WHEN 0 THEN concat(' contact user', CAST(doc_id AS VARCHAR), '@example.com now')
+  WHEN 1 THEN concat(' call 555-', lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'),
+                     '-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), ' ok')
+  WHEN 2 THEN concat(' from 10.0.', CAST(doc_id % 256 AS VARCHAR),
+                     '.', CAST(doc_id % 254 + 1 AS VARCHAR), ' port')
+  ELSE ''
+END"""
+    scrub = f"concat(text, {inj})"
+    for _, pat in TX._PII_PATTERNS:
+        scrub = f"regexp_replace({scrub}, '{pat}', '[PII]', 'g')"
+    return f"""
+SELECT doc_id % 5 AS cls,
+       sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS n_redacted,
+       sum(c) AS n_pii
+FROM (
+  SELECT doc_id,
+         (length({scrub}) - length(replace({scrub}, '[PII]', ''))) // 5 AS c
+  FROM documents
+) __p GROUP BY doc_id % 5 ORDER BY cls
+"""
+
+
+# --- repetition-filter parts: Gopher-style repeated-token and
+# repeated-bigram fractions per doc, aggregated per lang as (flagged
+# docs, centi-scaled fraction sum). Identical double arithmetic both
+# sides, so the centisums hash-match exactly. ---
+def _spark_repetition(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    frac = (
+        TX.repeated_token_fraction("text") if n == 1 else TX.repeated_ngram_fraction("text", n)
+    )
+    thr = 0.5 if n == 1 else 0.2
+    return (
+        docs.select("lang", frac.alias("f"))
+        .groupBy("lang")
+        .agg(
+            F.sum(F.when(F.col("f") > thr, 1).otherwise(0)).alias("n_flagged"),
+            F.sum(F.round(F.col("f") * 100, 0).cast("bigint")).alias("centisum"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _repetition_oracle(n: int) -> str:
+    toks = _DUCK_TOKENS
+    if n == 1:
+        arr = toks
+        thr = 0.5
+    else:
+        arr = (
+            f"list_transform(generate_series(1, greatest(len({toks}) - {n - 1}, 1)),"
+            f" i -> array_to_string(({toks})[i:i+{n - 1}], ' '))"
+        )
+        thr = 0.2
+    frac = (
+        f"(CAST(len({arr}) - len(list_distinct({arr})) AS DOUBLE)"
+        f" / CAST(greatest(len({arr}), 1) AS DOUBLE))"
+    )
+    return f"""
+SELECT lang,
+       sum(CASE WHEN f > {thr} THEN 1 ELSE 0 END) AS n_flagged,
+       CAST(sum(CAST(round(f * 100, 0) AS BIGINT)) AS BIGINT) AS centisum
+FROM (SELECT lang, {frac} AS f FROM documents) __r
+GROUP BY lang ORDER BY lang
+"""
+
+
 # --- text_doc_features: language-ID + doc fingerprint + quality score
 # + the training-assembly family (mixture sample / packing / shuffle) ---
 def _spark_text_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2121,6 +2286,20 @@ def _spark_text_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("shuffle_rank").alias("n"),
         F.lit(None).cast("bigint").alias("n2"),
     )
+    pii = _spark_pii_scrub(spark, sf_dir).select(
+        F.lit("pii_scrub").alias("part"),
+        F.col("cls").cast("string").alias("k"),
+        F.col("n_redacted").cast("bigint").alias("n"),
+        F.col("n_pii").cast("bigint").alias("n2"),
+    )
+    rep1 = _spark_repetition(spark, sf_dir, 1).select(
+        F.lit("rep_tokens").alias("part"), F.col("lang").alias("k"),
+        F.col("n_flagged").cast("bigint").alias("n"), F.col("centisum").alias("n2"),
+    )
+    rep2 = _spark_repetition(spark, sf_dir, 2).select(
+        F.lit("rep_bigrams").alias("part"), F.col("lang").alias("k"),
+        F.col("n_flagged").cast("bigint").alias("n"), F.col("centisum").alias("n2"),
+    )
     return (
         lang.unionByName(fp)
         .unionByName(qual)
@@ -2128,6 +2307,9 @@ def _spark_text_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pdocs)
         .unionByName(chunks)
         .unionByName(ranks)
+        .unionByName(pii)
+        .unionByName(rep1)
+        .unionByName(rep2)
         .orderBy("part", "k")
     )
 
@@ -2144,6 +2326,9 @@ def _text_doc_features_oracle() -> str:
         _duck_norm("pack_docs", _PACK_DOCS_ORACLE, k="k", n="n", n2="n2"),
         _duck_norm("pack_chunks", _PACK_CHUNKS_ORACLE, k="k", n="n_docs", n2="chunk_tokens"),
         _duck_norm("shuffle_rank", _SHUFFLE_RANK_ORACLE, k="k", n="n"),
+        _duck_norm("pii_scrub", _pii_scrub_oracle(), k="cls", n="n_redacted", n2="n_pii"),
+        _duck_norm("rep_tokens", _repetition_oracle(1), k="lang", n="n_flagged", n2="centisum"),
+        _duck_norm("rep_bigrams", _repetition_oracle(2), k="lang", n="n_flagged", n2="centisum"),
     ]) + "\nORDER BY part, k"
 
 

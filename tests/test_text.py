@@ -73,3 +73,39 @@ def test_fingerprint_order_insensitive(spark):
         fingerprint("text"),
     )
     assert got[0] == got[1] and got[0] != got[2]
+
+
+def test_repeated_token_fraction(spark):
+    from adi_226_datawarehouse_project_spark.functions.text import (
+        repeated_ngram_fraction,
+        repeated_token_fraction,
+    )
+
+    got = _vals(spark, ["a a a a", "a b c d", ""], repeated_token_fraction("text"))
+    assert got == [0.75, 0.0, 0.0]
+    # 'x y x y x y': bigrams [x y, y x, x y, y x, x y] -> 3 repeats of 5
+    got = _vals(spark, ["x y x y x y"], repeated_ngram_fraction("text", 2))
+    assert got == [0.6]
+
+
+def test_scrub_pii(spark):
+    from adi_226_datawarehouse_project_spark.functions.text import (
+        pii_match_count,
+        scrub_pii,
+    )
+
+    rows = [
+        "mail bob.smith+x@sub.example.co.uk today",
+        "call 555-123-4567 or 555.987.6543",
+        "host 192.168.1.254 up",
+        "clean text with no secrets 12345",
+        "v1.2 released",  # version string must NOT look like an IPv4
+    ]
+    scrubbed = _vals(spark, rows, scrub_pii("text"))
+    assert scrubbed[0] == "mail [PII] today"
+    assert scrubbed[1] == "call [PII] or [PII]"
+    assert scrubbed[2] == "host [PII] up"
+    assert scrubbed[3] == rows[3]
+    assert scrubbed[4] == rows[4]
+    counts = _vals(spark, rows, pii_match_count("text"))
+    assert counts == [1, 2, 1, 0, 0]
