@@ -380,6 +380,79 @@ def ivf_topk(
     )
 
 
+def assign_cells(
+    df: DataFrame, id_col: str, vec_col: str, centroids: DataFrame
+) -> DataFrame:
+    """Assign every vector to its max-cosine centroid: ``(id, vec,
+    centroid_id)``. Broadcast-join + map-side-combined struct-argmax —
+    no window, no sort, one bounded shuffle of pre-combined rows. Ties
+    break to the smallest centroid_id (max of (cos, -id))."""
+    cent = centroids.select("centroid_id", F.col("centroid").alias("__cv"))
+    scored = df.select(
+        F.col(id_col), F.col(vec_col).alias("__v")
+    ).join(F.broadcast(cent)).withColumn("__ccos", cosine(F.col("__v"), F.col("__cv")))
+    best = F.max(
+        F.struct(F.col("__ccos").alias("s"), (-F.col("centroid_id")).alias("nid"))
+    ).alias("__b")
+    return (
+        scored.groupBy(id_col)
+        .agg(best, F.first("__v").alias("__v"))
+        .select(
+            id_col,
+            F.col("__v").alias(vec_col),
+            (-F.col("__b.nid")).cast("int").alias("centroid_id"),
+        )
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    min_cosine: float = 0.9,
+    n_clusters: int = 16,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings into coarse cells, find
+    near-duplicate pairs ONLY within each cell, collapse the pair
+    graph to connected components and keep the min-id representative.
+    Returns ``(id, cluster_id)``; survivors are rows with
+    ``cluster_id == id``.
+
+    Scale shape: the quadratic pair search is confined to cells
+    (n²/k per cell in expectation, the whole point of the paper's
+    k-means pre-pass) and runs as a self-equi-join on ``centroid_id``
+    with the exact cosine computed per candidate; the component
+    collapse is :func:`~..operators.dedup.near_dup_clusters`' bounded
+    min-label propagation. Documented approximation: a pair whose
+    members land in DIFFERENT cells is never examined — that recall
+    loss is inherent to SemDeDup and shrinks as cells grow. Centroids
+    default to the deterministic :func:`sample_centroids` so a
+    differential oracle can re-derive the identical cells; pass
+    :func:`train_ivf_centroids` output for quality cells in
+    production."""
+    from .dedup import near_dup_clusters
+
+    if centroids is None:
+        centroids = sample_centroids(df, id_col, vec_col, n_clusters)
+    assigned = assign_cells(df, id_col, vec_col, centroids)
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "centroid_id"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "centroid_id"
+    )
+    pairs = (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("__cos", F.round(cosine(F.col("__va"), F.col("__vb")), 6))
+        .filter(F.col("__cos") >= min_cosine)
+        .select("id_a", "id_b")
+    )
+    return near_dup_clusters(df.select(id_col), id_col, pairs)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str,

@@ -2479,10 +2479,11 @@ ORDER BY part, id_a NULLS FIRST, id_b NULLS FIRST
 _ANN_MIN_HITS = 3
 _ANN_CHECK_BANDS = 8  # 2-bit bands: wide-recall operating point for the check
 _SRP_ND_RECALL_FLOOR_PCT = 70  # integer percent: floor = n * 70 / 100
+_SEMDEDUP_MIN_COS = 0.9  # semantic-dedup within-cell pair threshold
 
 
 def _spark_sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import embedding_near_dup_pairs
+    from ..operators.similarity import embedding_near_dup_pairs, semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings")
     exact = cosine_self_topk(emb, "vec_id", "embedding", k=5, probe_ids=[0, 1, 2, 3, 4])
@@ -2530,11 +2531,41 @@ def _spark_sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("__fp") == 0)
         ).alias("ok"),
     )
-    return topk.unionByName(nd_row).orderBy("part", F.col("query_id").asc_nulls_first())
+    # SemDeDup over the augmented corpus: deterministic cells → exact
+    # per-cluster membership sizes + survivor count, both fully value-
+    # oracled (DuckDB re-derives cells + recursive-CTE components).
+    cl = semantic_dedup(
+        aug, "vec_id", "embedding", min_cosine=_SEMDEDUP_MIN_COS, n_clusters=16
+    )
+    sd_clusters = (
+        cl.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("__sz"))
+        .filter(F.col("__sz") > 1)
+        .select(
+            F.lit("semdedup_cluster").alias("part"),
+            F.col("cluster_id").cast("bigint").alias("query_id"),
+            F.col("__sz").cast("bigint").alias("n"),
+            F.lit(None).cast("double").alias("exact_min_cos"),
+            F.lit(True).alias("ok"),
+        )
+    )
+    sd_total = cl.agg(F.countDistinct("cluster_id").alias("__s")).select(
+        F.lit("semdedup_total").alias("part"),
+        F.lit(None).cast("bigint").alias("query_id"),
+        F.col("__s").cast("bigint").alias("n"),
+        F.lit(None).cast("double").alias("exact_min_cos"),
+        F.lit(True).alias("ok"),
+    )
+    return (
+        topk.unionByName(nd_row)
+        .unionByName(sd_clusters)
+        .unionByName(sd_total)
+        .orderBy("part", F.col("query_id").asc_nulls_first())
+    )
 
 
 _ANN_ORACLE = f"""
-WITH v AS (SELECT vec_id, embedding FROM embeddings),
+WITH RECURSIVE v AS (SELECT vec_id, embedding FROM embeddings),
 top5 AS (
   SELECT query_id, c FROM (
     SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
@@ -2550,13 +2581,49 @@ aug AS ({_AUG_EMB_SQL}),
 exact_nd AS (
   SELECT COUNT(*) AS n FROM aug a JOIN aug b ON a.vec_id < b.vec_id
   WHERE round({_duck_cos("a.embedding", "b.embedding")}, 6) >= 0.8
-)
+),
+sd_cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id, embedding AS cv
+  FROM (SELECT * FROM aug ORDER BY vec_id LIMIT 16) __c
+),
+sd_assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT a.vec_id, a.embedding, c.centroid_id,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY {_duck_cos("a.embedding", "c.cv")} DESC,
+                                       c.centroid_id) AS rn
+    FROM aug a CROSS JOIN sd_cent c
+  ) __sa WHERE rn = 1
+),
+sd_edges AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sd_assigned a JOIN sd_assigned b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  WHERE round({_duck_cos("a.embedding", "b.embedding")}, 6) >= {_SEMDEDUP_MIN_COS}
+),
+sd_sym AS (
+  SELECT id_a AS a, id_b AS b FROM sd_edges
+  UNION ALL SELECT id_b, id_a FROM sd_edges
+),
+sd_reach(src, node) AS (
+  SELECT vec_id, vec_id FROM aug
+  UNION
+  SELECT sd_reach.src, e.b FROM sd_reach JOIN sd_sym e ON e.a = sd_reach.node
+),
+sd_comp AS (SELECT src AS vec_id, min(node) AS cluster_id FROM sd_reach GROUP BY src)
 SELECT 'srp_topk' AS part, CAST(query_id AS BIGINT) AS query_id,
        CAST(COUNT(*) AS BIGINT) AS n, round(min(c), 6) AS exact_min_cos, TRUE AS ok
 FROM top5 GROUP BY query_id
 UNION ALL
 SELECT 'srp_near_dup', CAST(NULL AS BIGINT), (SELECT n FROM exact_nd),
        CAST(NULL AS DOUBLE), TRUE
+UNION ALL
+SELECT 'semdedup_cluster', CAST(cluster_id AS BIGINT), CAST(COUNT(*) AS BIGINT),
+       CAST(NULL AS DOUBLE), TRUE
+FROM sd_comp GROUP BY cluster_id HAVING COUNT(*) > 1
+UNION ALL
+SELECT 'semdedup_total', CAST(NULL AS BIGINT),
+       (SELECT COUNT(DISTINCT cluster_id) FROM sd_comp), CAST(NULL AS DOUBLE), TRUE
 ORDER BY part, query_id NULLS FIRST
 """
 

@@ -275,3 +275,52 @@ def test_cosine_self_topk_guards_full_scan(spark):
     # explicit opt-in still works
     out = cosine_self_topk(emb, "vec_id", "embedding", k=1, allow_full_scan=True)
     assert out.limit(1).count() == 1
+
+
+def test_semantic_dedup_within_cell_collapse(spark):
+    from adi_226_datawarehouse_project_spark.operators.similarity import semantic_dedup
+
+    # sample_centroids takes the 3 SMALLEST ids as cells, so ids 0-2
+    # are three well-separated axis vectors; the near-dup chain
+    # 100~101~102 all land in the +x cell (with its centroid, which is
+    # itself within 0.99 cosine → joins the component, rep = 0), the
+    # pair 110~111 lands in +y (rep = 1), and 120 is equidistant from
+    # every centroid but near none, so it survives alone.
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (2, [0.0, 0.0, 1.0]),
+        (100, [0.9999, 0.01, 0.0]),
+        (101, [0.9998, 0.02, 0.0]),
+        (102, [0.9997, 0.03, 0.0]),
+        (110, [0.01, 0.9999, 0.0]),
+        (111, [0.02, 0.9998, 0.0]),
+        (120, [0.577, 0.577, 0.577]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    cl = semantic_dedup(df, "vec_id", "embedding", min_cosine=0.99, n_clusters=3)
+    got = {r["vec_id"]: r["cluster_id"] for r in cl.collect()}
+    assert got[100] == got[101] == got[102] == got[0] == 0
+    assert got[110] == got[111] == got[1] == 1
+    assert got[2] == 2 and got[120] == 120
+    survivors = sorted(i for i, c in got.items() if i == c)
+    assert survivors == [0, 1, 2, 120]
+
+
+def test_semantic_dedup_misses_cross_cell_pairs_by_design(spark):
+    from adi_226_datawarehouse_project_spark.operators.similarity import (
+        sample_centroids,
+        semantic_dedup,
+    )
+
+    # Centroids are the two smallest ids = the dup pair itself, so each
+    # member is its own cell's centroid and the pair straddles cells:
+    # SemDeDup must NOT examine it (the documented approximation).
+    rows = [(0, [1.0, 0.0]), (1, [0.9999, 0.0141]), (5, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    cents = sample_centroids(df, "vec_id", "embedding", 2)
+    cl = semantic_dedup(
+        df, "vec_id", "embedding", min_cosine=0.99, n_clusters=2, centroids=cents
+    )
+    got = {r["vec_id"]: r["cluster_id"] for r in cl.collect()}
+    assert got == {0: 0, 1: 1, 5: 5}
