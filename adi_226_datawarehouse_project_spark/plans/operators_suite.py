@@ -1786,11 +1786,45 @@ _DIM_ROLLUPS_SQL = _suite_sql([
 ])
 
 # --- op_distinct_dedup: SELECT DISTINCT + deterministic business-key
-# dedup (A8 + D1-D3 direct forms) ---
-_DISTINCT_DEDUP_SQL = _suite_sql([
+# dedup (A8 + D1-D3 direct forms) + the STREAMING dedup operator's
+# key-set contract: the Spark side runs streaming/dedup_stream.py's
+# batch transformation (dropDuplicates — the same key semantics
+# dropDuplicatesWithinWatermark enforces incrementally; stream/batch
+# key-set equivalence incl. cross-micro-batch arrivals is pinned in
+# tests/test_stream_dedup.py), summarized per event_type as
+# (distinct-key count, user_id checksum) — identical whichever
+# survivor row wins, so it is a full value oracle. ---
+_DISTINCT_DEDUP_BASE_PARTS = [
     _part_sql("select_distinct", _DISTINCT_PRIORITIES, k="o_orderpriority"),
     _part_sql("dedup_business_key", _DEDUP_EVENTS, k="event_type", n="n_kept", n2="id_sum"),
-])
+]
+
+_STREAM_DEDUP_KEYS_ORACLE = """
+SELECT event_type, COUNT(*) AS n_keys, SUM(user_id) AS uid_sum
+FROM (SELECT DISTINCT user_id, event_type FROM events) __dk
+GROUP BY event_type
+"""
+
+_DISTINCT_DEDUP_SQL = _suite_sql(
+    _DISTINCT_DEDUP_BASE_PARTS
+    + [_part_sql("stream_dedup_keys", _STREAM_DEDUP_KEYS_ORACLE, k="event_type", n="n_keys", n2="uid_sum")]
+)
+
+
+def _spark_distinct_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.dedup_stream import dedup_events, dedup_key_summary
+
+    register_base_views(spark, sf_dir)
+    base = spark.sql("\nUNION ALL\n".join(_DISTINCT_DEDUP_BASE_PARTS))
+    events = load_table(spark, sf_dir, "events")
+    stream_part = dedup_key_summary(dedup_events(events)).select(
+        F.lit("stream_dedup_keys").alias("part"),
+        F.col("event_type").cast("string").alias("k"),
+        F.col("n_keys").cast("bigint").alias("n"),
+        F.col("uid_sum").cast("bigint").alias("n2"),
+        F.lit(None).cast("double").alias("v"),
+    )
+    return base.unionByName(stream_part).orderBy("part", "k")
 
 
 # --- op_date_functions: date-part suite + weekend flag (F7-F10) ---
@@ -2246,6 +2280,48 @@ GROUP BY lang ORDER BY lang
 """
 
 
+# --- tfidf part: top-2 TF-IDF terms per document in the bit-exact
+# rational_int IDF mode (pure BIGINT arithmetic — libm-free, so the
+# ranking is reproducible on any engine; the production ln mode is
+# pinned against a Python reference in tests/test_tfidf.py). k packs
+# (doc, rank, token); n is the integer score; n2 packs (tf, df). ---
+_TFIDF_TOP_K = 2
+
+
+def _spark_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.tfidf import tf_idf_terms
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return tf_idf_terms(docs, "doc_id", "text", top_k=_TFIDF_TOP_K, idf="rational_int").select(
+        F.concat(
+            F.col("doc_id").cast("string"), F.lit(":"),
+            F.col("rank").cast("string"), F.lit(":"), F.col("token"),
+        ).alias("k"),
+        F.col("score").cast("bigint").alias("n"),
+        (F.col("tf") * 100000 + F.col("df")).cast("bigint").alias("n2"),
+    )
+
+
+def _tfidf_oracle() -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({_DUCK_TOKENS}) AS token FROM documents),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+nn AS (SELECT COUNT(*) AS N FROM documents),
+ranked AS (
+  SELECT doc_id, t.token, tf, df,
+         (tf * 1000000 * (N + 1)) // (df + 1) AS score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY (tf * 1000000 * (N + 1)) // (df + 1) DESC,
+                                     t.token) AS rank
+  FROM tf t JOIN dfq USING (token) CROSS JOIN nn
+)
+SELECT concat(CAST(doc_id AS VARCHAR), ':', CAST(rank AS VARCHAR), ':', token) AS k,
+       CAST(score AS BIGINT) AS n, CAST(tf * 100000 + df AS BIGINT) AS n2
+FROM ranked WHERE rank <= {_TFIDF_TOP_K}
+"""
+
+
 # --- text_doc_features: language-ID + doc fingerprint + quality score
 # + the training-assembly family (mixture sample / packing / shuffle) ---
 def _spark_text_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2300,6 +2376,9 @@ def _spark_text_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("rep_bigrams").alias("part"), F.col("lang").alias("k"),
         F.col("n_flagged").cast("bigint").alias("n"), F.col("centisum").alias("n2"),
     )
+    tfidf = _spark_tfidf(spark, sf_dir).select(
+        F.lit("tfidf").alias("part"), "k", "n", "n2"
+    )
     return (
         lang.unionByName(fp)
         .unionByName(qual)
@@ -2310,6 +2389,7 @@ def _spark_text_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pii)
         .unionByName(rep1)
         .unionByName(rep2)
+        .unionByName(tfidf)
         .orderBy("part", "k")
     )
 
@@ -2329,6 +2409,7 @@ def _text_doc_features_oracle() -> str:
         _duck_norm("pii_scrub", _pii_scrub_oracle(), k="cls", n="n_redacted", n2="n_pii"),
         _duck_norm("rep_tokens", _repetition_oracle(1), k="lang", n="n_flagged", n2="centisum"),
         _duck_norm("rep_bigrams", _repetition_oracle(2), k="lang", n="n_flagged", n2="centisum"),
+        _duck_norm("tfidf", _tfidf_oracle(), k="k", n="n", n2="n2"),
     ]) + "\nORDER BY part, k"
 
 
@@ -2739,7 +2820,7 @@ def operator_queries() -> dict[str, OpQuery]:
         "op_join_filters": OpQuery(_sql(_JOIN_FILTERS_SQL), _JOIN_FILTERS_SQL),
         "op_grouping_variants": OpQuery(_sql(_GROUPING_VARIANTS_SQL), _GROUPING_VARIANTS_SQL),
         "op_pivot_status_by_year": OpQuery(_spark_pivot_status, _PIVOT_STATUS_ORACLE),
-        "op_distinct_dedup": OpQuery(_sql(_DISTINCT_DEDUP_SQL), _DISTINCT_DEDUP_SQL),
+        "op_distinct_dedup": OpQuery(_spark_distinct_dedup, _DISTINCT_DEDUP_SQL),
         "op_date_functions": OpQuery(
             _sql(_date_functions_sql(D.SPARK)), _date_functions_sql(D.DUCKDB)
         ),
