@@ -193,3 +193,31 @@ def fingerprint(col: Column | str) -> Column:
     Identical token multisets → identical fingerprint."""
     toks = F.array_sort(F.array_distinct(word_tokens(col)))
     return F.md5(F.array_join(toks, " "))
+
+
+# Rabin-Karp parameters: mod 2^31-1 keeps every intermediate inside a
+# signed 64-bit lane (acc < 2^31, acc·131 + h < 2^39 — no overflow, no
+# engine-specific wraparound), so the fold is bit-exact everywhere.
+_ROLL_BASE = 131
+_ROLL_MOD = (1 << 31) - 1
+
+
+def rolling_fingerprint(col: Column | str) -> Column:
+    """ORDER-SENSITIVE Rabin-Karp document fingerprint: a polynomial
+    rolling hash over per-token hashes, ``fp = Σ h(tok_i)·B^(n-1-i)
+    mod M`` computed as a left fold. The order-sensitive complement of
+    :func:`fingerprint` — 'a b' and 'b a' collide there but not here —
+    and the standard sketch for shift-detection / content-defined
+    chunking. Per-token hash is the first 48 bits of md5, so the whole
+    derivation is engine-portable integer arithmetic (no xxhash64,
+    which the DuckDB oracle lacks). Pure fold expression — linear,
+    shuffle-free, no UDF."""
+    return F.aggregate(
+        F.transform(
+            word_tokens(col),
+            lambda t: F.conv(F.substring(F.md5(t), 1, 12), 16, 10).cast("bigint")
+            % _ROLL_MOD,
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, h: (acc * _ROLL_BASE + h) % _ROLL_MOD,
+    )

@@ -2056,7 +2056,15 @@ def _spark_text_token_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_tokens").cast("bigint").alias("n2"),
         F.lit(None).cast("double").alias("v"),
     )
-    return stats.unionByName(top).unionByName(split).orderBy("part", "k")
+    # Rabin-Karp rolling fingerprint, one row per doc: full value oracle
+    # of the order-sensitive polynomial hash (functions.text).
+    roll = load_table(spark, sf_dir, "documents").select(
+        F.lit("rolling_fp").alias("part"),
+        F.col("doc_id").cast("string").alias("k"),
+        TX.rolling_fingerprint("text").cast("bigint").alias("n"),
+        F.lit(None).cast("bigint").alias("n2"), F.lit(None).cast("double").alias("v"),
+    )
+    return stats.unionByName(top).unionByName(split).unionByName(roll).orderBy("part", "k")
 
 
 def _text_token_features_oracle() -> str:
@@ -2066,10 +2074,19 @@ def _text_token_features_oracle() -> str:
             f" CAST({n2} AS BIGINT) AS n2, CAST({v} AS DOUBLE) AS v FROM ({body}) __sub"
         )
 
+    roll_body = f"""
+SELECT doc_id, list_reduce(
+  list_prepend(CAST(0 AS BIGINT), list_transform({_DUCK_TOKENS},
+     t -> CAST(CAST(concat('0x', substr(md5(t), 1, 12)) AS BIGINT)
+               % {TX._ROLL_MOD} AS BIGINT))),
+  (acc, h) -> (acc * {TX._ROLL_BASE} + h) % {TX._ROLL_MOD}) AS fp
+FROM documents
+"""
     return "\nUNION ALL\n".join([
         _n5("token_stats", _TOKEN_STATS_ORACLE, k="lang", n="n_docs", n2="total_tokens", v="avg_tokens"),
         _n5("top_tokens", _EXPLODE_TOKENS_ORACLE, k="token", n="occurrences"),
         _n5("hash_split", _split_sql(D.DUCKDB), k="split", n="n_docs", n2="total_tokens"),
+        _n5("rolling_fp", roll_body, k="doc_id", n="fp"),
     ]) + "\nORDER BY part, k"
 
 

@@ -109,3 +109,25 @@ def test_scrub_pii(spark):
     assert scrubbed[4] == rows[4]
     counts = _vals(spark, rows, pii_match_count("text"))
     assert counts == [1, 2, 1, 0, 0]
+
+
+def test_rolling_fingerprint(spark):
+    from adi_226_datawarehouse_project_spark.functions.text import (
+        _ROLL_BASE,
+        _ROLL_MOD,
+        rolling_fingerprint,
+    )
+    import hashlib
+
+    def _py_roll(text):
+        acc = 0
+        for t in text.lower().split():
+            h = int(hashlib.md5(t.encode()).hexdigest()[:12], 16) % _ROLL_MOD
+            acc = (acc * _ROLL_BASE + h) % _ROLL_MOD
+        return acc
+
+    rows = ["hello world test", "world hello test", "", "one"]
+    got = _vals(spark, rows, rolling_fingerprint("text"))
+    assert got == [_py_roll(r) for r in rows]
+    # order-sensitive: permuted docs must differ (unlike fingerprint())
+    assert got[0] != got[1]
