@@ -32,6 +32,22 @@ from ..functions.text import word_tokens
 _RATIONAL_SCALE = 1_000_000
 
 
+def _rational_score_expr():
+    """Integer TF-IDF score over columns (tf, df, __N), with a LOUD
+    overflow guard (the simhash lane-pack lesson): the numerator
+    tf·SCALE·(N+1) must fit a signed 64-bit lane; the bound is exact —
+    the max safe tf given N — and raises instead of silently wrapping
+    under non-ANSI sessions. Corpora past the bound (N·tf ≳ 9.2e12)
+    should use the ln mode, whose floats don't overflow."""
+    return F.expr(
+        f"CAST(coalesce(CAST(assert_true("
+        f"tf <= ((9223372036854775807 div (__N + 1)) div {_RATIONAL_SCALE}),"
+        f" 'tfidf rational_int: tf*SCALE*(N+1) would overflow bigint;"
+        f" use idf=\"ln\"') AS BIGINT), 0)"
+        f" + tf * {_RATIONAL_SCALE} * (__N + 1) AS BIGINT) div (df + 1)"
+    )
+
+
 def tf_idf_terms(
     df: DataFrame,
     id_col: str,
@@ -57,7 +73,7 @@ def tf_idf_terms(
             + F.lit(1.0)
         )
     else:
-        score = F.expr(f"CAST(tf * {_RATIONAL_SCALE} * (__N + 1) AS BIGINT) div (df + 1)")
+        score = _rational_score_expr()
     w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("token").asc())
     return (
         scored.withColumn("score", score)

@@ -45,6 +45,10 @@ from adi_226_datawarehouse_project_spark.operators.dedup import (  # noqa: E402
     minhash_near_dup_pairs,
     simhash_near_dup_pairs,
 )
+from adi_226_datawarehouse_project_spark.operators.decontamination import (  # noqa: E402
+    decontaminate,
+)
+from adi_226_datawarehouse_project_spark.operators.tfidf import tf_idf_terms  # noqa: E402
 from adi_226_datawarehouse_project_spark.operators.training import (  # noqa: E402
     global_shuffle_rank,
     pack_chunk_stats,
@@ -136,6 +140,20 @@ def ops(spark: SparkSession, d: str) -> dict[str, callable]:
         ).count(),
         "global_shuffle_rank": lambda: global_shuffle_rank(
             docs().select("doc_id"), "doc_id", seed="sweep"
+        ).count(),
+        # salting keeps copies' gram sets disjoint, so the per-copy
+        # contamination structure repeats exactly: survivors scale
+        # linearly and wall time measures the broadcast gram join.
+        "decontaminate": lambda: decontaminate(
+            docs().filter(F.col("doc_id") % 7 != 0),
+            docs().filter(F.col("doc_id") % 7 == 0),
+            "doc_id",
+            "text",
+            n=5,
+            min_overlap=2,
+        ).count(),
+        "tfidf_top2": lambda: tf_idf_terms(
+            docs(), "doc_id", "text", top_k=2, idf="rational_int"
         ).count(),
         "events_tumbling_window": lambda: __import__(
             "adi_226_datawarehouse_project_spark.streaming.events_stream",

@@ -77,3 +77,24 @@ def test_no_udf_and_no_cartesian_over_corpus(spark, docs_df):
     assert "BatchEvalPython" not in plan
     # the only nested-loop join allowed is the 1-row broadcast of N
     assert plan.count("CartesianProduct") == 0
+
+
+def test_rational_mode_overflow_guard(spark):
+    from adi_226_datawarehouse_project_spark.operators.tfidf import (
+        _RATIONAL_SCALE,
+        _rational_score_expr,
+    )
+
+    max_i64 = (1 << 63) - 1
+
+    def _score(tf, dfreq, n):
+        frame = spark.createDataFrame([(tf, dfreq, n)], "tf BIGINT, df BIGINT, __N BIGINT")
+        return frame.select(_rational_score_expr().alias("s")).collect()[0]["s"]
+
+    # exactly at the bound: passes and the arithmetic is exact
+    n = 10_000_000
+    tf_max = max_i64 // (n + 1) // _RATIONAL_SCALE
+    assert _score(tf_max, 0, n) == tf_max * _RATIONAL_SCALE * (n + 1)
+    # one past the bound: the guard must raise, not wrap
+    with pytest.raises(Exception, match="overflow"):
+        _score(tf_max + 1, 0, n)
