@@ -1,0 +1,176 @@
+"""End-to-end LLM training-corpus curation as one orchestrated run —
+the training-data counterpart of :mod:`warehouse_pipeline`, composing
+the pipeline-operator family over the ``orchestration.run_dag``
+executor with the same zone/idempotency semantics:
+
+    clean/            lang-filtered, quality+repetition gated, PII-scrubbed docs
+    dedup/            exact dedup + near-dup cluster collapse survivors
+    decontaminated/   survivors minus the benchmark stratum + its n-gram overlaps
+    packed/           doc → context-window chunk assignment (offsets, spans)
+    shards/           final corpus in deterministic global shuffle order,
+                      hive-partitioned by shard id
+    manifest/         nested-struct run manifest with per-zone row counts
+
+DAG shape: clean → dedup → decontaminated → [packed ∥ shards] →
+manifest — the last data wave is a genuine parallel fan-out (two
+independent Spark jobs over the same decontaminated zone). Every zone
+is ``_SUCCESS``-idempotent: a re-run (or a resume after a failure)
+skips completed zones unless ``force=True``.
+
+Scale notes: every stage is one of the already-audited operators
+(broadcast gram joins, bounded label propagation, two-phase prefix
+scans — no new plan shapes); zones are parquet writes, so each stage's
+input is a materialized scan rather than a recomputation of the whole
+upstream chain (the medallion lesson from the warehouse build); shards
+are hive partitions keyed by ``rank div shard_size``, so a trainer
+reads shard k with partition pruning and rows within a shard arrive in
+deterministic rank order.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..operators.decontamination import decontaminate
+from ..operators.dedup import dedup_exact, near_dup_clusters, ngram_jaccard_pairs
+from ..operators.training import global_shuffle_rank, pack_sequences
+from ..orchestration.dag import DagTask, TaskResult, run_dag
+from ..sources.catalog import load_table
+from ..sources.writers import write_parquet, write_run_manifest
+
+
+def _done(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def run_corpus_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    lang: str = "en",
+    min_quality: float = 0.75,
+    max_repetition: float = 0.8,
+    ngram_n: int = 5,
+    min_jaccard: float = 0.8,
+    bench_mod: int = 7,
+    decon_min_overlap: int = 2,
+    pack_len: int = 512,
+    shard_size: int = 100,
+    shuffle_seed: str = "corpus-v1",
+    run_utc: str = "1970-01-01T00:00:00Z",
+    force: bool = False,
+) -> dict[str, TaskResult]:
+    """Run the curation DAG; returns every task's :class:`TaskResult`
+    (value = rows written, None when skipped). Zone readers load the
+    PREVIOUS zone's parquet, so each stage is restartable in isolation."""
+
+    def _zone(name: str) -> str:
+        return os.path.join(out_dir, name)
+
+    def _write(df, name: str, partition_by: list[str] | None = None) -> int:
+        write_parquet(df, _zone(name), partition_by=partition_by)
+        return spark.read.parquet(_zone(name)).count()
+
+    def _clean(upstream: dict) -> int:
+        docs = load_table(spark, sf_dir, "documents")
+        kept = docs.filter(
+            (TX.lang_id("text") == lang)
+            & (TX.quality_score("text") >= min_quality)
+            & (TX.repeated_token_fraction("text") <= max_repetition)
+        )
+        scrubbed = kept.select(
+            "doc_id",
+            TX.scrub_pii(F.col("text")).alias("text"),
+            "lang",
+            "source",
+            TX.token_count("text").cast("bigint").alias("n_tokens"),
+        )
+        return _write(scrubbed, "clean")
+
+    def _dedup(upstream: dict) -> int:
+        docs = spark.read.parquet(_zone("clean"))
+        uniq = dedup_exact(docs, ["text"], order_by=["doc_id"])
+        edges = ngram_jaccard_pairs(
+            uniq, "doc_id", "text", n=ngram_n, min_jaccard=min_jaccard
+        ).select("id_a", "id_b")
+        comp = near_dup_clusters(uniq.select("doc_id"), "doc_id", edges)
+        survivors = uniq.join(
+            comp.filter(F.col("cluster_id") == F.col("doc_id")).select("doc_id"),
+            "doc_id",
+        )
+        return _write(survivors, "dedup")
+
+    def _decontaminate(upstream: dict) -> int:
+        docs = spark.read.parquet(_zone("dedup"))
+        bench = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % bench_mod == 0
+        )
+        survivors = decontaminate(
+            docs.filter(F.col("doc_id") % bench_mod != 0),
+            bench,
+            "doc_id",
+            "text",
+            n=ngram_n,
+            min_overlap=decon_min_overlap,
+        )
+        return _write(survivors, "decontaminated")
+
+    def _packed(upstream: dict) -> int:
+        docs = spark.read.parquet(_zone("decontaminated"))
+        packed = pack_sequences(
+            docs.select("doc_id", F.col("n_tokens").alias("nt")),
+            "doc_id",
+            "nt",
+            pack_len,
+        )
+        return _write(packed, "packed")
+
+    def _shards(upstream: dict) -> int:
+        docs = spark.read.parquet(_zone("decontaminated"))
+        ranked = global_shuffle_rank(docs, "doc_id", seed=shuffle_seed)
+        sharded = ranked.withColumn(
+            "shard", F.expr(f"shuffle_rank div {shard_size}")
+        )
+        return _write(sharded, "shards", partition_by=["shard"])
+
+    def _manifest(upstream: dict) -> int:
+        stats = {k: v for k, v in upstream.items() if isinstance(v, int)}
+        write_run_manifest(
+            spark,
+            _zone("manifest"),
+            job_name="corpus_pipeline",
+            run_utc=run_utc,
+            inputs={"sf_dir": sf_dir},
+            outputs={z: _zone(z) for z in ("clean", "dedup", "decontaminated", "packed", "shards")},
+            stats=stats,
+        )
+        return 1
+
+    def _task(name, fn, upstream):
+        return DagTask(
+            name=name,
+            fn=fn,
+            upstream=upstream,
+            skip_if=(None if force else lambda p=_zone(name): _done(p)),
+        )
+
+    tasks = [
+        DagTask("start", lambda u: None),
+        _task("clean", _clean, ["start"]),
+        _task("dedup", _dedup, ["clean"]),
+        _task("decontaminated", _decontaminate, ["dedup"]),
+        # parallel fan-out: chunk assignment and shard publication are
+        # independent consumers of the decontaminated zone
+        _task("packed", _packed, ["decontaminated"]),
+        _task("shards", _shards, ["decontaminated"]),
+        DagTask(
+            "manifest",
+            _manifest,
+            upstream=["clean", "dedup", "decontaminated", "packed", "shards"],
+        ),
+    ]
+    return run_dag(tasks)
