@@ -60,3 +60,35 @@ def test_corpus_pipeline_end_to_end(spark, sf_dir, tmp_path):
     again = run_corpus_pipeline(spark, sf_dir, out, shard_size=50)
     for z in _ZONES:
         assert again[z].state == "SKIPPED"
+
+
+def test_corpus_pipeline_failure_poisons_descendants_and_resumes(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    out = str(tmp_path / "corpus_fail")
+
+    # simulate an operational failure inside the decontamination stage:
+    # that task FAILS; packed/shards/manifest must be UPSTREAM_FAILED,
+    # clean/dedup still SUCCESS.
+    from adi_226_datawarehouse_project_spark.pipelines import corpus_pipeline as cp
+
+    def _boom(*a, **kw):
+        raise RuntimeError("simulated stage failure")
+
+    monkeypatch.setattr(cp, "decontaminate", _boom)
+    results = run_corpus_pipeline(spark, sf_dir, out)
+    monkeypatch.undo()
+    assert results["clean"].state == "SUCCESS"
+    assert results["dedup"].state == "SUCCESS"
+    assert results["decontaminated"].state == "FAILED"
+    for t in ("packed", "shards", "manifest"):
+        assert results[t].state == "UPSTREAM_FAILED"
+
+    # resume with the fix: completed zones skip, the rest completes
+    resumed = run_corpus_pipeline(spark, sf_dir, out)
+    assert resumed["clean"].state == "SKIPPED"
+    assert resumed["dedup"].state == "SKIPPED"
+    assert resumed["decontaminated"].state == "SUCCESS"
+    assert resumed["packed"].state == "SUCCESS"
+    assert resumed["shards"].state == "SUCCESS"
+    assert resumed["manifest"].state == "SUCCESS"
