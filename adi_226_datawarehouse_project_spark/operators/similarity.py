@@ -80,6 +80,17 @@ def cosine_self_topk(
     )
 
 
+def _srp_plane_bit(vec_col: str, p: int, weight: int) -> str:
+    """SQL text for plane ``p``'s sign bit scaled by ``weight``."""
+    proj = (
+        f"aggregate(zip_with({vec_col}, sequence(0, size({vec_col}) - 1),"
+        f" (x, i) -> CAST(x AS DOUBLE) *"
+        f" (CASE WHEN (xxhash64({p}, i) & 1) = 1 THEN 1.0D ELSE -1.0D END)),"
+        f" 0.0D, (acc, x) -> acc + x)"
+    )
+    return f"(CASE WHEN {proj} > 0 THEN {weight}L ELSE 0L END)"
+
+
 def srp_signature(vec_col: str, num_planes: int = 16) -> Column:
     """Signed-random-projection bit signature packed into a bigint.
     The ±1 hyperplane components are deterministic xxhash64 mixes of
@@ -88,17 +99,38 @@ def srp_signature(vec_col: str, num_planes: int = 16) -> Column:
     Built as ONE SQL text expression (the py4j construction-tax
     finding, see dedup.simhash): 16 planes of per-op Column folds were
     ~1.3s of client round trips per query build; signatures are
-    bit-identical to the Column form."""
-    terms = []
-    for p in range(num_planes):
-        proj = (
-            f"aggregate(zip_with({vec_col}, sequence(0, size({vec_col}) - 1),"
-            f" (x, i) -> CAST(x AS DOUBLE) *"
-            f" (CASE WHEN (xxhash64({p}, i) & 1) = 1 THEN 1.0D ELSE -1.0D END)),"
-            f" 0.0D, (acc, x) -> acc + x)"
+    bit-identical to the Column form. Capped at 63 planes — bit 63 is
+    the bigint sign bit; wider configurations go through
+    :func:`srp_band_buckets`, which never packs more than one band per
+    long."""
+    if num_planes > 63:
+        raise ValueError(
+            "srp_signature packs all planes into one signed bigint; "
+            f"num_planes={num_planes} > 63 would overflow the sign bit — "
+            "use srp_band_buckets for wide-plane configurations"
         )
-        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << p}L ELSE 0L END)")
+    terms = [_srp_plane_bit(vec_col, p, 1 << p) for p in range(num_planes)]
     return F.expr("CAST(0 AS BIGINT) + " + " + ".join(terms))
+
+
+def srp_band_buckets(vec_col: str, num_planes: int, bands: int) -> Column:
+    """Array of ``bands`` SRP bucket keys, band b packing planes
+    [b·bits, (b+1)·bits) into one bigint each (bits = num_planes/bands
+    ≤ 63). Identical bucket values to shift/mask over
+    :func:`srp_signature` at every operating point both support, but
+    with no all-planes pack — so ``num_planes`` can grow with corpus
+    size (the candidate-density rule in
+    :func:`embedding_near_dup_pairs`) without hitting the 63-bit cap."""
+    bits = num_planes // bands
+    if bits > 63:
+        raise ValueError(f"bits_per_band={bits} > 63 cannot pack into a bigint")
+    band_exprs = []
+    for b in range(bands):
+        terms = [
+            _srp_plane_bit(vec_col, b * bits + i, 1 << i) for i in range(bits)
+        ]
+        band_exprs.append("CAST(0 AS BIGINT) + " + " + ".join(terms))
+    return F.expr("array(" + ", ".join(band_exprs) + ")")
 
 
 def lsh_bucket_topk(
@@ -427,7 +459,13 @@ def semantic_dedup(
     collapse is :func:`~..operators.dedup.near_dup_clusters`' bounded
     min-label propagation. Documented approximation: a pair whose
     members land in DIFFERENT cells is never examined — that recall
-    loss is inherent to SemDeDup and shrinks as cells grow. Centroids
+    loss is inherent to SemDeDup and shrinks as cells grow (measured
+    same-cell pair recall vs the exhaustive cosine≥0.9 truth set on the
+    augmented fixtures: 15/16 at sf0.001, 9/15 at sf0.01 with 16
+    sampled cells — tune ``n_clusters`` to corpus size, or use trained
+    centroids, to trade recall against the per-cell quadratic cost; the
+    differential oracle mirrors the same cells, so correctness of the
+    declared contract is recall-independent). Centroids
     default to the deterministic :func:`sample_centroids` so a
     differential oracle can re-derive the identical cells; pass
     :func:`train_ivf_centroids` output for quality cells in
@@ -471,22 +509,28 @@ def embedding_near_dup_pairs(
     c=0.8). Candidates come from per-band equi-joins; the pair-dedup
     shuffle moves bare ids only (the minhash pattern — vectors re-attach
     after dedup via two id joins), and precision is exact because every
-    candidate is re-scored with the true cosine before the threshold."""
-    bits_per_band = num_planes // bands
-    mask = (1 << bits_per_band) - 1
+    candidate is re-scored with the true cosine before the threshold.
+
+    CANDIDATE-DENSITY scale rule: ``bits_per_band = num_planes/bands``
+    fixes the bucket count at 2^bits per band, and random vectors
+    spread ~uniformly, so expected candidates ≈ bands · n²/2^(bits+1) —
+    QUADRATIC in n unless bits grows with log2(n). The 16/4 default is
+    an oracle-friendly small-corpus point (measured n=5000 at sf0.1:
+    514k raw candidates); at corpus scale raise BOTH planes and bands
+    so bits lands near log2(n)-ish while the band count preserves
+    recall — recall is 1−(1−p^bits)^bands with p = 1−arccos(c)/π.
+    Measured on the sf0.1 fixtures (scripts/lsh_breakdown.py): 64
+    planes / 8 bands cuts raw candidates 514k → 74k (6.9× at n=5000;
+    the n²/2^bits law widens the gap as n grows — label-clustered
+    embeddings keep buckets denser than the uniform bound) while
+    truth-set recall holds at 78/80 vs 79/80 for 16/4, both with zero
+    false positives. Band buckets come from :func:`srp_band_buckets`,
+    so num_planes is not capped by the 63-bit signature pack."""
     banded = df.select(
         F.col(id_col),
-        srp_signature(vec_col, num_planes).alias("__sig"),
-    ).select(
-        id_col,
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col("__sig"), b * bits_per_band).bitwiseAND(F.lit(mask))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "bucket"),
+        F.posexplode(srp_band_buckets(vec_col, num_planes, bands)).alias(
+            "band", "bucket"
+        ),
     )
     left = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
     right = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")

@@ -92,6 +92,34 @@ def simhash_funnel(docs, max_hamming=8) -> dict[str, int]:
     return {"raw_candidates": raw, "within_hamming": within, "survivors": survivors}
 
 
+def srp_funnel(emb, min_cosine=0.8, num_planes=16, bands=4) -> dict[str, int]:
+    """Banded SRP embedding near-dup funnel: per-band bucket-join
+    candidate rows → deduped id pairs → exact-cosine survivors. Run at
+    both the oracle operating point (16/4) and a corpus-scale one
+    (64/8) to see the candidate-density rule in action."""
+    from adi_226_datawarehouse_project_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        srp_band_buckets,
+    )
+
+    banded = emb.select(
+        "vec_id",
+        F.posexplode(srp_band_buckets("embedding", num_planes, bands)).alias(
+            "band", "bucket"
+        ),
+    )
+    left = banded.select(F.col("vec_id").alias("id_a"), "band", "bucket")
+    right = banded.select(F.col("vec_id").alias("id_b"), "band", "bucket")
+    joined = left.join(right, ["band", "bucket"]).filter(F.col("id_a") < F.col("id_b"))
+    raw = joined.count()
+    deduped = joined.select("id_a", "id_b").dropDuplicates(["id_a", "id_b"]).count()
+    survivors = embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", min_cosine=min_cosine,
+        num_planes=num_planes, bands=bands,
+    ).count()
+    return {"raw_candidates": raw, "deduped_pairs": deduped, "survivors": survivors}
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark("lsh_breakdown")
@@ -104,6 +132,13 @@ def main() -> None:
     t0 = time.perf_counter()
     sh = simhash_funnel(docs)
     sh_t = round(time.perf_counter() - t0, 2)
+    emb = load_table(spark, sf_dir, "embeddings")
+    t0 = time.perf_counter()
+    srp = srp_funnel(emb)
+    srp_t = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    srp_wide = srp_funnel(emb, num_planes=64, bands=8)
+    srp_wide_t = round(time.perf_counter() - t0, 2)
 
     def _ratio(d):
         return round(d["raw_candidates"] / max(d["survivors"], 1), 1)
@@ -113,7 +148,11 @@ def main() -> None:
         f"# minhash: raw={mh['raw_candidates']} deduped={mh['deduped_pairs']} "
         f"survivors={mh['survivors']} ratio={_ratio(mh)} ({mh_t}s)\n"
         f"# simhash: raw={sh['raw_candidates']} within_h8={sh['within_hamming']} "
-        f"survivors={sh['survivors']} ratio={_ratio(sh)} ({sh_t}s)",
+        f"survivors={sh['survivors']} ratio={_ratio(sh)} ({sh_t}s)\n"
+        f"# srp 16/4: raw={srp['raw_candidates']} deduped={srp['deduped_pairs']} "
+        f"survivors={srp['survivors']} ({srp_t}s)\n"
+        f"# srp 64/8: raw={srp_wide['raw_candidates']} deduped={srp_wide['deduped_pairs']} "
+        f"survivors={srp_wide['survivors']} ({srp_wide_t}s)",
         file=sys.stderr,
     )
     print(
@@ -123,6 +162,8 @@ def main() -> None:
                 "n_docs": n_docs,
                 "minhash": {**mh, "candidates_per_survivor": _ratio(mh)},
                 "simhash": {**sh, "candidates_per_survivor": _ratio(sh)},
+                "srp_embedding_16_4": srp,
+                "srp_embedding_64_8": srp_wide,
             }
         )
     )

@@ -324,3 +324,64 @@ def test_semantic_dedup_misses_cross_cell_pairs_by_design(spark):
     )
     got = {r["vec_id"]: r["cluster_id"] for r in cl.collect()}
     assert got == {0: 0, 1: 1, 5: 5}
+
+
+def test_srp_band_buckets_match_signature_shift_mask(spark):
+    """The per-band pack must equal shift/mask over the packed
+    signature at every operating point both support — this is what
+    keeps the oracle-pinned 16/4 values identical post-refactor."""
+    from pyspark.sql import functions as F
+
+    from adi_226_datawarehouse_project_spark.operators.similarity import (
+        srp_band_buckets,
+        srp_signature,
+    )
+
+    df = spark.range(20).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(0, 15), i -> CAST(xxhash64(id, i) % 97 AS DOUBLE) / 97.0 - 0.5)"
+        " AS embedding",
+    )
+    for planes, bands in [(16, 4), (16, 2), (48, 4)]:
+        bits = planes // bands
+        mask = (1 << bits) - 1
+        via_sig = df.select(
+            "vec_id",
+            F.array(
+                *[
+                    F.shiftrightunsigned(
+                        srp_signature("embedding", planes), b * bits
+                    ).bitwiseAND(F.lit(mask))
+                    for b in range(bands)
+                ]
+            ).alias("b"),
+        ).collect()
+        via_bands = df.select(
+            "vec_id", srp_band_buckets("embedding", planes, bands).alias("b")
+        ).collect()
+        assert {r["vec_id"]: r["b"] for r in via_sig} == {
+            r["vec_id"]: r["b"] for r in via_bands
+        }
+
+
+def test_srp_wide_planes_supported_and_signature_guarded(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from adi_226_datawarehouse_project_spark.operators.similarity import (
+        srp_band_buckets,
+        srp_signature,
+    )
+
+    df = spark.range(4).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(0, 7), i -> CAST(xxhash64(id, i) % 11 AS DOUBLE) - 5.0)"
+        " AS embedding",
+    )
+    # 64 planes work through band buckets (8x8 bits)...
+    rows = df.select(srp_band_buckets("embedding", 64, 8).alias("b")).collect()
+    assert all(len(r["b"]) == 8 for r in rows)
+    assert all(0 <= v < 256 for r in rows for v in r["b"])
+    # ...while the all-planes pack refuses to overflow its sign bit
+    with _pytest.raises(ValueError, match="63"):
+        srp_signature("embedding", 64)
