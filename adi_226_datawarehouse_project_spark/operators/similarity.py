@@ -146,22 +146,12 @@ def lsh_bucket_topk(
     candidates → exact cosine re-rank within candidates. The join is
     on (band, sub-signature) — shuffle-partitioned, never a cross
     join; recall is tuned by num_planes/bands."""
-    bits_per_band = num_planes // bands
-    mask = (1 << bits_per_band) - 1
-    with_sig = df.select(
-        F.col(id_col), F.col(vec_col), srp_signature(vec_col, num_planes).alias("__sig")
-    )
-    banded = with_sig.select(
+    banded = df.select(
         id_col,
         vec_col,
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col("__sig"), b * bits_per_band).bitwiseAND(F.lit(mask))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "bucket"),
+        F.posexplode(srp_band_buckets(vec_col, num_planes, bands)).alias(
+            "band", "bucket"
+        ),
     )
     probes = banded.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"), "band", "bucket"
