@@ -282,3 +282,61 @@ def global_shuffle_rank(
         .withColumn("shuffle_rank", F.col("__r") + F.col("__off"))
         .drop("__pid", "__r", "__off", "__skey")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 512,
+    stride: int | None = None,
+) -> DataFrame:
+    """Split each document's token stream into (possibly overlapping)
+    context windows — the long-document complement of
+    :func:`pack_sequences` (which CONCATENATES short docs; this SPLITS
+    long ones; real pipelines run both). Returns one row per chunk:
+    ``(id, chunk_idx, n_chunks, chunk_text, chunk_tokens)`` with
+    ``chunk_idx`` 0-based and ``chunk_text`` the space-joined token
+    window starting at ``chunk_idx·stride``.
+
+    ``stride`` defaults to ``window`` (no overlap); a smaller stride
+    gives sliding-window overlap (common for RAG indexing and for
+    training-context continuity). The chunk count is
+    ``1 + ceil(max(n_tokens - window, 0) / stride)`` — always ≥ 1, so
+    empty/short docs yield exactly one (possibly short) chunk and no
+    data is silently dropped.
+
+    Distribution: pure narrow expressions — tokenize once per row
+    (let-bound), ``posexplode`` over a computed chunk-index sequence,
+    per-chunk ``slice`` + ``array_join``. No shuffle, no UDF, linear
+    in total token count; composes with pushed filters above it.
+    """
+    from ..functions.text import word_tokens
+
+    if stride is None:
+        stride = window
+    if window <= 0 or stride <= 0:
+        raise ValueError(f"window and stride must be positive: {window}, {stride}")
+    toks = df.withColumn("__toks", word_tokens(F.col(text_col)))
+    n_chunks = F.lit(1) + F.ceil(
+        F.greatest(F.size("__toks") - window, F.lit(0)).cast("double") / stride
+    ).cast("int")
+    chunks = toks.withColumn("__n_chunks", n_chunks).select(
+        F.col(id_col),
+        F.col("__toks"),
+        F.col("__n_chunks").alias("n_chunks"),
+        F.posexplode(F.sequence(F.lit(0), F.col("__n_chunks") - 1)).alias(
+            "chunk_idx", "__v"
+        ),
+    )
+    return chunks.select(
+        id_col,
+        "chunk_idx",
+        "n_chunks",
+        F.array_join(
+            F.slice(F.col("__toks"), F.col("chunk_idx") * stride + 1, window), " "
+        ).alias("chunk_text"),
+        F.size(
+            F.slice(F.col("__toks"), F.col("chunk_idx") * stride + 1, window)
+        ).alias("chunk_tokens"),
+    )

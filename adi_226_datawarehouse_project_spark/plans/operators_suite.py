@@ -2339,6 +2339,49 @@ FROM ranked WHERE rank <= {_TFIDF_TOP_K}
 """
 
 
+# --- doc_chunks part: sliding-window document chunking (window 32,
+# stride 24 — overlapping windows over the fixtures' 30-100-token
+# docs). Chunk CONTENT is verified exactly: n is the first 48 bits of
+# md5(chunk_text) as an integer, so a one-token boundary error flips
+# the hash; n2 packs (chunk_tokens, n_chunks). ---
+_CHUNK_WINDOW = 32
+_CHUNK_STRIDE = 24
+
+
+def _spark_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.training import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ch = chunk_documents(docs, "doc_id", "text", window=_CHUNK_WINDOW, stride=_CHUNK_STRIDE)
+    return ch.select(
+        F.concat(
+            F.col("doc_id").cast("string"), F.lit(":"), F.col("chunk_idx").cast("string")
+        ).alias("k"),
+        F.conv(F.substring(F.md5(F.col("chunk_text")), 1, 12), 16, 10)
+        .cast("bigint")
+        .alias("n"),
+        (F.col("chunk_tokens").cast("bigint") * 1000 + F.col("n_chunks")).alias("n2"),
+    )
+
+
+def _doc_chunks_oracle() -> str:
+    w, s = _CHUNK_WINDOW, _CHUNK_STRIDE
+    return f"""
+SELECT concat(CAST(doc_id AS VARCHAR), ':', CAST(ci AS VARCHAR)) AS k,
+       CAST(concat('0x', substr(md5(array_to_string(tk[ci*{s}+1 : ci*{s}+{w}], ' ')), 1, 12))
+            AS BIGINT) AS n,
+       CAST(len(tk[ci*{s}+1 : ci*{s}+{w}]) AS BIGINT) * 1000 + n_chunks AS n2
+FROM (
+  SELECT doc_id, tk, n_chunks, unnest(generate_series(0, n_chunks - 1)) AS ci
+  FROM (
+    SELECT doc_id, tk,
+           CAST(1 + ceil(CAST(greatest(len(tk) - {w}, 0) AS DOUBLE) / {s}) AS INT) AS n_chunks
+    FROM (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents) __t
+  ) __c
+) __e
+"""
+
+
 # --- text_doc_features: language-ID + doc fingerprint + quality score
 # + the training-assembly family (mixture sample / packing / shuffle) ---
 def _spark_text_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2396,6 +2439,9 @@ def _spark_text_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     tfidf = _spark_tfidf(spark, sf_dir).select(
         F.lit("tfidf").alias("part"), "k", "n", "n2"
     )
+    chunks_sw = _spark_doc_chunks(spark, sf_dir).select(
+        F.lit("doc_chunks").alias("part"), "k", "n", "n2"
+    )
     return (
         lang.unionByName(fp)
         .unionByName(qual)
@@ -2407,6 +2453,7 @@ def _spark_text_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(rep1)
         .unionByName(rep2)
         .unionByName(tfidf)
+        .unionByName(chunks_sw)
         .orderBy("part", "k")
     )
 
@@ -2427,6 +2474,7 @@ def _text_doc_features_oracle() -> str:
         _duck_norm("rep_tokens", _repetition_oracle(1), k="lang", n="n_flagged", n2="centisum"),
         _duck_norm("rep_bigrams", _repetition_oracle(2), k="lang", n="n_flagged", n2="centisum"),
         _duck_norm("tfidf", _tfidf_oracle(), k="k", n="n", n2="n2"),
+        _duck_norm("doc_chunks", _doc_chunks_oracle(), k="k", n="n", n2="n2"),
     ]) + "\nORDER BY part, k"
 
 

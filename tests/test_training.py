@@ -214,3 +214,49 @@ def test_shuffle_rank_partition_invariance(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_chunk_documents_boundaries_and_overlap(spark):
+    from adi_226_datawarehouse_project_spark.operators.training import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),  # 10 tokens
+            (2, "a b c"),                               # shorter than window
+            (3, ""),                                    # empty
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    got = {
+        (r["doc_id"], r["chunk_idx"]): r
+        for r in chunk_documents(docs, "doc_id", "text", window=4, stride=3).collect()
+    }
+    # doc 1: n_chunks = 1 + ceil((10-4)/3) = 3; windows [0:4],[3:7],[6:10]
+    assert got[(1, 0)]["n_chunks"] == 3
+    assert got[(1, 0)]["chunk_text"] == "t0 t1 t2 t3"
+    assert got[(1, 1)]["chunk_text"] == "t3 t4 t5 t6"  # 1-token overlap
+    assert got[(1, 2)]["chunk_text"] == "t6 t7 t8 t9"
+    assert all(got[(1, i)]["chunk_tokens"] == 4 for i in range(3))
+    # short doc: single truncated chunk, nothing dropped
+    assert got[(2, 0)]["n_chunks"] == 1 and got[(2, 0)]["chunk_text"] == "a b c"
+    assert got[(2, 0)]["chunk_tokens"] == 3
+    # empty doc: one empty chunk
+    assert got[(3, 0)]["n_chunks"] == 1 and got[(3, 0)]["chunk_text"] == ""
+    assert got[(3, 0)]["chunk_tokens"] == 0
+    # every token of doc 1 is covered by at least one chunk
+    covered = set()
+    for i in range(3):
+        covered |= set(got[(1, i)]["chunk_text"].split())
+    assert covered == {f"t{i}" for i in range(10)}
+
+
+def test_chunk_documents_rejects_bad_params(spark):
+    import pytest as _pytest
+
+    from adi_226_datawarehouse_project_spark.operators.training import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id BIGINT, text STRING")
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, "doc_id", "text", window=0)
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, "doc_id", "text", window=4, stride=-1)
