@@ -2339,6 +2339,40 @@ FROM ranked WHERE rank <= {_TFIDF_TOP_K}
 """
 
 
+# --- lm_ppl part: CCNet-style unigram LM surprisal per document in
+# the bit-exact "bits" mode (integer floor-log2 of the add-one-
+# smoothed odds ratio — libm-free, reproducible on any engine; the
+# production ln/ppl mode is pinned against a Python reference in
+# tests/test_lm.py). k is the doc, n the exact Σ tf·bits, n2 packs
+# (n_tokens, bits_per_token_milli). ---
+def _spark_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.lm_score import unigram_lm_scores
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return unigram_lm_scores(docs, "doc_id", "text", mode="bits").select(
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("surprisal_bits").alias("n"),
+        (F.col("n_tokens").cast("bigint") * 100000 + F.col("bits_per_token_milli")).alias("n2"),
+    )
+
+
+_LM_PPL_ORACLE = f"""
+WITH toks AS (SELECT doc_id, unnest({_DUCK_TOKENS}) AS token FROM documents),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+cnts AS (SELECT token, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY token),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS T, CAST(COUNT(*) AS BIGINT) AS V FROM cnts),
+terms AS (
+  SELECT doc_id, tf, length(bin((T + V) // (cnt + 1))) - 1 AS s
+  FROM tf JOIN cnts USING (token) CROSS JOIN tot
+)
+SELECT CAST(doc_id AS VARCHAR) AS k,
+       CAST(SUM(tf * s) AS BIGINT) AS n,
+       CAST(SUM(tf) AS BIGINT) * 100000
+         + (1000 * CAST(SUM(tf * s) AS BIGINT)) // CAST(SUM(tf) AS BIGINT) AS n2
+FROM terms GROUP BY doc_id
+"""
+
+
 # --- doc_chunks part: sliding-window document chunking (window 32,
 # stride 24 — overlapping windows over the fixtures' 30-100-token
 # docs). Chunk CONTENT is verified exactly: n is the first 48 bits of
@@ -2442,6 +2476,9 @@ def _spark_text_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks_sw = _spark_doc_chunks(spark, sf_dir).select(
         F.lit("doc_chunks").alias("part"), "k", "n", "n2"
     )
+    lm = _spark_lm_ppl(spark, sf_dir).select(
+        F.lit("lm_ppl").alias("part"), "k", "n", "n2"
+    )
     return (
         lang.unionByName(fp)
         .unionByName(qual)
@@ -2454,6 +2491,7 @@ def _spark_text_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(rep2)
         .unionByName(tfidf)
         .unionByName(chunks_sw)
+        .unionByName(lm)
         .orderBy("part", "k")
     )
 
@@ -2475,6 +2513,7 @@ def _text_doc_features_oracle() -> str:
         _duck_norm("rep_bigrams", _repetition_oracle(2), k="lang", n="n_flagged", n2="centisum"),
         _duck_norm("tfidf", _tfidf_oracle(), k="k", n="n", n2="n2"),
         _duck_norm("doc_chunks", _doc_chunks_oracle(), k="k", n="n", n2="n2"),
+        _duck_norm("lm_ppl", _LM_PPL_ORACLE, k="k", n="n", n2="n2"),
     ]) + "\nORDER BY part, k"
 
 
