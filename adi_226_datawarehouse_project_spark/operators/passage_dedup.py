@@ -1,0 +1,143 @@
+"""Repeated-passage removal — cross-document duplicated-span scrubbing
+for the training-data pipeline (Lee et al., "Deduplicating Training
+Data Makes Language Models Better", arXiv:2107.06499: remove verbatim
+substrings that recur across documents — boilerplate headers, license
+blocks, navigation chrome — while keeping the surrounding prose).
+
+Doc-level near-dup (MinHash/SimHash, `operators/dedup.py`) drops whole
+documents; this operator edits WITHIN documents: any word ``n``-gram
+appearing in ≥ ``min_docs`` distinct documents marks its ``n`` token
+positions as duplicated, and duplicated positions are scrubbed from
+every occurrence ("all" mode) or every occurrence except the
+lowest-id owning document ("first" mode — the published keep-one
+semantic).
+
+Distributed shape (suffix arrays need not apply at 100 TB):
+
+- grams are built NARROWLY per row from the token array (sequence +
+  slice under a let-binding — no posexplode of corpus tokens); only
+  ``(id, start, gram_hash)`` rows shuffle, with the gram itself a
+  bare xxhash64 BIGINT, never the text;
+- the gram→doc-frequency table reuses the per-doc-distinct rows (the
+  tfidf trick: ``(id, gram)`` is already distinct, so doc frequency
+  is a count, not a countDistinct);
+- flagged grams (df ≥ min_docs) are a small table joined back on the
+  hashed key — broadcast-able when rare, AQE-skew-splittable when a
+  boilerplate gram is corpus-hot;
+- covered positions explode only FLAGGED starts (``n``× a small set),
+  aggregate to one ``covered`` array per doc, and rejoin the doc
+  table; the text rebuild is a pure narrow HOF filter over the token
+  array. Corpus text crosses the wire exactly once (the final join's
+  build side is per-doc ints).
+
+Gram identity is xxhash64 of the space-joined gram (collision odds
+~m²/2⁶⁵ — immaterial beside the fixture scales and deterministic
+either way); the DuckDB oracle re-derives everything from the literal
+gram strings, so a hash bug cannot self-confirm.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import _let, word_tokens
+
+
+def _gram_starts(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, start, gram) — one row per n-gram occurrence; start is the
+    0-based token index; gram is the xxhash64 of the joined tokens."""
+    toks = df.select(F.col(id_col), word_tokens(F.col(text_col)).alias("__toks"))
+    grams = toks.select(
+        id_col,
+        F.posexplode(
+            _let(
+                F.col("__toks"),
+                lambda t: F.when(
+                    F.size(t) >= n,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(t) - n),
+                        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(t, i + 1, n))),
+                    ),
+                ).otherwise(F.array().cast("array<bigint>")),
+            )
+        ).alias("start", "gram"),
+    )
+    return grams
+
+
+def repeated_passage_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_docs: int = 2,
+    keep: str = "all",
+) -> DataFrame:
+    """Flagged duplicated-span starts: ``(id, start)`` rows where the
+    word ``n``-gram at ``start`` occurs in ≥ ``min_docs`` distinct
+    docs. ``keep="first"`` exempts the lowest-id document containing
+    each gram (its occurrence survives); ``keep="all"`` flags every
+    occurrence."""
+    if keep not in ("all", "first"):
+        raise ValueError(f"unknown keep mode: {keep!r}")
+    occ = _gram_starts(df, id_col, text_col, n)
+    per_doc = occ.groupBy(id_col, "gram").agg(F.min("start").alias("__s0"))
+    freq = per_doc.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("__df"), F.min(id_col).alias("__owner")
+    )
+    flagged = freq.filter(F.col("__df") >= min_docs).select("gram", "__owner")
+    hits = occ.join(flagged, "gram")
+    if keep == "first":
+        hits = hits.filter(F.col(id_col) != F.col("__owner"))
+    return hits.select(id_col, "start").distinct()
+
+
+def remove_repeated_passages(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_docs: int = 2,
+    keep: str = "all",
+) -> DataFrame:
+    """Scrub duplicated spans: every token position covered by a
+    flagged ``n``-gram start (positions ``[start, start+n)``) is
+    dropped and the survivors are re-joined with single spaces.
+
+    Returns the input columns plus ``n_tokens``, ``covered_tokens``
+    (count of scrubbed positions), and ``clean_text``. Documents with
+    no flagged span pass through with ``covered_tokens = 0`` and
+    ``clean_text = `` the normalized (lowercased, space-joined) token
+    stream — normalization is what makes byte-exact cross-engine
+    verification possible."""
+    spans = repeated_passage_spans(df, id_col, text_col, n, min_docs, keep)
+    covered = (
+        spans.select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + F.lit(n - 1))
+            ).alias("pos"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("pos").alias("__covered"))
+    )
+    out = df.join(covered, id_col, "left")
+    toks = word_tokens(F.col(text_col))
+    kept = _let(
+        F.coalesce(F.col("__covered"), F.array().cast("array<int>")),
+        lambda cov: F.filter(
+            F.transform(toks, lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
+            lambda s: ~F.array_contains(cov, s["i"]),
+        ),
+    )
+    return out.select(
+        *[F.col(c) for c in df.columns],
+        F.size(toks).alias("n_tokens"),
+        # size(NULL) is -1 under legacy (non-ANSI) sessions — coalesce
+        # the ARRAY, not the size, so both session flavors agree.
+        F.size(
+            F.coalesce(F.col("__covered"), F.array().cast("array<int>"))
+        ).alias("covered_tokens"),
+        F.concat_ws(" ", F.transform(kept, lambda s: s["t"])).alias("clean_text"),
+    )

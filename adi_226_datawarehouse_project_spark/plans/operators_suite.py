@@ -2038,6 +2038,9 @@ _IO_SUITE_ORACLE = "\nUNION ALL\n".join([
 
 # --- text_token_features: token stats + corpus top-token explode +
 # deterministic md5 train/val/test split ---
+_PASSAGE_N = 5  # word-gram width for the passage-scrub differential
+
+
 def _spark_text_token_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = _spark_token_stats(spark, sf_dir).select(
         F.lit("token_stats").alias("part"), F.col("lang").alias("k"),
@@ -2064,7 +2067,30 @@ def _spark_text_token_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.rolling_fingerprint("text").cast("bigint").alias("n"),
         F.lit(None).cast("bigint").alias("n2"), F.lit(None).cast("double").alias("v"),
     )
-    return stats.unionByName(top).unionByName(split).unionByName(roll).orderBy("part", "k")
+    # Repeated-passage scrub (keep-one semantic): clean-text CONTENT is
+    # verified exactly via a 48-bit md5 — a one-token scrub error flips
+    # the hash; n2 packs (n_tokens, covered_tokens).
+    from ..operators.passage_dedup import remove_repeated_passages
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    scrub = remove_repeated_passages(
+        docs, "doc_id", "text", n=_PASSAGE_N, min_docs=2, keep="first"
+    ).select(
+        F.lit("passage_scrub").alias("part"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.conv(F.substring(F.md5(F.col("clean_text")), 1, 12), 16, 10)
+        .cast("bigint")
+        .alias("n"),
+        (F.col("n_tokens").cast("bigint") * 100000 + F.col("covered_tokens")).alias("n2"),
+        F.lit(None).cast("double").alias("v"),
+    )
+    return (
+        stats.unionByName(top)
+        .unionByName(split)
+        .unionByName(roll)
+        .unionByName(scrub)
+        .orderBy("part", "k")
+    )
 
 
 def _text_token_features_oracle() -> str:
@@ -2082,10 +2108,50 @@ SELECT doc_id, list_reduce(
   (acc, h) -> (acc * {TX._ROLL_BASE} + h) % {TX._ROLL_MOD}) AS fp
 FROM documents
 """
+    # Passage scrub re-derived from the literal gram STRINGS (the Spark
+    # side shuffles xxhash64 keys — a hash bug cannot self-confirm).
+    pn = _PASSAGE_N
+    scrub_body = f"""
+WITH tk AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+occ AS (
+  SELECT doc_id, ci AS start, array_to_string(tk[ci + 1 : ci + {pn}], ' ') AS gram
+  FROM (SELECT doc_id, tk, unnest(generate_series(0, len(tk) - {pn})) AS ci FROM tk) __o
+),
+freq AS (
+  SELECT gram, COUNT(*) AS dfq, MIN(doc_id) AS owner
+  FROM (SELECT DISTINCT doc_id, gram FROM occ) __d GROUP BY gram
+),
+flags AS (
+  SELECT DISTINCT o.doc_id, o.start
+  FROM occ o JOIN freq f USING (gram)
+  WHERE f.dfq >= 2 AND o.doc_id <> f.owner
+),
+cov AS (
+  SELECT DISTINCT doc_id, start + gs AS pos
+  FROM (SELECT doc_id, start, unnest(generate_series(0, {pn - 1})) AS gs FROM flags) __c
+),
+toks AS (
+  SELECT doc_id, p AS pos, tk[p + 1] AS tok
+  FROM (SELECT doc_id, tk, unnest(generate_series(0, len(tk) - 1)) AS p FROM tk) __t
+),
+rebuilt AS (
+  SELECT t.doc_id,
+         coalesce(string_agg(t.tok, ' ' ORDER BY t.pos)
+                  FILTER (WHERE c.pos IS NULL), '') AS clean_text,
+         COUNT(*) FILTER (WHERE c.pos IS NOT NULL) AS covered
+  FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+  GROUP BY t.doc_id
+)
+SELECT k.doc_id,
+       CAST(concat('0x', substr(md5(coalesce(r.clean_text, '')), 1, 12)) AS BIGINT) AS fp48,
+       CAST(len(k.tk) AS BIGINT) * 100000 + coalesce(r.covered, 0) AS packed
+FROM tk k LEFT JOIN rebuilt r USING (doc_id)
+"""
     return "\nUNION ALL\n".join([
         _n5("token_stats", _TOKEN_STATS_ORACLE, k="lang", n="n_docs", n2="total_tokens", v="avg_tokens"),
         _n5("top_tokens", _EXPLODE_TOKENS_ORACLE, k="token", n="occurrences"),
         _n5("hash_split", _split_sql(D.DUCKDB), k="split", n="n_docs", n2="total_tokens"),
+        _n5("passage_scrub", scrub_body, k="doc_id", n="fp48", n2="packed"),
         _n5("rolling_fp", roll_body, k="doc_id", n="fp"),
     ]) + "\nORDER BY part, k"
 
