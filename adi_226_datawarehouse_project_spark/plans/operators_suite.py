@@ -2807,16 +2807,74 @@ def _spark_sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("exact_min_cos"),
         F.lit(True).alias("ok"),
     )
+    # PQ-ADC top-5 (brute ADC over the code table, no coarse stage):
+    # FULL value rows — neighbor identity and the ADC score itself per
+    # (query, rank); the oracle re-derives codebooks/codes/LUT from the
+    # same deterministic sample.
+    from ..operators.pq import pq_adc_topk
+
+    pq = pq_adc_topk(
+        emb, "vec_id", "embedding", k=5, probe_ids=[0, 1, 2, 3, 4], m=4, ksub=16
+    ).select(
+        F.lit("pq_adc").alias("part"),
+        (F.col("query_id") * 100 + F.col("rank")).cast("bigint").alias("query_id"),
+        F.col("neighbor_id").cast("bigint").alias("n"),
+        F.round(F.col("adc"), 6).cast("double").alias("exact_min_cos"),
+        F.lit(True).alias("ok"),
+    )
     return (
         topk.unionByName(nd_row)
         .unionByName(sd_clusters)
         .unionByName(sd_total)
+        .unionByName(pq)
         .orderBy("part", F.col("query_id").asc_nulls_first())
     )
 
 
 _ANN_ORACLE = f"""
 WITH RECURSIVE v AS (SELECT vec_id, embedding FROM embeddings),
+pq_nrm AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) /
+    nullif(sqrt(list_sum(list_transform(embedding,
+      y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 0.0)) AS nv
+  FROM v
+),
+pq_cb AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, nv
+  FROM (SELECT vec_id, nv FROM pq_nrm ORDER BY vec_id LIMIT 16) __s
+),
+pq_js AS (SELECT unnest(generate_series(0, 3)) AS j),
+pq_codes AS (
+  SELECT vec_id, j, code FROM (
+    SELECT n.vec_id, js.j, b.c AS code,
+           row_number() OVER (PARTITION BY n.vec_id, js.j ORDER BY
+             list_sum(list_transform(generate_series(1, 16), d ->
+               (n.nv[js.j * 16 + d] - b.nv[js.j * 16 + d])
+               * (n.nv[js.j * 16 + d] - b.nv[js.j * 16 + d]))) ASC,
+             b.c ASC) AS rn
+    FROM pq_nrm n CROSS JOIN pq_cb b CROSS JOIN pq_js js
+  ) __a WHERE rn = 1
+),
+pq_lut AS (
+  SELECT q.vec_id AS query_id, js.j, b.c,
+         list_sum(list_transform(generate_series(1, 16), d ->
+           q.nv[js.j * 16 + d] * b.nv[js.j * 16 + d])) AS part_dot
+  FROM pq_nrm q CROSS JOIN pq_cb b CROSS JOIN pq_js js
+  WHERE q.vec_id IN (0, 1, 2, 3, 4)
+),
+pq_score AS (
+  SELECT l.query_id, cd.vec_id AS neighbor_id,
+         list_sum(list(l.part_dot ORDER BY l.j)) AS adc
+  FROM pq_codes cd JOIN pq_lut l ON l.j = cd.j AND l.c = cd.code
+  WHERE cd.vec_id <> l.query_id
+  GROUP BY l.query_id, cd.vec_id
+),
+pq_top AS (
+  SELECT query_id, neighbor_id, adc,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc DESC, neighbor_id ASC) AS rank
+  FROM pq_score
+),
 top5 AS (
   SELECT query_id, c FROM (
     SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
@@ -2875,6 +2933,10 @@ FROM sd_comp GROUP BY cluster_id HAVING COUNT(*) > 1
 UNION ALL
 SELECT 'semdedup_total', CAST(NULL AS BIGINT),
        (SELECT COUNT(DISTINCT cluster_id) FROM sd_comp), CAST(NULL AS DOUBLE), TRUE
+UNION ALL
+SELECT 'pq_adc', CAST(query_id * 100 + rank AS BIGINT), CAST(neighbor_id AS BIGINT),
+       round(adc, 6), TRUE
+FROM pq_top WHERE rank <= 5
 ORDER BY part, query_id NULLS FIRST
 """
 
