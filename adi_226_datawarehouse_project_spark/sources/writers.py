@@ -130,3 +130,134 @@ def overwrite_table(spark: SparkSession, df: DataFrame, name: str) -> None:
     overwrite). With a real catalog this is saveAsTable(overwrite); in
     the session-local engine it replaces the temp view."""
     df.createOrReplaceTempView(name)
+
+
+# ---- Z-order layout + compaction -----------------------------------
+
+
+def zorder_key(
+    qcols: "list",
+    bits: int = 16,
+) -> "Column":
+    """Morton-interleave pre-quantized BIGINT columns (values in
+    [0, 2^bits)) into one z-order key: bit ``b`` of column ``i`` lands
+    at position ``b·n + i``, so a range predicate on ANY input column
+    maps to contiguous-ish key ranges — the property that gives every
+    dimension locality from ONE sort order (classic space-filling-curve
+    clustering; the 2-D stride-2 special case is the geohash Morton
+    spread in ``functions/geohash.py``).
+
+    Pure bit arithmetic (shift/and/or) — codegen'd, no UDF. ``n·bits``
+    must fit a signed 64-bit key."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    n = len(qcols)
+    if n * bits > 63:
+        raise ValueError(f"{n} cols × {bits} bits exceeds the 63-bit key")
+    terms = [
+        F.shiftleft(
+            F.shiftright(q, b).bitwiseAND(F.lit(1)).cast("bigint"), b * n + i
+        )
+        for b in range(bits)
+        for i, q in enumerate(qcols)
+    ]
+    return reduce(lambda a, c: a.bitwiseOR(c), terms)
+
+
+def zorder_by(df: DataFrame, cols: "list[str]", bits: int = 16) -> DataFrame:
+    """Cluster rows on the z-order key of ``cols`` (numeric/timestamp):
+    each column is min-max quantized to ``bits`` bits (the 1-row stats
+    frame broadcasts — never collected), interleaved, then
+    range-partitioned + sorted within partitions. Writing the result
+    gives every output file/row-group tight min/max envelopes on ALL
+    ``cols`` at once, so parquet stats-based row-group pruning works
+    for predicates on any of them — unlike a plain sort, which buys
+    locality on the leading column only.
+
+    Linear min-max quantization keeps the key engine-portable and
+    stats-cheap; heavily skewed columns trade some balance for it (the
+    classic remedy — rank-based quantiles — costs a global sort).
+    NULLs quantize to bucket 0."""
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"__lo_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"__hi_{c}") for c in cols],
+    )
+    with_stats = df.crossJoin(F.broadcast(stats))
+    top = (1 << bits) - 1
+    qcols = []
+    for c in cols:
+        lo, hi = F.col(f"__lo_{c}"), F.col(f"__hi_{c}")
+        span = F.nullif(hi - lo, F.lit(0.0))
+        q = F.floor((F.col(c).cast("double") - lo) / span * F.lit(float(1 << bits)))
+        qcols.append(
+            F.coalesce(F.least(F.greatest(q, F.lit(0)), F.lit(top)), F.lit(0)).cast(
+                "bigint"
+            )
+        )
+    keyed = with_stats.withColumn("__zkey", zorder_key(qcols, bits)).drop(
+        *[f"__lo_{c}" for c in cols], *[f"__hi_{c}" for c in cols]
+    )
+    return keyed
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: "list[str]",
+    num_files: int,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet sink: ``repartitionByRange`` on the
+    z-key (contiguous curve segments per file) + ``sortWithinPartitions``
+    (tight row-group envelopes inside each file). The key column is
+    dropped from the output — the LAYOUT is the artifact.
+
+    At 100 TB this is the table-maintenance primitive: periodic
+    compaction jobs rewrite cold partitions z-ordered on the dominant
+    predicate columns, and every later scan with a pushed filter on
+    any of them skips most row groups via parquet min/max stats
+    (verified against footer statistics in tests/test_zorder.py)."""
+    keyed = zorder_by(df, cols, bits)
+    (
+        keyed.repartitionByRange(num_files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def compact_table(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_file_mb: int = 512,
+    zorder_cols: "list[str] | None" = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet zone into
+    ``ceil(bytes/target)`` right-sized files, optionally z-ordered.
+    Returns the file count written. Reads its size from the source
+    footers (input_file_name-distinct byte sum via the FileSystem
+    API falls over on object stores; the parquet scan's own statistics
+    are authoritative and cluster-portable).
+
+    ``out_path`` is required to be distinct — compaction is
+    write-new-then-swap, never an in-place overwrite of a zone a
+    concurrent reader may be scanning."""
+    import math
+
+    if in_path.rstrip("/") == out_path.rstrip("/"):
+        raise ValueError("compact_table writes a NEW zone: out_path must differ")
+    df = spark.read.parquet(in_path)
+    n_bytes = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    n_files = max(1, math.ceil(int(str(n_bytes)) / (target_file_mb * 1024 * 1024)))
+    if zorder_cols:
+        write_zordered(df, out_path, zorder_cols, num_files=n_files)
+    else:
+        df.repartition(n_files).write.mode("overwrite").parquet(out_path)
+    return n_files
