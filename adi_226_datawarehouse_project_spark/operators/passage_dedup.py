@@ -131,8 +131,13 @@ def remove_repeated_passages(
             lambda s: ~F.array_contains(cov, s["i"]),
         ),
     )
+    # Output stat columns SHADOW same-named inputs (a cleaned zone
+    # often carries its own n_tokens — the recomputed one wins).
+    passthrough = [
+        c for c in df.columns if c not in ("n_tokens", "covered_tokens", "clean_text")
+    ]
     return out.select(
-        *[F.col(c) for c in df.columns],
+        *[F.col(c) for c in passthrough],
         F.size(toks).alias("n_tokens"),
         # size(NULL) is -1 under legacy (non-ANSI) sessions — coalesce
         # the ARRAY, not the size, so both session flavors agree.

@@ -4,18 +4,22 @@ the pipeline-operator family over the ``orchestration.run_dag``
 executor with the same zone/idempotency semantics:
 
     clean/            lang-filtered, quality+repetition gated, PII-scrubbed docs
+    scrubbed/         (optional, ``passage_n``) cross-doc repeated-passage
+                      removal — keep-one semantics, texts rewritten
     dedup/            exact dedup + near-dup cluster collapse survivors
     decontaminated/   survivors minus the benchmark stratum + its n-gram overlaps
+    lm_filtered/      (optional, ``max_bits_per_token``) CCNet-style LM
+                      perplexity gate over the surviving corpus
     packed/           doc → context-window chunk assignment (offsets, spans)
     shards/           final corpus in deterministic global shuffle order,
                       hive-partitioned by shard id
     manifest/         nested-struct run manifest with per-zone row counts
 
-DAG shape: clean → dedup → decontaminated → [packed ∥ shards] →
-manifest — the last data wave is a genuine parallel fan-out (two
-independent Spark jobs over the same decontaminated zone). Every zone
-is ``_SUCCESS``-idempotent: a re-run (or a resume after a failure)
-skips completed zones unless ``force=True``.
+DAG shape: clean → [scrubbed →] dedup → decontaminated →
+[lm_filtered →] [packed ∥ shards] → manifest — the last data wave is a
+genuine parallel fan-out (two independent Spark jobs over the same
+upstream zone). Every zone is ``_SUCCESS``-idempotent: a re-run (or a
+resume after a failure) skips completed zones unless ``force=True``.
 
 Scale notes: every stage is one of the already-audited operators
 (broadcast gram joins, bounded label propagation, two-phase prefix
@@ -63,6 +67,8 @@ def run_corpus_pipeline(
     shuffle_seed: str = "corpus-v1",
     run_utc: str = "1970-01-01T00:00:00Z",
     force: bool = False,
+    passage_n: int | None = None,
+    max_bits_per_token: float | None = None,
 ) -> dict[str, TaskResult]:
     """Run the curation DAG; returns every task's :class:`TaskResult`
     (value = rows written, None when skipped). Zone readers load the
@@ -91,8 +97,35 @@ def run_corpus_pipeline(
         )
         return _write(scrubbed, "clean")
 
-    def _dedup(upstream: dict) -> int:
+    dedup_src = "scrubbed" if passage_n else "clean"
+    pack_src = "lm_filtered" if max_bits_per_token is not None else "decontaminated"
+
+    def _scrub_passages(upstream: dict) -> int:
+        from ..operators.passage_dedup import remove_repeated_passages
+
         docs = spark.read.parquet(_zone("clean"))
+        scrubbed = remove_repeated_passages(
+            docs, "doc_id", "text", n=passage_n, min_docs=2, keep="first"
+        ).select(
+            "doc_id",
+            F.col("clean_text").alias("text"),
+            "lang",
+            "source",
+            (F.col("n_tokens") - F.col("covered_tokens")).cast("bigint").alias("n_tokens"),
+        )
+        return _write(scrubbed, "scrubbed")
+
+    def _lm_filter(upstream: dict) -> int:
+        from ..operators.lm_score import perplexity_filter
+
+        docs = spark.read.parquet(_zone("decontaminated"))
+        kept = perplexity_filter(
+            docs, "doc_id", "text", max_bits_per_token=max_bits_per_token
+        )
+        return _write(kept, "lm_filtered")
+
+    def _dedup(upstream: dict) -> int:
+        docs = spark.read.parquet(_zone(dedup_src))
         uniq = dedup_exact(docs, ["text"], order_by=["doc_id"])
         edges = ngram_jaccard_pairs(
             uniq, "doc_id", "text", n=ngram_n, min_jaccard=min_jaccard
@@ -120,7 +153,7 @@ def run_corpus_pipeline(
         return _write(survivors, "decontaminated")
 
     def _packed(upstream: dict) -> int:
-        docs = spark.read.parquet(_zone("decontaminated"))
+        docs = spark.read.parquet(_zone(pack_src))
         packed = pack_sequences(
             docs.select("doc_id", F.col("n_tokens").alias("nt")),
             "doc_id",
@@ -130,7 +163,7 @@ def run_corpus_pipeline(
         return _write(packed, "packed")
 
     def _shards(upstream: dict) -> int:
-        docs = spark.read.parquet(_zone("decontaminated"))
+        docs = spark.read.parquet(_zone(pack_src))
         ranked = global_shuffle_rank(docs, "doc_id", seed=shuffle_seed)
         sharded = ranked.withColumn(
             "shard", F.expr(f"shuffle_rank div {shard_size}")
@@ -145,7 +178,7 @@ def run_corpus_pipeline(
             job_name="corpus_pipeline",
             run_utc=run_utc,
             inputs={"sf_dir": sf_dir},
-            outputs={z: _zone(z) for z in ("clean", "dedup", "decontaminated", "packed", "shards")},
+            outputs={z: _zone(z) for z in upstream if isinstance(upstream.get(z), int)},
             stats=stats,
         )
         return 1
@@ -161,16 +194,21 @@ def run_corpus_pipeline(
     tasks = [
         DagTask("start", lambda u: None),
         _task("clean", _clean, ["start"]),
-        _task("dedup", _dedup, ["clean"]),
-        _task("decontaminated", _decontaminate, ["dedup"]),
-        # parallel fan-out: chunk assignment and shard publication are
-        # independent consumers of the decontaminated zone
-        _task("packed", _packed, ["decontaminated"]),
-        _task("shards", _shards, ["decontaminated"]),
-        DagTask(
-            "manifest",
-            _manifest,
-            upstream=["clean", "dedup", "decontaminated", "packed", "shards"],
-        ),
     ]
+    if passage_n:
+        tasks.append(_task("scrubbed", _scrub_passages, ["clean"]))
+    tasks += [
+        _task("dedup", _dedup, [dedup_src]),
+        _task("decontaminated", _decontaminate, ["dedup"]),
+    ]
+    if max_bits_per_token is not None:
+        tasks.append(_task("lm_filtered", _lm_filter, ["decontaminated"]))
+    # parallel fan-out: chunk assignment and shard publication are
+    # independent consumers of the last filtering zone
+    tasks += [
+        _task("packed", _packed, [pack_src]),
+        _task("shards", _shards, [pack_src]),
+    ]
+    zone_names = [t.name for t in tasks if t.name != "start"]
+    tasks.append(DagTask("manifest", _manifest, upstream=zone_names))
     return run_dag(tasks)
