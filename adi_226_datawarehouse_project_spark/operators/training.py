@@ -240,31 +240,31 @@ def pack_chunk_stats(packed: DataFrame, id_col: str, max_len: int) -> DataFrame:
     )
 
 
-def global_shuffle_rank(
+def global_order_rank(
     df: DataFrame,
-    id_col: str,
-    seed: str,
+    order_cols: list[str],
+    rank_col: str = "rank",
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """Deterministic global training-order shuffle: every row gets a
-    dense 0-based rank in the pseudo-random order md5(seed:id) (id as
-    tiebreaker — md5 prefix collisions at width 12 are ~1e-7 per 10^5
-    rows and the tiebreak makes even those deterministic). Same
-    two-phase prefix machinery as packing, counting rows instead of
-    tokens: range-partition on the shuffle key, count per partition,
-    prefix the tiny totals frame, add intra-partition row_number. The
-    output order is reproducible across runs, engines, and cluster
-    sizes — `ORDER BY rand()` is none of those."""
-    keyed = df.withColumn("__skey", _hash_hex(id_col, seed, width=12))
+    """Dense 0-based global rank of every row in the total order given
+    by ``order_cols`` (ascending; the combination must be unique — add
+    an id tiebreaker), WITHOUT a global single-partition window. Same
+    two-phase machinery as :func:`distributed_prefix_sum`, counting
+    rows: range-partition on the order key (parallel), intra-partition
+    ``row_number`` partitioned by the physical partition id, prefix the
+    ~num_partitions per-partition counts (the only unpartitioned window
+    — over a tiny frame), broadcast the offsets back. Invariant to the
+    partition count/boundaries."""
+    cols = [F.col(c) for c in order_cols]
     n = num_partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
     ranged = (
-        keyed.repartitionByRange(n, F.col("__skey"), F.col(id_col))
+        df.repartitionByRange(n, *cols)
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
-    w_intra = Window.partitionBy("__pid").orderBy("__skey", id_col)
+    w_intra = Window.partitionBy("__pid").orderBy(*order_cols)
     intra = ranged.withColumn(
         "__r", F.row_number().over(w_intra).cast("bigint") - 1
     )
@@ -279,9 +279,31 @@ def global_shuffle_rank(
     )
     return (
         intra.join(F.broadcast(offsets), "__pid")
-        .withColumn("shuffle_rank", F.col("__r") + F.col("__off"))
-        .drop("__pid", "__r", "__off", "__skey")
+        .withColumn(rank_col, F.col("__r") + F.col("__off"))
+        .drop("__pid", "__r", "__off")
     )
+
+
+def global_shuffle_rank(
+    df: DataFrame,
+    id_col: str,
+    seed: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets a
+    dense 0-based rank in the pseudo-random order md5(seed:id) (id as
+    tiebreaker — md5 prefix collisions at width 12 are ~1e-7 per 10^5
+    rows and the tiebreak makes even those deterministic). Runs on
+    :func:`global_order_rank` — no global single-partition window; the
+    output order is reproducible across runs, engines, and cluster
+    sizes — `ORDER BY rand()` is none of those."""
+    keyed = df.withColumn("__skey", _hash_hex(id_col, seed, width=12))
+    return global_order_rank(
+        keyed,
+        order_cols=["__skey", id_col],
+        rank_col="shuffle_rank",
+        num_partitions=num_partitions,
+    ).drop("__skey")
 
 
 def chunk_documents(

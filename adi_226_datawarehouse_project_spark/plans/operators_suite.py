@@ -2482,6 +2482,93 @@ FROM (
 """
 
 
+# --- dsir part: DSIR-style importance resampling (Xie et al.,
+# arXiv:2302.03169) in the bit-exact "bits" mode — target stratum =
+# doc_id % 7 == 0 (the "curated domain"), raw = the rest; hashed
+# unigram features into 512 md5 buckets; keep the top ceil(30%) of raw
+# by integer whole-bit importance Σ c·(s_q − s_p) with deterministic
+# md5+id tiebreaks. The oracle re-derives the ENTIRE chain (features,
+# both models, weights, rank) in DuckDB; k verifies the doc, n the
+# exact weight, n2 packs (rank, n_grams) — a one-bucket drift or a
+# rank swap anywhere flips the hash. The production ln/Gumbel path is
+# pinned against a Python reference in tests/test_dsir.py. ---
+_DSIR_BUCKETS = 512
+_DSIR_SEED = "dsir-v1"
+_DSIR_FRAC = 0.3
+
+
+def _spark_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from ..operators.dsir import dsir_select
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    target = docs.filter(F.col("doc_id") % 7 == 0)
+    raw = docs.filter(F.col("doc_id") % 7 != 0)
+    k = math.ceil(_DSIR_FRAC * raw.count())
+    sel = dsir_select(
+        raw,
+        target,
+        "doc_id",
+        "text",
+        k=k,
+        n_buckets=_DSIR_BUCKETS,
+        gram_n=1,
+        mode="bits",
+        seed=_DSIR_SEED,
+    )
+    return sel.select(
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("weight_bits").alias("n"),
+        ((F.col("selection_rank") + 1) * 1000000 + F.col("n_grams")).alias("n2"),
+    )
+
+
+_DSIR_ORACLE = f"""
+WITH raw AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+tgt AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
+rfeat AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(token), 1, 12)) AS BIGINT) % {_DSIR_BUCKETS} AS bucket,
+         COUNT(*) AS c
+  FROM (SELECT doc_id, unnest({_DUCK_TOKENS}) AS token FROM raw) __rt
+  GROUP BY doc_id, bucket
+),
+qcnt AS (SELECT bucket, CAST(SUM(c) AS BIGINT) AS cq FROM rfeat GROUP BY bucket),
+pcnt AS (
+  SELECT CAST(concat('0x', substr(md5(token), 1, 12)) AS BIGINT) % {_DSIR_BUCKETS} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cp
+  FROM (SELECT unnest({_DUCK_TOKENS}) AS token FROM tgt) __tt
+  GROUP BY bucket
+),
+qtot AS (SELECT CAST(SUM(cq) AS BIGINT) AS Tq FROM qcnt),
+ptot AS (SELECT CAST(COALESCE(SUM(cp), 0) AS BIGINT) AS Tp FROM pcnt),
+terms AS (
+  SELECT doc_id, c,
+         (length(bin((Tq + {_DSIR_BUCKETS}) // (cq + 1))) - 1)
+           - (length(bin((Tp + {_DSIR_BUCKETS}) // (COALESCE(cp, 0) + 1))) - 1) AS s
+  FROM rfeat JOIN qcnt USING (bucket) LEFT JOIN pcnt USING (bucket)
+  CROSS JOIN qtot CROSS JOIN ptot
+),
+wts AS (
+  SELECT doc_id, CAST(SUM(c * s) AS BIGINT) AS wb, CAST(SUM(c) AS BIGINT) AS ng
+  FROM terms GROUP BY doc_id
+),
+kk AS (SELECT CAST(ceil({_DSIR_FRAC} * COUNT(*)) AS BIGINT) AS k FROM raw),
+ranked AS (
+  SELECT doc_id, wb, ng,
+         row_number() OVER (
+           ORDER BY wb DESC,
+                    substr(md5(concat('{_DSIR_SEED}:', CAST(doc_id AS VARCHAR))), 1, 6),
+                    doc_id
+         ) AS rnk
+  FROM wts
+)
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, wb, rnk * 1000000 + ng AS packed
+FROM ranked CROSS JOIN kk WHERE rnk <= k
+"""
+
+
 # --- text_doc_features: language-ID + doc fingerprint + quality score
 # + the training-assembly family (mixture sample / packing / shuffle) ---
 def _spark_text_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2545,6 +2632,9 @@ def _spark_text_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     lm = _spark_lm_ppl(spark, sf_dir).select(
         F.lit("lm_ppl").alias("part"), "k", "n", "n2"
     )
+    dsir = _spark_dsir(spark, sf_dir).select(
+        F.lit("dsir").alias("part"), "k", "n", "n2"
+    )
     return (
         lang.unionByName(fp)
         .unionByName(qual)
@@ -2558,6 +2648,7 @@ def _spark_text_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(tfidf)
         .unionByName(chunks_sw)
         .unionByName(lm)
+        .unionByName(dsir)
         .orderBy("part", "k")
     )
 
@@ -2580,6 +2671,7 @@ def _text_doc_features_oracle() -> str:
         _duck_norm("tfidf", _tfidf_oracle(), k="k", n="n", n2="n2"),
         _duck_norm("doc_chunks", _doc_chunks_oracle(), k="k", n="n", n2="n2"),
         _duck_norm("lm_ppl", _LM_PPL_ORACLE, k="k", n="n", n2="n2"),
+        _duck_norm("dsir", _DSIR_ORACLE, k="doc_id", n="wb", n2="packed"),
     ]) + "\nORDER BY part, k"
 
 
