@@ -57,6 +57,20 @@ def write_bucketed_table(
     writer.format("parquet").saveAsTable(name)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC sink (beyond-reference format widening) — same layout knobs
+    as the parquet sink; for lakes standardized on ORC."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
     """CSV sink (K4)."""
     df.write.mode(mode).option("header", str(header).lower()).csv(path)
