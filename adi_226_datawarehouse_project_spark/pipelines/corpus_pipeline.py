@@ -44,7 +44,8 @@ from ..operators.dedup import dedup_exact, near_dup_clusters, ngram_jaccard_pair
 from ..operators.training import global_shuffle_rank, pack_sequences
 from ..orchestration.dag import DagTask, TaskResult, run_dag
 from ..sources.catalog import load_table
-from ..sources.writers import write_parquet, write_run_manifest
+from ..sources.observe import observed_write_parquet
+from ..sources.writers import write_run_manifest
 
 
 def _done(path: str) -> bool:
@@ -78,8 +79,11 @@ def run_corpus_pipeline(
         return os.path.join(out_dir, name)
 
     def _write(df, name: str, partition_by: list[str] | None = None) -> int:
-        write_parquet(df, _zone(name), partition_by=partition_by)
-        return spark.read.parquet(_zone(name)).count()
+        # rows-written observed during the write job itself (no zone
+        # read-back — at corpus scale that second scan is the cost of
+        # the write again); tests/test_corpus_pipeline.py keeps its own
+        # independent read-back counts as the external check.
+        return observed_write_parquet(df, _zone(name), partition_by=partition_by)
 
     def _clean(upstream: dict) -> int:
         docs = load_table(spark, sf_dir, "documents")

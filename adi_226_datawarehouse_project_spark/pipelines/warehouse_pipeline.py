@@ -36,7 +36,8 @@ from pyspark.sql import functions as F
 from ..model.star import register_star_views
 from ..orchestration.dag import DagTask, TaskResult, run_dag
 from ..plans.golden import GOLDEN_QUERIES
-from ..sources.writers import write_parquet, write_run_manifest
+from ..sources.observe import observed_write_parquet
+from ..sources.writers import write_run_manifest
 
 _STAGING = ("staging_311", "staging_airbnb")
 _DIMS = (
@@ -88,8 +89,9 @@ def run_warehouse_pipeline(
                 name, expr = partition_expr
                 df = df.withColumn(name, F.expr(expr))
                 pb = [name]
-            write_parquet(df, path, partition_by=pb)
-            return spark.read.parquet(path).count()
+            # rows-written observed during the write job — replaces the
+            # original read-back count (a full second scan per zone)
+            return observed_write_parquet(df, path, partition_by=pb)
 
         return DagTask(
             name=table,
@@ -102,8 +104,7 @@ def run_warehouse_pipeline(
 
         def fn(upstream: dict) -> int:
             df = spark.sql(GOLDEN_QUERIES[name])
-            write_parquet(df, path)
-            return df.count()
+            return observed_write_parquet(df, path)
 
         return DagTask(
             name=f"gold_{name}",

@@ -55,14 +55,14 @@ def test_warehouse_pipeline_failure_isolates_branch(spark, tmp_path, monkeypatch
     run_dag semantics on the real pipeline shape)."""
     import adi_226_datawarehouse_project_spark.pipelines.warehouse_pipeline as wp
 
-    real = wp.write_parquet
+    real = wp.observed_write_parquet
 
     def boom(df, path, **kw):
         if "staging_airbnb" in path:
             raise RuntimeError("injected staging failure")
         return real(df, path, **kw)
 
-    monkeypatch.setattr(wp, "write_parquet", boom)
+    monkeypatch.setattr(wp, "observed_write_parquet", boom)
     out = str(tmp_path / "wh_fail")
     res = run_warehouse_pipeline(spark, SF_SMALL, out, run_utc="2026-08-14T00:00:00Z")
     assert res["staging_airbnb"].state == "FAILED"
