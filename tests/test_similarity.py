@@ -324,6 +324,53 @@ def test_semantic_dedup_misses_cross_cell_pairs_by_design(spark):
     )
     got = {r["vec_id"]: r["cluster_id"] for r in cl.collect()}
     assert got == {0: 0, 1: 1, 5: 5}
+    # multi-probe is the recall lever for exactly this case: with
+    # n_probe=2 each member also probes its second-nearest cell, the
+    # probe sets intersect, the pair is re-scored and collapses.
+    cl2 = semantic_dedup(
+        df, "vec_id", "embedding", min_cosine=0.99, n_clusters=2,
+        centroids=cents, n_probe=2,
+    )
+    got2 = {r["vec_id"]: r["cluster_id"] for r in cl2.collect()}
+    assert got2 == {0: 0, 1: 0, 5: 5}
+
+
+def test_semantic_dedup_multi_probe_preserves_single_probe_results(spark):
+    """n_probe=1 must stay bit-identical to the oracle-pinned path,
+    and raising n_probe may only ADD pairs (superset clusters) — here
+    the fully-within-cell corpus collapses identically at 1, 2, 4."""
+    from adi_226_datawarehouse_project_spark.operators.similarity import (
+        assign_cells,
+        assign_cells_multi,
+        sample_centroids,
+        semantic_dedup,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (100, [0.9999, 0.01, 0.0]),
+        (101, [0.9998, 0.02, 0.0]),
+        (110, [0.01, 0.9999, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    cents = sample_centroids(df, "vec_id", "embedding", 2)
+    single = assign_cells(df, "vec_id", "embedding", cents)
+    multi1 = assign_cells_multi(df, "vec_id", "embedding", cents, n_probe=1)
+    key = lambda d: sorted(  # noqa: E731
+        (r["vec_id"], r["centroid_id"]) for r in d.collect()
+    )
+    assert key(single) == key(multi1)
+    # n_probe=2 over 2 cells: every vector probes both cells
+    multi2 = assign_cells_multi(df, "vec_id", "embedding", cents, n_probe=2)
+    assert len(key(multi2)) == 2 * len(rows)
+    want = {0: 0, 1: 1, 100: 0, 101: 0, 110: 1}
+    for npb in (1, 2, 4):
+        cl = semantic_dedup(
+            df, "vec_id", "embedding", min_cosine=0.99, n_clusters=2,
+            centroids=cents, n_probe=npb,
+        )
+        assert {r["vec_id"]: r["cluster_id"] for r in cl.collect()} == want
 
 
 def test_srp_band_buckets_match_signature_shift_mask(spark):
