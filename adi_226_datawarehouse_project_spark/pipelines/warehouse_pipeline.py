@@ -33,6 +33,7 @@ import os
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import quality_checks as QC
 from ..model.star import register_star_views
 from ..orchestration.dag import DagTask, TaskResult, run_dag
 from ..plans.golden import GOLDEN_QUERIES
@@ -130,16 +131,55 @@ def run_warehouse_pipeline(
         )
         return 1
 
+    def _validate(upstream: dict) -> int:
+        """The reference's staging-validation gate (`README.md:179`
+        'Data validated in staging tables before production load'):
+        hard invariants of the cleaning chain, checked on the WRITTEN
+        staging zone in one aggregation pass per table (+ one grouped
+        pass for the exact key-uniqueness check). A violation raises,
+        so every downstream wave goes UPSTREAM_FAILED instead of
+        loading a malformed warehouse."""
+        s311 = spark.read.parquet(os.path.join(out_dir, "staging", "staging_311"))
+        report = QC.require(
+            s311,
+            [
+                QC.non_empty(),
+                QC.not_null("unique_key"),
+                QC.unique("unique_key"),
+                QC.in_range("latitude", 40.4, 41.0),
+                QC.in_range("longitude", -74.3, -73.7),
+            ],
+        )
+        # airbnb staging keeps the reference's semantics: non-null id +
+        # coords, full-row DISTINCT (id may legitimately repeat — the
+        # documented non-deduplicated-dims quirk — and no bbox filter
+        # is applied on this branch), so the gate checks exactly what
+        # the cleaning chain guarantees.
+        sab = spark.read.parquet(os.path.join(out_dir, "staging", "staging_airbnb"))
+        report += QC.require(
+            sab,
+            [
+                QC.non_empty(),
+                QC.not_null("id"),
+                QC.not_null("latitude"),
+                QC.not_null("longitude"),
+            ],
+        )
+        return len(report)
+
     tasks: list[DagTask] = [DagTask("start", lambda u: None)]
     # wave 1: parallel staging fan-out (the `[trigger_airbnb, run_glue_311]` branch)
     for t in _STAGING:
         task = _writer(t, "staging")
         task.upstream = ["start"]
         tasks.append(task)
-    # wave 2: dims — barrier on both staging branches
+    # wave 1.5: staging validation gate (no skip_if — the gate re-runs
+    # every time; it is cheap relative to the loads it protects)
+    tasks.append(DagTask("validate_staging", _validate, upstream=list(_STAGING)))
+    # wave 2: dims — barrier on both staging branches via the gate
     for t in _DIMS:
         task = _writer(t, "warehouse")
-        task.upstream = list(_STAGING)
+        task.upstream = ["validate_staging"]
         tasks.append(task)
     # wave 3: facts, partitioned for pruning at the gold layer
     fact_parts = {

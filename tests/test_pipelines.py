@@ -20,6 +20,8 @@ def test_warehouse_pipeline_end_to_end_and_idempotent(spark, tmp_path):
     # staging ran in the SAME wave (parallel fan-out), facts after dims
     assert res["staging_311"].wave == res["staging_airbnb"].wave
     assert res["fact_311_complaint"].wave > res["dim_date"].wave
+    # the staging-validation gate sits between staging and the dims
+    assert res["staging_311"].wave < res["validate_staging"].wave < res["dim_date"].wave
 
     # facts are partitioned by created_year → partition pruning reaches
     # the gold-layer scan
