@@ -2569,6 +2569,60 @@ FROM ranked CROSS JOIN kk WHERE rnk <= k
 """
 
 
+# --- url_ops part: C4-style URL-level curation over synthetic URLs
+# both engines derive identically from (source, doc_id): normalize →
+# registrable-domain blocklist (src3/src7 dropped) → URL exact dedup
+# (min doc_id per normalized URL). The Spark side runs the REAL
+# regex-based operator chain (operators/urls.py) on messy URLs (www.,
+# ?query, trailing slash); the oracle derives the expected survivors
+# from first principles (domain = source.example.com, path key =
+# doc_id % 50) — so it verifies that the regex chain achieves the
+# semantic spec, not merely that two copies of the same regex agree.
+# Hosts are TWO-label (srcN.example) so the last-two-labels
+# registrable-domain rule yields one domain per source stratum.
+# n = Σ kept doc_ids per domain (pins the exact winner set), n2 =
+# kept count. ---
+_URL_BLOCKED = ("src3", "src7")
+
+
+def _spark_url_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.urls import blocklist_filter, registrable_domain, url_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    url = F.concat(
+        F.lit("https://www."),
+        F.col("source"),
+        F.lit(".example/docs/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("?utm=x"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("/"))
+        .otherwise(F.lit("")),
+    )
+    with_url = docs.withColumn("url", url)
+    blocked = spark.createDataFrame(
+        [(f"{s}.example",) for s in _URL_BLOCKED], "domain STRING"
+    )
+    kept = url_dedup(blocklist_filter(with_url, "url", blocked), "url", "doc_id")
+    return kept.groupBy(
+        registrable_domain(F.col("url")).alias("k")
+    ).agg(
+        F.sum("doc_id").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n2"),
+    )
+
+
+_URL_OPS_ORACLE = f"""
+WITH surv AS (
+  SELECT source || '.example' AS dom, doc_id % 50 AS p, MIN(doc_id) AS keep
+  FROM documents
+  WHERE source NOT IN ({", ".join(f"'{s}'" for s in _URL_BLOCKED)})
+  GROUP BY dom, p
+)
+SELECT dom AS k, CAST(SUM(keep) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS n2
+FROM surv GROUP BY dom
+"""
+
+
 # --- text_doc_features: language-ID + doc fingerprint + quality score
 # + the training-assembly family (mixture sample / packing / shuffle) ---
 def _spark_text_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2635,6 +2689,9 @@ def _spark_text_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     dsir = _spark_dsir(spark, sf_dir).select(
         F.lit("dsir").alias("part"), "k", "n", "n2"
     )
+    urls = _spark_url_ops(spark, sf_dir).select(
+        F.lit("url_ops").alias("part"), "k", "n", "n2"
+    )
     return (
         lang.unionByName(fp)
         .unionByName(qual)
@@ -2649,6 +2706,7 @@ def _spark_text_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(chunks_sw)
         .unionByName(lm)
         .unionByName(dsir)
+        .unionByName(urls)
         .orderBy("part", "k")
     )
 
@@ -2672,6 +2730,7 @@ def _text_doc_features_oracle() -> str:
         _duck_norm("doc_chunks", _doc_chunks_oracle(), k="k", n="n", n2="n2"),
         _duck_norm("lm_ppl", _LM_PPL_ORACLE, k="k", n="n", n2="n2"),
         _duck_norm("dsir", _DSIR_ORACLE, k="doc_id", n="wb", n2="packed"),
+        _duck_norm("url_ops", _URL_OPS_ORACLE, k="k", n="n", n2="n2"),
     ]) + "\nORDER BY part, k"
 
 
