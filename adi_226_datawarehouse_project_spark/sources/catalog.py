@@ -185,3 +185,39 @@ def ingest_if_absent(spark: SparkSession, name: str, build) -> bool:
         return False
     build().createOrReplaceTempView(name)
     return True
+
+
+def collect_stats(
+    spark: SparkSession, table: str, columns: list[str] | None = None
+) -> dict:
+    """Collect table (and optionally column) statistics for the CBO —
+    the engine analog of Redshift's automatic table statistics that the
+    reference's star-join planning leans on (`README.md:182`
+    DISTKEY/SORTKEY + planner stats). With column stats on the join and
+    filter keys, Catalyst's cost-based optimizer estimates post-filter
+    cardinalities from NDV/min/max instead of falling back to file
+    size — which is what lets a filtered-but-large-on-disk dimension
+    qualify for a broadcast join (pinned in tests/test_cbo.py).
+
+    Returns ``{"size_bytes": ..., "row_count": ...}`` from the catalog
+    after the ANALYZE. Run it after large loads; at 100 TB the column
+    scan is itself distributed and AQE-sized."""
+    if columns:
+        cols = ", ".join(columns)
+        spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR COLUMNS {cols}")
+    else:
+        spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS")
+    (row,) = (
+        spark.sql(f"DESCRIBE EXTENDED {table}")
+        .filter("col_name = 'Statistics'")
+        .collect()
+    )
+    parts = row["data_type"].split(",")
+    out: dict = {}
+    for p in parts:
+        p = p.strip()
+        if p.endswith("bytes"):
+            out["size_bytes"] = int(p.split()[0])
+        elif p.endswith("rows"):
+            out["row_count"] = int(p.split()[0])
+    return out
