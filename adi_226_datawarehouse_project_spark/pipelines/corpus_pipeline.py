@@ -8,6 +8,9 @@ executor with the same zone/idempotency semantics:
                       removal — keep-one semantics, texts rewritten
     dedup/            exact dedup + near-dup cluster collapse survivors
     decontaminated/   survivors minus the benchmark stratum + its n-gram overlaps
+    fuzzy_decontaminated/ (optional, ``fuzzy_min_jaccard``) MinHash-resemblance
+                      scrub vs the same benchmark — catches paraphrase/short-item
+                      contamination the exact grams miss
     lm_filtered/      (optional, ``max_bits_per_token``) CCNet-style LM
                       perplexity gate over the surviving corpus
     packed/           doc → context-window chunk assignment (offsets, spans)
@@ -16,7 +19,7 @@ executor with the same zone/idempotency semantics:
     manifest/         nested-struct run manifest with per-zone row counts
 
 DAG shape: clean → [scrubbed →] dedup → decontaminated →
-[lm_filtered →] [packed ∥ shards] → manifest — the last data wave is a
+[fuzzy_decontaminated →] [lm_filtered →] [packed ∥ shards] → manifest — the last data wave is a
 genuine parallel fan-out (two independent Spark jobs over the same
 upstream zone). Every zone is ``_SUCCESS``-idempotent: a re-run (or a
 resume after a failure) skips completed zones unless ``force=True``.
@@ -68,6 +71,7 @@ def run_corpus_pipeline(
     shuffle_seed: str = "corpus-v1",
     run_utc: str = "1970-01-01T00:00:00Z",
     force: bool = False,
+    fuzzy_min_jaccard: float | None = None,
     passage_n: int | None = None,
     max_bits_per_token: float | None = None,
 ) -> dict[str, TaskResult]:
@@ -102,7 +106,10 @@ def run_corpus_pipeline(
         return _write(scrubbed, "clean")
 
     dedup_src = "scrubbed" if passage_n else "clean"
-    pack_src = "lm_filtered" if max_bits_per_token is not None else "decontaminated"
+    decon_out = (
+        "fuzzy_decontaminated" if fuzzy_min_jaccard is not None else "decontaminated"
+    )
+    pack_src = "lm_filtered" if max_bits_per_token is not None else decon_out
 
     def _scrub_passages(upstream: dict) -> int:
         from ..operators.passage_dedup import remove_repeated_passages
@@ -122,7 +129,7 @@ def run_corpus_pipeline(
     def _lm_filter(upstream: dict) -> int:
         from ..operators.lm_score import perplexity_filter
 
-        docs = spark.read.parquet(_zone("decontaminated"))
+        docs = spark.read.parquet(_zone(decon_out))
         kept = perplexity_filter(
             docs, "doc_id", "text", max_bits_per_token=max_bits_per_token
         )
@@ -155,6 +162,24 @@ def run_corpus_pipeline(
             min_overlap=decon_min_overlap,
         )
         return _write(survivors, "decontaminated")
+
+    def _fuzzy_decontaminate(upstream: dict) -> int:
+        from ..operators.decontamination import fuzzy_decontaminate
+
+        docs = spark.read.parquet(_zone("decontaminated"))
+        bench = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % bench_mod == 0
+        ).select(F.col("doc_id").alias("bench_id"), "text")
+        survivors = fuzzy_decontaminate(
+            docs,
+            bench,
+            "doc_id",
+            "text",
+            "bench_id",
+            shingle_size=ngram_n,
+            min_jaccard_est=fuzzy_min_jaccard,
+        )
+        return _write(survivors, "fuzzy_decontaminated")
 
     def _packed(upstream: dict) -> int:
         docs = spark.read.parquet(_zone(pack_src))
@@ -205,8 +230,12 @@ def run_corpus_pipeline(
         _task("dedup", _dedup, [dedup_src]),
         _task("decontaminated", _decontaminate, ["dedup"]),
     ]
+    if fuzzy_min_jaccard is not None:
+        tasks.append(
+            _task("fuzzy_decontaminated", _fuzzy_decontaminate, ["decontaminated"])
+        )
     if max_bits_per_token is not None:
-        tasks.append(_task("lm_filtered", _lm_filter, ["decontaminated"]))
+        tasks.append(_task("lm_filtered", _lm_filter, [decon_out]))
     # parallel fan-out: chunk assignment and shard publication are
     # independent consumers of the last filtering zone
     tasks += [

@@ -148,3 +148,40 @@ def test_corpus_pipeline_optional_scrub_and_lm_stages(spark, sf_dir, tmp_path):
     man = read_run_manifest(spark, _os.path.join(out, "manifest")).collect()[0]
     for z in zones:
         assert man["stats"][z] == n[z]
+
+
+def test_corpus_pipeline_optional_fuzzy_stage(spark, sf_dir, tmp_path):
+    import os as _os
+
+    out = str(tmp_path / "corpus_fuzzy")
+    results = run_corpus_pipeline(
+        spark, sf_dir, out, shard_size=50, fuzzy_min_jaccard=0.5
+    )
+    assert all(r.state == "SUCCESS" for r in results.values()), {
+        k: (v.state, v.error) for k, v in results.items()
+    }
+    n = {z: results[z].value for z in (
+        "clean", "dedup", "decontaminated", "fuzzy_decontaminated",
+        "packed", "shards",
+    )}
+    # the fuzzy scrub only removes; pack/shard consume ITS output
+    assert n["decontaminated"] >= n["fuzzy_decontaminated"] > 0
+    assert n["packed"] == n["fuzzy_decontaminated"] == n["shards"]
+
+    # the survivor set equals applying the operator to the zone directly
+    from adi_226_datawarehouse_project_spark.operators.decontamination import (
+        fuzzy_decontaminate,
+    )
+    from adi_226_datawarehouse_project_spark.sources.catalog import load_table
+
+    pre = spark.read.parquet(_os.path.join(out, "decontaminated"))
+    bench = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 7 == 0
+    ).select(F.col("doc_id").alias("bench_id"), "text")
+    want = {r["doc_id"] for r in fuzzy_decontaminate(
+        pre, bench, "doc_id", "text", "bench_id",
+        shingle_size=5, min_jaccard_est=0.5,
+    ).select("doc_id").collect()}
+    got = {r["doc_id"] for r in spark.read.parquet(
+        _os.path.join(out, "fuzzy_decontaminated")).select("doc_id").collect()}
+    assert got == want
