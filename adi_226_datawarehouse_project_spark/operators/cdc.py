@@ -1,0 +1,86 @@
+"""CDC (change-data-capture) apply — fold an insert/update/delete
+change log into a table snapshot. The general form of the reference's
+incremental-load family: its left-anti upsert (J2-J4,
+`nyc_hybrid_etl_pipeline.py:141-223`) is insert-only CDC; SCD2
+(`operators/scd.py`) is CDC with history; this operator is the
+replace-in-place MERGE (Debezium/warehouse "apply changes" semantics)
+without needing a transactional table format.
+
+Semantics (latest-wins):
+
+1. per key, only the change with the highest ``seq_col`` counts
+   (ties break by operation precedence D > U > I then arbitrary-but-
+   deterministic — sequence numbers SHOULD be unique per key; ties are
+   a producer bug this operator refuses to amplify nondeterministically);
+2. latest op ``D`` → the key disappears from the result;
+3. latest op ``I``/``U`` → the key holds exactly the change row's
+   columns (full-row image, Debezium "after" style);
+4. keys untouched by the log pass through unchanged.
+
+Properties pinned in tests/test_cdc.py: applying a batch twice ==
+once (idempotent), applying two batches == applying their union
+(associative fold), out-of-order arrival within a batch is harmless.
+
+Scale shape: one shuffle by key for the per-key latest-change window
+(partitioned window — never global), one left-anti + one union for the
+merge; both sides stay columnar. At 100 TB you run this per partition
+of a date-partitioned snapshot and rewrite only partitions whose keys
+appear in the log (partition pruning on the change keys)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_OPS = ("I", "U", "D")
+
+
+def latest_changes(
+    changes: DataFrame, keys: list[str], seq_col: str, op_col: str = "op"
+) -> DataFrame:
+    """Reduce a change log to one winning row per key (highest seq;
+    D > U > I on seq ties). Output keeps all change columns."""
+    prec = (
+        F.when(F.col(op_col) == "D", 2)
+        .when(F.col(op_col) == "U", 1)
+        .otherwise(0)
+    )
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(seq_col).desc(), prec.desc()
+    )
+    return (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def apply_cdc(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    seq_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Fold ``changes`` into ``base`` with latest-wins semantics (see
+    module docstring). ``changes`` must carry every ``base`` column
+    plus ``seq_col`` and ``op_col`` (full-row images); the result has
+    exactly the ``base`` schema."""
+    missing = [c for c in base.columns if c not in changes.columns]
+    if missing:
+        raise ValueError(f"changes missing base columns: {missing}")
+    # row-level op-domain guard INSIDE the plan (no extra action): an
+    # unknown op raises instead of being folded or dropped silently.
+    # The predicate is load-bearing (it gates every change row), so
+    # Catalyst cannot prune it away.
+    checked = changes.filter(
+        F.when(F.col(op_col).isin(list(_OPS)), F.lit(True)).otherwise(
+            F.raise_error(
+                F.concat(F.lit("apply_cdc: unknown op value: "), F.col(op_col))
+            ).cast("boolean")
+        )
+    )
+    latest = latest_changes(checked, keys, seq_col, op_col)
+    upserts = latest.filter(F.col(op_col) != "D").select(*base.columns)
+    untouched = base.join(latest.select(*keys), keys, "left_anti")
+    return untouched.unionByName(upserts)

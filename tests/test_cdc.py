@@ -1,0 +1,99 @@
+"""CDC apply: latest-wins fold of an I/U/D change log — idempotent,
+associative over batches, delete-aware, out-of-order safe, loud on
+unknown ops."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from adi_226_datawarehouse_project_spark.operators.cdc import apply_cdc, latest_changes
+
+
+@pytest.fixture()
+def snapshot(spark):
+    return spark.createDataFrame(
+        [
+            Row(id=1, name="alice", balance=100),
+            Row(id=2, name="bob", balance=200),
+            Row(id=3, name="carol", balance=300),
+        ]
+    )
+
+
+def _changes(spark, rows):
+    return spark.createDataFrame(
+        rows, "id INT, name STRING, balance INT, seq INT, op STRING"
+    )
+
+
+def _state(df):
+    return sorted((r["id"], r["name"], r["balance"]) for r in df.collect())
+
+
+def test_insert_update_delete_latest_wins(spark, snapshot):
+    log = _changes(
+        spark,
+        [
+            (2, "bob", 250, 10, "U"),       # update bob
+            (2, "bob", 275, 12, "U"),       # later update wins
+            (3, None, None, 11, "D"),       # delete carol
+            (4, "dave", 50, 13, "I"),       # insert dave
+            (4, "dave", 75, 9, "U"),        # STALE (lower seq) — ignored
+        ],
+    )
+    got = _state(apply_cdc(snapshot, log, ["id"], "seq"))
+    assert got == [(1, "alice", 100), (2, "bob", 275), (4, "dave", 50)]
+
+
+def test_apply_is_idempotent_and_associative(spark, snapshot):
+    b1 = _changes(spark, [(2, "bob", 250, 10, "U"), (4, "dave", 50, 11, "I")])
+    b2 = _changes(spark, [(2, "bob", 275, 12, "U"), (1, None, None, 13, "D")])
+    once = apply_cdc(snapshot, b1, ["id"], "seq")
+    twice = apply_cdc(once, b1, ["id"], "seq")
+    assert _state(once) == _state(twice)
+    sequential = apply_cdc(once, b2, ["id"], "seq")
+    combined = apply_cdc(snapshot, b1.unionByName(b2), ["id"], "seq")
+    assert _state(sequential) == _state(combined)
+
+
+def test_out_of_order_within_batch_and_partitioning(spark, snapshot):
+    rows = [
+        (5, "eve", 1, 3, "I"),
+        (5, "eve", 3, 5, "U"),
+        (5, "eve", 2, 4, "U"),
+    ]
+    import random
+
+    shuffled = list(rows)
+    random.Random(7).shuffle(shuffled)
+    log = _changes(spark, shuffled).repartition(5)
+    got = _state(apply_cdc(snapshot, log, ["id"], "seq"))
+    assert (5, "eve", 3) in got
+
+
+def test_delete_beats_update_on_seq_tie(spark, snapshot):
+    log = _changes(spark, [(2, "bob", 999, 10, "U"), (2, None, None, 10, "D")])
+    got = _state(apply_cdc(snapshot, log, ["id"], "seq"))
+    assert [i for (i, _, _) in got] == [1, 3]
+
+
+def test_unknown_op_raises_missing_columns_raise(spark, snapshot):
+    log = _changes(spark, [(2, "bob", 1, 10, "X")])
+    with pytest.raises(Exception, match="unknown op"):
+        apply_cdc(snapshot, log, ["id"], "seq").collect()
+    with pytest.raises(ValueError, match="missing base columns"):
+        apply_cdc(snapshot, log.drop("balance"), ["id"], "seq")
+
+
+def test_latest_changes_no_global_window(spark):
+    log = _changes(spark, [(i, "x", i, i, "U") for i in range(20)])
+    plan = (
+        latest_changes(log, ["id"], "seq")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the window is partitioned by the key — never a single partition
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line:
+            assert line.count("], [") >= 2, f"global window: {line}"
