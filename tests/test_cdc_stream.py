@@ -1,0 +1,90 @@
+"""Streaming CDC sink: change events stream micro-batch-wise into a
+stored snapshot that remembers seqs and tombstones — so cross-batch
+stale updates lose, deletes stay dead, and a FULL source replay into
+the already-folded target changes nothing."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from adi_226_datawarehouse_project_spark.streaming.cdc_sink import (
+    apply_cdc_batch,
+    read_cdc_snapshot,
+    stream_cdc_apply,
+)
+
+BASE = "/tmp/spark_graft_io/test_cdc_stream"
+SCHEMA = "id INT, name STRING, balance INT, seq INT, op STRING"
+
+
+def _live(spark):
+    return sorted(
+        (r["id"], r["name"], r["balance"])
+        for r in read_cdc_snapshot(spark, f"{BASE}/target").collect()
+    )
+
+
+@pytest.fixture()
+def fresh():
+    shutil.rmtree(BASE, ignore_errors=True)
+    os.makedirs(BASE)
+    yield
+
+
+def test_stream_folds_and_replay_is_noop(spark, fresh):
+    changes = [
+        (1, "alice", 100, 1, "I"),
+        (2, "bob", 200, 2, "I"),
+        (2, "bob", 250, 3, "U"),
+        (1, None, None, 4, "D"),
+        (3, "carol", 300, 5, "I"),
+    ]
+    spark.createDataFrame(changes, SCHEMA).repartition(3).write.parquet(
+        f"{BASE}/changes"
+    )
+    stream_cdc_apply(
+        spark, f"{BASE}/changes", f"{BASE}/target", f"{BASE}/ckpt", ["id"], "seq"
+    )
+    want = [(2, "bob", 250), (3, "carol", 300)]
+    assert _live(spark) == want
+    # replay the WHOLE source with a fresh checkpoint (at-least-once
+    # re-delivery of everything): the snapshot must not change
+    stream_cdc_apply(
+        spark, f"{BASE}/changes", f"{BASE}/target", f"{BASE}/ckpt2", ["id"], "seq"
+    )
+    assert _live(spark) == want
+
+
+def test_cross_batch_stale_update_loses_and_delete_stays_dead(spark, fresh):
+    b1 = spark.createDataFrame(
+        [(1, "alice", 100, 10, "I"), (2, "bob", 200, 12, "U"), (3, None, None, 20, "D")],
+        SCHEMA,
+    )
+    apply_cdc_batch(spark, b1, f"{BASE}/target", ["id"], "seq")
+    # batch 2 arrives LATER but carries STALE (lower-seq) events
+    b2 = spark.createDataFrame(
+        [(2, "bob", 111, 11, "U"), (3, "carol", 999, 15, "U")], SCHEMA
+    )
+    apply_cdc_batch(spark, b2, f"{BASE}/target", ["id"], "seq")
+    got = _live(spark)
+    # bob keeps the seq-12 value; carol's seq-15 update cannot
+    # resurrect the seq-20 tombstone
+    assert got == [(1, "alice", 100), (2, "bob", 200)]
+    # a genuinely newer update CAN re-create the key
+    b3 = spark.createDataFrame([(3, "carol", 1, 25, "I")], SCHEMA)
+    apply_cdc_batch(spark, b3, f"{BASE}/target", ["id"], "seq")
+    assert _live(spark) == [(1, "alice", 100), (2, "bob", 200), (3, "carol", 1)]
+
+
+def test_single_batch_idempotent(spark, fresh):
+    b = spark.createDataFrame([(1, "a", 1, 1, "I"), (1, "a", 2, 2, "U")], SCHEMA)
+    apply_cdc_batch(spark, b, f"{BASE}/target", ["id"], "seq")
+    first = _live(spark)
+    apply_cdc_batch(spark, b, f"{BASE}/target", ["id"], "seq")
+    assert _live(spark) == first == [(1, "a", 2)]
+    # the stored snapshot keeps exactly one row per key (no growth)
+    stored = spark.read.parquet(f"{BASE}/target")
+    assert stored.count() == 1
+    assert stored.groupBy("id").count().filter(F.col("count") > 1).count() == 0
