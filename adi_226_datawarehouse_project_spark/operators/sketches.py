@@ -1,0 +1,82 @@
+"""Stored mergeable sketches — the incremental-rollup pattern every
+MPP warehouse grows into: materialize a small SKETCH per grain (day,
+source, shard) once, then answer distinct-count questions over ANY
+combination of grains by merging sketches — never rescanning the raw
+data. The reference's COUNT(DISTINCT …) analytics (A1/A6) recompute
+from base rows per query; at 100 TB a daily distinct-users query over
+a year becomes 365 sketch merges over kilobytes.
+
+Built on Spark's Apache DataSketches HLL functions (``hll_sketch_agg``
+/ ``hll_union_agg`` / ``hll_sketch_estimate``, Spark ≥ 3.5):
+
+- sketches are BINARY columns — write them to parquet like any other
+  column; a day's sketch is built exactly once, when the partition
+  lands;
+- merge is associative + commutative, so rollups compose (day →
+  month → arbitrary ad-hoc ranges) and late data just re-merges its
+  grain;
+- ``lg_k`` trades size for accuracy (default 12 ≈ 1.6% rel. std
+  error, ~2-8 KB per sketch).
+
+Error-vs-exact legality is pinned in tests/test_sketches.py at
+multiple cardinalities; `op_approx_vs_exact` already pins the
+session-level HLL++ (`approx_count_distinct`) tolerance — these are
+the STORED, re-mergeable complement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_DEFAULT_LG_K = 12
+
+
+def build_sketches(
+    df: DataFrame,
+    grain_cols: list[str],
+    value_col: str,
+    sketch_col: str = "sketch",
+    lg_k: int = _DEFAULT_LG_K,
+) -> DataFrame:
+    """One HLL sketch of ``value_col``'s distinct values per grain
+    group: ``(grain..., sketch binary, n_rows)``. Map-side combinable
+    single aggregation — the same shuffle as the plain groupBy count
+    it rides along with."""
+    return df.groupBy(*grain_cols).agg(
+        F.expr(f"hll_sketch_agg({value_col}, {lg_k})").alias(sketch_col),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def merge_sketches(
+    sketches: DataFrame,
+    by_cols: list[str] | None = None,
+    sketch_col: str = "sketch",
+    estimate_col: str = "distinct_estimate",
+) -> DataFrame:
+    """Merge stored sketches up to a coarser grain (or to one row when
+    ``by_cols`` is empty/None) and estimate the distinct count:
+    ``(by..., distinct_estimate, n_rows)``. Only sketches move —
+    kilobytes per input group, never base rows."""
+    by_cols = by_cols or []
+    agg = [
+        F.expr(f"hll_sketch_estimate(hll_union_agg({sketch_col}))").alias(
+            estimate_col
+        ),
+        F.sum("n_rows").alias("n_rows"),
+    ]
+    if by_cols:
+        return sketches.groupBy(*by_cols).agg(*agg)
+    return sketches.agg(*agg)
+
+
+def estimate_per_group(
+    sketches: DataFrame,
+    sketch_col: str = "sketch",
+    estimate_col: str = "distinct_estimate",
+) -> DataFrame:
+    """Per-stored-grain estimates without any merge (narrow)."""
+    return sketches.withColumn(
+        estimate_col, F.expr(f"hll_sketch_estimate({sketch_col})")
+    )

@@ -1,0 +1,87 @@
+"""Stored HLL sketches: build-per-grain → parquet roundtrip → merge
+to coarser grains; estimates within the lg_k error envelope of exact
+distinct counts at several cardinalities; late-data re-merge
+composes."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from adi_226_datawarehouse_project_spark.operators.sketches import (
+    build_sketches,
+    estimate_per_group,
+    merge_sketches,
+)
+
+BASE = "/tmp/spark_graft_io/test_sketches"
+TOL = 0.05  # 3 sigma at lg_k=12 is ~4.9%
+
+
+def _events(spark, n=60000, days=6, users=2000):
+    return (
+        spark.range(n)
+        .withColumn("day", (F.col("id") % days).cast("int"))
+        .withColumn("user", F.xxhash64("id") % users)
+    )
+
+
+def test_sketches_roundtrip_parquet_and_merge(spark):
+    shutil.rmtree(BASE, ignore_errors=True)
+    ev = _events(spark)
+    build_sketches(ev, ["day"], "user").write.parquet(f"{BASE}/daily")
+    daily = spark.read.parquet(f"{BASE}/daily")
+
+    # per-day estimates vs exact
+    exact_per_day = {
+        r["day"]: r["d"]
+        for r in ev.groupBy("day").agg(F.countDistinct("user").alias("d")).collect()
+    }
+    for r in estimate_per_group(daily).collect():
+        want = exact_per_day[r["day"]]
+        assert abs(r["distinct_estimate"] - want) <= max(3, TOL * want)
+
+    # merged over all days vs exact global
+    (m,) = merge_sketches(daily).collect()
+    total_exact = ev.agg(F.countDistinct("user")).collect()[0][0]
+    assert abs(m["distinct_estimate"] - total_exact) <= max(3, TOL * total_exact)
+    assert m["n_rows"] == ev.count()
+
+    # merged to a coarser grain (weekend-ish split)
+    coarse = merge_sketches(
+        daily.withColumn("half", (F.col("day") % 2).cast("int")), ["half"]
+    )
+    for r in coarse.collect():
+        want = (
+            ev.filter(F.col("day") % 2 == r["half"])
+            .agg(F.countDistinct("user"))
+            .collect()[0][0]
+        )
+        assert abs(r["distinct_estimate"] - want) <= max(3, TOL * want)
+
+
+def test_late_data_re_merge_composes(spark):
+    ev = _events(spark, n=30000)
+    on_time = ev.filter(F.col("id") % 10 != 0)
+    late = ev.filter(F.col("id") % 10 == 0)
+    d1 = build_sketches(on_time, ["day"], "user")
+    d2 = build_sketches(late, ["day"], "user")
+    # re-merge the grain from both deliveries == sketch of all rows
+    remerged = merge_sketches(d1.unionByName(d2), ["day"])
+    want = {
+        r["day"]: r["d"]
+        for r in ev.groupBy("day").agg(F.countDistinct("user").alias("d")).collect()
+    }
+    for r in remerged.collect():
+        assert abs(r["distinct_estimate"] - want[r["day"]]) <= max(
+            3, TOL * want[r["day"]]
+        )
+
+
+@pytest.mark.parametrize("card", [10, 1000, 50000])
+def test_error_envelope_across_cardinalities(spark, card):
+    df = spark.range(200000).withColumn("v", F.xxhash64("id") % card)
+    sk = build_sketches(df.withColumn("g", F.lit(1)), ["g"], "v")
+    (r,) = estimate_per_group(sk).collect()
+    exact = df.agg(F.countDistinct("v")).collect()[0][0]
+    assert abs(r["distinct_estimate"] - exact) <= max(3, TOL * exact)
