@@ -111,3 +111,32 @@ def stream_cdc_apply(
         .start()
     )
     q.awaitTermination()
+
+
+def compact_tombstones(
+    spark: SparkSession,
+    target_path: str,
+    retention_seq: int,
+    seq_col: str,
+    op_col: str = "op",
+) -> int:
+    """Drop tombstones whose seq is at or below ``retention_seq`` —
+    the retention watermark below which the source can no longer
+    deliver events (e.g. the replication slot's confirmed LSN). A
+    tombstone above the watermark must stay: a stale update for its
+    key may still arrive and needs to lose. Rewrites the snapshot
+    write-new-then-swap; returns the number of tombstones removed."""
+    snap = spark.read.parquet(target_path)
+    keep = snap.filter(
+        (F.col(op_col) != "D") | (F.col(seq_col) > F.lit(retention_seq))
+    )
+    removed = snap.count() - keep.count()
+    if removed:
+        tmp = target_path.rstrip("/") + "__new"
+        keep.write.mode("overwrite").parquet(tmp)
+        old = target_path.rstrip("/") + "__old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(target_path, old)
+        os.rename(tmp, target_path)
+        shutil.rmtree(old, ignore_errors=True)
+    return removed

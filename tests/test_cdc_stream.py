@@ -88,3 +88,32 @@ def test_single_batch_idempotent(spark, fresh):
     stored = spark.read.parquet(f"{BASE}/target")
     assert stored.count() == 1
     assert stored.groupBy("id").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_tombstone_compaction_respects_retention(spark, fresh):
+    from adi_226_datawarehouse_project_spark.streaming.cdc_sink import (
+        compact_tombstones,
+    )
+
+    b = spark.createDataFrame(
+        [
+            (1, "a", 1, 5, "I"),
+            (2, None, None, 10, "D"),
+            (3, None, None, 30, "D"),
+        ],
+        SCHEMA,
+    )
+    apply_cdc_batch(spark, b, f"{BASE}/target", ["id"], "seq")
+    # watermark 20: the seq-10 tombstone is compactable, seq-30 is not
+    removed = compact_tombstones(spark, f"{BASE}/target", 20, "seq")
+    assert removed == 1
+    stored = {(r["id"], r["op"]) for r in spark.read.parquet(f"{BASE}/target").collect()}
+    assert stored == {(1, "I"), (3, "D")}
+    # live view unchanged by compaction
+    assert _live(spark) == [(1, "a", 1)]
+    # a stale update below the kept tombstone still loses
+    late = spark.createDataFrame([(3, "zombie", 1, 25, "U")], SCHEMA)
+    apply_cdc_batch(spark, late, f"{BASE}/target", ["id"], "seq")
+    assert _live(spark) == [(1, "a", 1)]
+    # idempotent second compaction removes nothing
+    assert compact_tombstones(spark, f"{BASE}/target", 20, "seq") == 0
