@@ -159,7 +159,64 @@ def ops(spark: SparkSession, d: str) -> dict[str, callable]:
             "adi_226_datawarehouse_project_spark.streaming.events_stream",
             fromlist=["windowed_event_counts"],
         ).windowed_event_counts(spark, d, "5 minutes").count(),
+        # round-4 second-wave operators: importance scoring + selection
+        # (broadcast model joins + two-phase rank), URL dedup (narrow
+        # normalize + min-id agg), fuzzy cross-corpus minhash (bench
+        # side broadcast).
+        "dsir_select_30pct": lambda: _dsir_count(spark, d),
+        "url_dedup": lambda: _url_dedup_count(spark, d),
+        "fuzzy_decontaminate": lambda: _fuzzy_count(spark, d),
     }
+
+
+def _dsir_count(spark: SparkSession, d: str) -> int:
+    import math as _m
+
+    from adi_226_datawarehouse_project_spark.operators.dsir import dsir_select
+
+    docs = load_table(spark, d, "documents").select("doc_id", "text")
+    tgt = docs.filter(F.col("doc_id") % 7 == 0)
+    raw = docs.filter(F.col("doc_id") % 7 != 0)
+    k = _m.ceil(0.3 * raw.count())
+    return dsir_select(
+        raw, tgt, "doc_id", "text", k=k, n_buckets=4096, mode="bits"
+    ).count()
+
+
+def _url_dedup_count(spark: SparkSession, d: str) -> int:
+    from adi_226_datawarehouse_project_spark.operators.urls import url_dedup
+
+    docs = load_table(spark, d, "documents").select("doc_id", "source")
+    with_url = docs.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://www."),
+            F.col("source"),
+            F.lit(".example/docs/"),
+            (F.col("doc_id") % 5000).cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("?utm=x")).otherwise(F.lit("/")),
+        ),
+    )
+    return url_dedup(with_url, "url", "doc_id").count()
+
+
+def _fuzzy_count(spark: SparkSession, d: str) -> int:
+    from adi_226_datawarehouse_project_spark.operators.decontamination import (
+        fuzzy_decontaminate,
+    )
+
+    docs = load_table(spark, d, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return fuzzy_decontaminate(
+        docs.filter(F.col("doc_id") % 7 != 0),
+        bench,
+        "doc_id",
+        "text",
+        "bench_id",
+        min_jaccard_est=0.5,
+    ).count()
 
 
 def main() -> int:
