@@ -135,3 +135,33 @@ def run_windowed_counts_once(
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {name}")
+
+
+def session_window_counts(
+    df: DataFrame, gap: str = "30 minutes"
+) -> DataFrame:
+    """Gap-based sessionization via the BUILT-IN ``session_window``
+    aggregation — the JVM-native alternative to the
+    ``applyInPandasWithState`` custom operator in ``sessionize.py``
+    (use this one unless the per-session logic genuinely needs
+    imperative Python). Works identically over a batch frame or a
+    watermarked stream; returns one row per (user, session) with the
+    merged window bounds and event count.
+
+    Boundary semantics, for parity with the SQL lag/cumsum form
+    (`op_sessionize_events`): ``session_window`` merges an event into
+    the session while ``diff < gap`` and splits at ``diff >= gap``
+    (window end is exclusive), whereas the SQL form splits at
+    ``diff > gap``. The two disagree only for gaps EXACTLY equal to
+    the threshold — measure-zero on real micro-timestamped data, and
+    pinned empirically equal on the fixtures in
+    tests/test_session_window.py."""
+    return df.groupBy(
+        F.session_window(F.col("event_time"), gap).alias("session"),
+        F.col("user_id"),
+    ).agg(F.count(F.lit(1)).alias("n_events")).select(
+        "user_id",
+        F.col("session.start").alias("session_start"),
+        F.col("session.end").alias("session_end"),
+        "n_events",
+    )
