@@ -80,3 +80,34 @@ def estimate_per_group(
     return sketches.withColumn(
         estimate_col, F.expr(f"hll_sketch_estimate({sketch_col})")
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    k: int = 10,
+    max_items_tracked: int | None = None,
+    by_cols: list[str] | None = None,
+) -> DataFrame:
+    """Approximate top-k most frequent values (``approx_top_k`` — a
+    bounded-memory frequent-items sketch): ``(by..., item, est_count,
+    rank)``. The exact formulation is a full groupBy count + top-k
+    window over EVERY distinct value; the sketch tracks
+    ``max_items_tracked`` (default 10·k) candidates per group in fixed
+    memory — the difference between profiling a 100 TB column and
+    materializing its whole distinct distribution. Estimates are exact
+    whenever the column's distinct count fits the tracked budget, and
+    within the sketch's collapse error otherwise (envelope pinned in
+    tests/test_sketches.py on a Zipf-ish distribution)."""
+    tracked = max_items_tracked or 10 * k
+    by_cols = by_cols or []
+    agg = F.expr(f"approx_top_k({value_col}, {k}, {tracked})").alias("__top")
+    grouped = df.groupBy(*by_cols).agg(agg) if by_cols else df.agg(agg)
+    return grouped.select(
+        *by_cols, F.posexplode("__top").alias("__rank", "__s")
+    ).select(
+        *by_cols,
+        F.col("__s.item").alias("item"),
+        F.col("__s.count").alias("est_count"),
+        (F.col("__rank") + 1).alias("rank"),
+    )

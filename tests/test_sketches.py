@@ -85,3 +85,43 @@ def test_error_envelope_across_cardinalities(spark, card):
     (r,) = estimate_per_group(sk).collect()
     exact = df.agg(F.countDistinct("v")).collect()[0][0]
     assert abs(r["distinct_estimate"] - exact) <= max(3, TOL * exact)
+
+
+def test_heavy_hitters_zipf(spark):
+    from adi_226_datawarehouse_project_spark.operators.sketches import heavy_hitters
+
+    # Zipf-ish: value v appears ~N/(v+1) times over a 5000-value domain
+    df = spark.range(300000).withColumn(
+        "v", F.floor(300000 / (F.col("id") % 300000 + 1)) % 5000
+    )
+    exact = {
+        r["v"]: r["c"]
+        for r in df.groupBy("v").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    top_exact = sorted(exact.items(), key=lambda kv: -kv[1])[:5]
+    got = heavy_hitters(df, "v", k=5).collect()
+    assert [r["rank"] for r in got] == [1, 2, 3, 4, 5]
+    got_items = {r["item"]: r["est_count"] for r in got}
+    # the true top-5 are all found, counts within 2%
+    for item, c in top_exact:
+        assert item in got_items
+        assert abs(got_items[item] - c) <= max(2, 0.02 * c)
+
+
+def test_heavy_hitters_exact_when_domain_fits(spark):
+    from adi_226_datawarehouse_project_spark.operators.sketches import heavy_hitters
+
+    df = spark.range(10000).withColumn("v", F.col("id") % 20)
+    got = {(r["item"], r["est_count"]) for r in heavy_hitters(df, "v", k=3).collect()}
+    assert all(c == 500 for _, c in got) and len(got) == 3
+
+
+def test_heavy_hitters_per_group(spark):
+    from adi_226_datawarehouse_project_spark.operators.sketches import heavy_hitters
+
+    df = spark.range(9000).withColumn("g", (F.col("id") % 3).cast("int")).withColumn(
+        "v", F.when(F.col("id") % 3 == 0, F.lit(7)).otherwise(F.col("id") % 11)
+    )
+    got = heavy_hitters(df, "v", k=1, by_cols=["g"]).collect()
+    by_g = {r["g"]: r["item"] for r in got}
+    assert by_g[0] == 7  # group 0 is all 7s
