@@ -1,0 +1,89 @@
+"""SODA Python DataSource: executor-parallel page reads against
+recorded file:// pages — values identical to the driver-side pager,
+one Spark partition per page, empty past-the-end probes, option
+validation."""
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from adi_226_datawarehouse_project_spark.sources.soda_datasource import (
+    SodaDataSource,
+)
+
+BASE = "/tmp/spark_graft_io/test_soda_ds"
+PAGE = 40
+N_ROWS = 130  # 3 full pages + one short page
+
+
+def _record(i):
+    return {
+        "unique_key": str(1000 + i),
+        "borough": ["QUEENS", "BRONX", "BROOKLYN"][i % 3],
+        "latitude": str(40.5 + (i % 50) / 1000.0),
+    }
+
+
+@pytest.fixture()
+def pages():
+    shutil.rmtree(BASE, ignore_errors=True)
+    os.makedirs(BASE)
+    rows = [_record(i) for i in range(N_ROWS)]
+    for off in range(0, N_ROWS + PAGE, PAGE):  # incl. one empty page
+        with open(f"{BASE}/page_{off}_{PAGE}.json", "w") as f:
+            json.dump(rows[off : off + PAGE], f)
+    return rows
+
+
+def _load(spark, n_pages=8):
+    spark.dataSource.register(SodaDataSource)
+    return (
+        spark.read.format("soda")
+        .schema("unique_key string, borough string, latitude string")
+        .option("url_template", f"file://{BASE}/page_{{offset}}_{{limit}}.json")
+        .option("page_size", str(PAGE))
+        .option("n_pages", str(n_pages))
+        .load()
+    )
+
+
+def test_values_match_source_records(spark, pages):
+    df = _load(spark)
+    got = sorted(
+        (r["unique_key"], r["borough"], r["latitude"]) for r in df.collect()
+    )
+    want = sorted(
+        (r["unique_key"], r["borough"], r["latitude"]) for r in pages
+    )
+    assert got == want and len(got) == N_ROWS
+
+
+def test_one_partition_per_page(spark, pages):
+    df = _load(spark, n_pages=8)
+    per_part = (
+        df.withColumn("p", F.spark_partition_id())
+        .groupBy("p")
+        .count()
+        .collect()
+    )
+    sizes = sorted(r["count"] for r in per_part)
+    # 3 full pages + the short tail; empty probe partitions emit no rows
+    assert sizes == [10, 40, 40, 40]
+    assert df.rdd.getNumPartitions() == 8
+
+
+def test_option_validation(spark, pages):
+    spark.dataSource.register(SodaDataSource)
+    with pytest.raises(Exception, match="url_template"):
+        spark.read.format("soda").schema("a string").load().collect()
+    with pytest.raises(Exception, match="limit.*offset|offset.*limit"):
+        (
+            spark.read.format("soda")
+            .schema("a string")
+            .option("url_template", "file:///tmp/nope.json")
+            .load()
+            .collect()
+        )
