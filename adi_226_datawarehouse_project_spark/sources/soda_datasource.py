@@ -38,7 +38,12 @@ import json
 import urllib.request
 from typing import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 
@@ -90,3 +95,39 @@ class SodaDataSource(DataSource):
 
     def reader(self, schema: StructType) -> SodaReader:
         return SodaReader(schema, self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> "SodaStreamReader":
+        return SodaStreamReader(schema, self.options)
+
+
+class SodaStreamReader(SimpleDataSourceStreamReader):
+    """Incremental STREAMING reader for the same endpoint: the offset
+    is simply the row offset consumed so far, so each micro-batch
+    fetches up to ``page_size`` newly-appended rows (SODA result order
+    is stable for an append-only dataset ordered by its row id). A
+    short/empty page advances the offset only by what arrived —
+    `readBetweenOffsets` refetches the exact `[start, end)` slice on
+    replay, giving the usual file-source-style reliability as long as
+    the upstream is append-only."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self._r = SodaReader(schema, options)
+        self._initial = int(options.get("initial_offset", "0"))
+
+    def initialOffset(self) -> dict:
+        return {"offset": self._initial}
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        off = int(start["offset"])
+        url = self._r.template.format(limit=self._r.page_size, offset=off)
+        recs = _fetch_page(url, self._r.timeout)
+        rows = [tuple(rec.get(n) for n in self._r.fields) for rec in recs]
+        return iter(rows), {"offset": off + len(rows)}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        off, stop = int(start["offset"]), int(end["offset"])
+        if stop <= off:
+            return iter([])
+        url = self._r.template.format(limit=stop - off, offset=off)
+        recs = _fetch_page(url, self._r.timeout)
+        return iter(tuple(rec.get(n) for n in self._r.fields) for rec in recs)
