@@ -1,3 +1,4 @@
+from .cdc import apply_cdc, latest_changes
 from .dedup import (
     dedup_exact,
     minhash_near_dup_pairs,
@@ -6,19 +7,39 @@ from .dedup import (
     simhash,
     simhash_near_dup_pairs,
 )
-from .similarity import cosine, cosine_self_topk, embedding_near_dup_pairs, lsh_bucket_topk
+from .dsir import dsir_select, importance_weights
+from .similarity import (
+    cosine,
+    cosine_self_topk,
+    embedding_near_dup_pairs,
+    lsh_bucket_topk,
+    semantic_dedup,
+)
+from .sketches import build_sketches, heavy_hitters, merge_sketches
 from .upsert import incremental_upsert
+from .urls import blocklist_filter, normalize_url, url_dedup
 
 __all__ = [
+    "apply_cdc",
+    "blocklist_filter",
+    "build_sketches",
     "cosine",
     "cosine_self_topk",
     "dedup_exact",
+    "dsir_select",
     "embedding_near_dup_pairs",
+    "heavy_hitters",
+    "importance_weights",
     "incremental_upsert",
+    "latest_changes",
     "lsh_bucket_topk",
+    "merge_sketches",
     "minhash_near_dup_pairs",
     "minhash_signatures",
     "ngram_jaccard_pairs",
+    "normalize_url",
+    "semantic_dedup",
     "simhash",
     "simhash_near_dup_pairs",
+    "url_dedup",
 ]
