@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql.functions import udtf
 
@@ -50,3 +51,23 @@ def register_udtfs(spark: SparkSession) -> None:
         FROM documents d, LATERAL chunk_documents_udtf(d.text, 32, 24) c
     """
     spark.udtf.register("chunk_documents_udtf", ChunkDocumentsUDTF)
+
+
+def token_count_pandas_udf():
+    """Scalar Arrow-batched pandas UDF twin of
+    ``functions.text.token_count`` — completes the Python extension
+    surface set (scalar pandas_udf / grouped applyInPandasWithState /
+    mapInPandas / UDTF), with the same engine stance as the UDTF above:
+    the native Column expression is the production path; this is the
+    template for scalar logic that genuinely needs a Python library.
+    Built lazily (the decorator needs an active session)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def _token_count(s: pd.Series) -> pd.Series:
+        n = s.fillna("").str.lower().str.strip().str.split().str.len()
+        # mirror the native expression exactly: size(NULL) is -1 under
+        # the engine session's legacy sizeOfNull semantics
+        return n.where(~s.isna(), -1).astype("int32")
+
+    return _token_count

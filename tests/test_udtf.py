@@ -66,3 +66,29 @@ def test_udtf_rejects_bad_window(spark):
         spark.sql(
             "SELECT * FROM udtf_bad d, LATERAL chunk_documents_udtf(d.text, 0, 2) c"
         ).collect()
+
+
+def test_scalar_pandas_udf_matches_native_token_count(spark):
+    from adi_226_datawarehouse_project_spark.functions.text import token_count
+    from adi_226_datawarehouse_project_spark.functions.udtf_ops import (
+        token_count_pandas_udf,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    extra = spark.createDataFrame(
+        [(90001, ""), (90002, "  A  b "), (90003, None)],
+        "doc_id BIGINT, text STRING",
+    )
+    both = docs.unionByName(extra)
+    udf = token_count_pandas_udf()
+    out = both.select(
+        "doc_id",
+        token_count(F.col("text")).cast("int").alias("native"),
+        udf(F.col("text")).alias("via_udf"),
+    )
+    mism = out.filter(
+        ~F.col("native").eqNullSafe(F.col("via_udf"))
+    ).count()
+    assert mism == 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan  # Arrow batch path, not row pickling
