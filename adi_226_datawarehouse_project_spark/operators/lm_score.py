@@ -191,3 +191,56 @@ def perplexity_filter(
         )
     ).select(id_col)
     return df.join(keep, id_col, "left_semi")
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    head_frac: float = 1 / 3,
+    tail_frac: float = 1 / 3,
+    min_tokens: int = 1,
+) -> DataFrame:
+    """CCNet's actual selection mechanism (Wenzek et al. §4.4): rather
+    than one global threshold, rank documents by LM perplexity and
+    split the corpus into head / middle / tail buckets (CCNet trains
+    on head+middle and drops or down-weights the tail). Returns the
+    input rows plus ``bits_per_token_milli`` and ``ppl_bucket``
+    ('head' = lowest-perplexity ``head_frac``, 'tail' = highest
+    ``tail_frac``, 'middle' = the rest).
+
+    The bucket boundaries are the corpus's own score quantiles,
+    computed with ``approx_percentile`` (mergeable t-digest — one
+    bounded-memory aggregation regardless of corpus size) and
+    broadcast back as a 1-row frame; per-row bucketing is then a
+    narrow comparison. Documents under ``min_tokens`` get bucket
+    'tail' (too short to score meaningfully)."""
+    if not (0 < head_frac and 0 < tail_frac and head_frac + tail_frac < 1):
+        raise ValueError(f"bad fractions: head={head_frac}, tail={tail_frac}")
+    scores = unigram_lm_scores(df, id_col, text_col, mode="bits").select(
+        id_col, "n_tokens", "bits_per_token_milli"
+    )
+    cuts = scores.filter(F.col("n_tokens") >= min_tokens).agg(
+        F.expr(
+            f"approx_percentile(bits_per_token_milli, {head_frac}, 10000)"
+        ).alias("__head_cut"),
+        F.expr(
+            f"approx_percentile(bits_per_token_milli, {1.0 - tail_frac}, 10000)"
+        ).alias("__tail_cut"),
+    )
+    bucketed = (
+        df.join(scores, id_col, "left")
+        .crossJoin(F.broadcast(cuts))
+        .withColumn(
+            "ppl_bucket",
+            F.when(
+                F.col("n_tokens").isNull() | (F.col("n_tokens") < min_tokens),
+                F.lit("tail"),
+            )
+            .when(F.col("bits_per_token_milli") <= F.col("__head_cut"), "head")
+            .when(F.col("bits_per_token_milli") > F.col("__tail_cut"), "tail")
+            .otherwise("middle"),
+        )
+        .drop("__head_cut", "__tail_cut", "n_tokens")
+    )
+    return bucketed

@@ -156,3 +156,51 @@ def test_no_udf_and_no_cartesian(spark, docs_df):
         plan = frame._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
         assert plan.count("CartesianProduct") == 0
+
+
+def test_perplexity_buckets_partition_corpus(spark):
+    from conftest import SF_SMALL
+    from pyspark.sql import functions as F
+
+    from adi_226_datawarehouse_project_spark.operators.lm_score import (
+        perplexity_buckets,
+        unigram_lm_scores,
+    )
+    from adi_226_datawarehouse_project_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    out = perplexity_buckets(docs, "doc_id", "text")
+    by_bucket = {
+        r["ppl_bucket"]: r["n"]
+        for r in out.groupBy("ppl_bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n = docs.count()
+    # every doc lands in exactly one bucket; fractions are roughly thirds
+    assert sum(by_bucket.values()) == n
+    assert set(by_bucket) == {"head", "middle", "tail"}
+    for b in by_bucket:
+        assert by_bucket[b] >= 0.2 * n, by_bucket
+    # ordering invariant: every head doc scores <= every tail doc
+    scores = {
+        r["doc_id"]: r["bits_per_token_milli"]
+        for r in unigram_lm_scores(docs, "doc_id", "text", mode="bits").collect()
+    }
+    rows = {(r["doc_id"]): r["ppl_bucket"] for r in out.collect()}
+    max_head = max(scores[i] for i, b in rows.items() if b == "head")
+    min_tail = min(scores[i] for i, b in rows.items() if b == "tail")
+    assert max_head <= min_tail
+
+
+def test_perplexity_buckets_rejects_bad_fractions(spark):
+    from conftest import SF_SMALL
+
+    from adi_226_datawarehouse_project_spark.operators.lm_score import (
+        perplexity_buckets,
+    )
+    from adi_226_datawarehouse_project_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        perplexity_buckets(docs, "doc_id", "text", head_frac=0.7, tail_frac=0.5)
