@@ -1,0 +1,99 @@
+"""Custom JSONL sink with a commit-time manifest (Python DataSource
+WRITER API) — completes the custom-source surface (batch read +
+streaming read live in ``soda_datasource.py``). What the built-in JSON
+writer cannot give you is a transactional COMMIT hook; this sink uses
+it to implement the engine's manifest discipline at the protocol
+level:
+
+- each task writes its shard to ``part-<uuid>.jsonl.tmp`` and returns
+  (filename, row count) as its commit message;
+- ``commit`` — which runs exactly once, only after EVERY task
+  succeeded — renames the tmp shards into place and writes
+  ``_MANIFEST.json`` (shards + per-shard row counts + total) and the
+  ``_SUCCESS`` zone marker the pipelines' idempotency checks key on;
+- ``abort`` removes stray tmp shards, so a failed job leaves no
+  half-visible output: readers treat manifest-less directories as
+  absent, the same contract as the parquet zones.
+
+This is the same write-new-then-publish pattern the CDC sink and
+``compact_table`` use, expressed through the DataSource protocol —
+and the template for sinks whose target genuinely isn't a file system
+(HTTP ingest endpoints, message queues): shard upload in ``write``,
+atomic publish in ``commit``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import Row, StructType
+
+
+@dataclass
+class ShardCommit(WriterCommitMessage):
+    tmp_name: str
+    final_name: str
+    n_rows: int
+
+
+class JsonlManifestWriter(DataSourceWriter):
+    def __init__(self, options: dict):
+        if "path" not in options:
+            raise ValueError("jsonl_manifest sink requires option path")
+        self.path = options["path"]
+
+    def write(self, rows: Iterator[Row]) -> ShardCommit:
+        os.makedirs(self.path, exist_ok=True)
+        shard = uuid.uuid4().hex[:16]
+        tmp = f"part-{shard}.jsonl.tmp"
+        n = 0
+        with open(os.path.join(self.path, tmp), "w") as f:
+            for row in rows:
+                f.write(json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return ShardCommit(tmp_name=tmp, final_name=f"part-{shard}.jsonl", n_rows=n)
+
+    def commit(self, messages: list[ShardCommit]) -> None:
+        shards = []
+        for m in messages:
+            os.rename(
+                os.path.join(self.path, m.tmp_name),
+                os.path.join(self.path, m.final_name),
+            )
+            shards.append({"file": m.final_name, "n_rows": m.n_rows})
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+            json.dump(
+                {"shards": shards, "total_rows": sum(s["n_rows"] for s in shards)},
+                f,
+            )
+        with open(os.path.join(self.path, "_SUCCESS"), "w"):
+            pass
+
+    def abort(self, messages: list[ShardCommit]) -> None:
+        for m in messages:
+            try:
+                os.remove(os.path.join(self.path, m.tmp_name))
+            except FileNotFoundError:
+                pass
+
+
+class JsonlManifestDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_manifest"
+
+    def writer(self, schema: StructType, overwrite: bool) -> JsonlManifestWriter:
+        if overwrite:
+            # publish-by-manifest means overwrite = replace the manifest;
+            # stale shards are unreachable (readers go through it)
+            pass
+        return JsonlManifestWriter(self.options)

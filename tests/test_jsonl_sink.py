@@ -1,0 +1,72 @@
+"""Custom JSONL manifest sink: values roundtrip, per-shard manifest
+counts match, _SUCCESS appears only on commit, and a mid-write task
+failure leaves no committed output (abort semantics)."""
+
+import json
+import os
+import shutil
+
+import pytest
+from conftest import SF_SMALL
+from pyspark.sql import functions as F
+
+from adi_226_datawarehouse_project_spark.sources.catalog import load_table
+from adi_226_datawarehouse_project_spark.sources.jsonl_sink import (
+    JsonlManifestDataSource,
+)
+
+BASE = "/tmp/spark_graft_io/test_jsonl_sink"
+
+
+def test_commit_publishes_shards_manifest_and_success(spark):
+    shutil.rmtree(BASE, ignore_errors=True)
+    spark.dataSource.register(JsonlManifestDataSource)
+    nation = load_table(spark, SF_SMALL, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    nation.repartition(3).write.mode("overwrite").format("jsonl_manifest").option(
+        "path", f"{BASE}/out"
+    ).save()
+
+    assert os.path.exists(f"{BASE}/out/_SUCCESS")
+    with open(f"{BASE}/out/_MANIFEST.json") as f:
+        man = json.load(f)
+    assert man["total_rows"] == nation.count()
+    assert len(man["shards"]) == 3
+    # no tmp residue; every listed shard exists with its exact rows
+    files = os.listdir(f"{BASE}/out")
+    assert not any(fn.endswith(".tmp") for fn in files)
+    got = []
+    for s in man["shards"]:
+        with open(f"{BASE}/out/{s['file']}") as f:
+            lines = [json.loads(line) for line in f]
+        assert len(lines) == s["n_rows"]
+        got += lines
+    want = sorted(
+        (r["n_nationkey"], r["n_name"], r["n_regionkey"]) for r in nation.collect()
+    )
+    assert sorted((g["n_nationkey"], g["n_name"], g["n_regionkey"]) for g in got) == want
+
+
+def test_task_failure_aborts_without_publishing(spark):
+    shutil.rmtree(f"{BASE}/fail", ignore_errors=True)
+    spark.dataSource.register(JsonlManifestDataSource)
+    poisoned = (
+        load_table(spark, SF_SMALL, "nation")
+        .select("n_nationkey")
+        .withColumn(
+            "boom",
+            F.when(
+                F.col("n_nationkey") == 7,
+                F.raise_error(F.lit("injected write failure")).cast("string"),
+            ).otherwise(F.lit("ok")),
+        )
+    )
+    with pytest.raises(Exception, match="injected write failure"):
+        poisoned.repartition(3).write.mode("overwrite").format("jsonl_manifest").option(
+            "path", f"{BASE}/fail"
+        ).save()
+    # nothing published: no manifest, no _SUCCESS, no visible shards
+    files = os.listdir(f"{BASE}/fail") if os.path.isdir(f"{BASE}/fail") else []
+    assert "_MANIFEST.json" not in files and "_SUCCESS" not in files
+    assert not any(f.endswith(".jsonl") for f in files)
