@@ -425,3 +425,34 @@ def corpus_report(
         .orderBy("lang")
     )
     return out
+
+
+def group_sample_k(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    k: int,
+    seed: str,
+) -> DataFrame:
+    """Deterministic EXACT-k sample per stratum — the fixed-size
+    complement of :func:`stratified_sample`'s fractions (eval-set
+    construction wants "200 docs per language", not "0.1%"). Rows are
+    ranked inside each stratum by md5(seed:id) (id tiebreak) and the
+    first k kept: reproducible across runs/engines/partitionings, and
+    STABLE under corpus growth in the sense that a kept row is evicted
+    only when a new row hashes below it (bounded churn — contrast
+    per-partition RNG reservoirs, which reshuffle wholesale).
+
+    The per-stratum window is PARTITIONED (never global); skew rule:
+    a stratum's rows shuffle to one task, so for strata bigger than
+    ~10⁷ rows pre-filter with ``keep_fraction`` at ~10·k/|stratum| and
+    sample exactly from the survivors."""
+    if k <= 0:
+        raise ValueError(f"k must be positive: {k}")
+    keyed = df.withColumn("__skey", _hash_hex(id_col, seed, width=12))
+    w = Window.partitionBy(strata_col).orderBy("__skey", id_col)
+    return (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__skey", "__rn")
+    )

@@ -297,3 +297,37 @@ def test_corpus_report_single_aggregation_plan(spark):
     )
     assert "BatchEvalPython" not in plan
     assert "Window" not in plan  # sketches, not sorts
+
+
+def test_group_sample_k_exact_size_and_determinism(spark):
+    from adi_226_datawarehouse_project_spark.operators.training import group_sample_k
+
+    rows = [Row(id=i, stratum=["en", "de", "fr"][i % 3]) for i in range(240)]
+    df = spark.createDataFrame(rows)
+    got = group_sample_k(df, "stratum", "id", k=10, seed="gs1")
+    per = {
+        r["stratum"]: r["n"]
+        for r in got.groupBy("stratum").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per == {"en": 10, "de": 10, "fr": 10}
+    # matches the Python reference: k smallest md5(seed:id) per stratum
+    want = set()
+    for s in ("en", "de", "fr"):
+        ids = [r.id for r in rows if r.stratum == s]
+        ids.sort(key=lambda i: (_md5_hex("gs1", i, 12), i))
+        want |= set(ids[:10])
+    assert {r["id"] for r in got.collect()} == want
+    # partition invariance
+    got2 = {r["id"] for r in group_sample_k(df.repartition(13), "stratum", "id", 10, "gs1").collect()}
+    assert got2 == want
+
+
+def test_group_sample_k_small_stratum_and_bad_k(spark):
+    from adi_226_datawarehouse_project_spark.operators.training import group_sample_k
+
+    df = spark.createDataFrame([Row(id=1, stratum="tiny"), Row(id=2, stratum="tiny")])
+    assert group_sample_k(df, "stratum", "id", k=10, seed="s").count() == 2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        group_sample_k(df, "stratum", "id", k=0, seed="s")
