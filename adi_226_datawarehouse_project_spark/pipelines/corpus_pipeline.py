@@ -96,13 +96,16 @@ def run_corpus_pipeline(
             & (TX.quality_score("text") >= min_quality)
             & (TX.repeated_token_fraction("text") <= max_repetition)
         )
+        # normalize BEFORE scrubbing (typographic variants fold so the
+        # dedup stages see stable text); n_tokens counts the OUTPUT
+        # text — the previous form counted the pre-scrub text, which
+        # drifts when a PII match spans whitespace
         scrubbed = kept.select(
             "doc_id",
-            TX.scrub_pii(F.col("text")).alias("text"),
+            TX.scrub_pii(TX.normalize_text(F.col("text"))).alias("text"),
             "lang",
             "source",
-            TX.token_count("text").cast("bigint").alias("n_tokens"),
-        )
+        ).withColumn("n_tokens", TX.token_count("text").cast("bigint"))
         return _write(scrubbed, "clean")
 
     dedup_src = "scrubbed" if passage_n else "clean"

@@ -185,3 +185,18 @@ def test_corpus_pipeline_optional_fuzzy_stage(spark, sf_dir, tmp_path):
     got = {r["doc_id"] for r in spark.read.parquet(
         _os.path.join(out, "fuzzy_decontaminated")).select("doc_id").collect()}
     assert got == want
+
+
+def test_clean_zone_token_counts_match_output_text(spark, sf_dir, tmp_path):
+    import os as _os
+
+    from adi_226_datawarehouse_project_spark.functions import text as TX2
+
+    out = str(tmp_path / "corpus_ntok")
+    results = run_corpus_pipeline(spark, sf_dir, out, shard_size=50)
+    assert results["clean"].state == "SUCCESS"
+    clean = spark.read.parquet(_os.path.join(out, "clean"))
+    bad = clean.filter(
+        TX2.token_count("text").cast("bigint") != F.col("n_tokens")
+    ).count()
+    assert bad == 0
