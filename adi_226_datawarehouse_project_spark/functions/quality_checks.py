@@ -77,9 +77,15 @@ def matches(col: str, pattern: str) -> Constraint:
 
 
 def in_set(col: str, values: list) -> Constraint:
+    # name embeds the allowed values (like in_range/matches embed their
+    # parameters) so two in_set constraints on the same column with
+    # different sets stay distinguishable in reports
+    shown = ",".join(repr(v) for v in values[:4]) + (",…" if len(values) > 4 else "")
     c = F.col(col)
     return Constraint(
-        f"in_set({col})", "in_set", _count_where(c.isNotNull() & ~c.isin(values))
+        f"in_set({col} ∈ {{{shown}}})",
+        "in_set",
+        _count_where(c.isNotNull() & ~c.isin(values)),
     )
 
 
@@ -136,13 +142,13 @@ def check(df: DataFrame, constraints: list[Constraint]) -> list[dict]:
     ]
     row = df.agg(*aggs).collect()[0]
     total = int(row["__total"])
-    by_name: dict[str, int] = {
-        c.name: int(row[f"__v{i}"] or 0) for i, c in enumerate(single)
-    }
+    # keyed by POSITION, not name — identically-named constraints
+    # (e.g. two in_set on one column) must not collide
+    by_pos = {id(c): int(row[f"__v{i}"] or 0) for i, c in enumerate(single)}
     out = []
     for c in constraints:
         if c.violations is not None:
-            v = by_name[c.name]
+            v = by_pos[id(c)]
             if c.kind == "non_empty":
                 v = 0 if total > 0 else 1
         else:

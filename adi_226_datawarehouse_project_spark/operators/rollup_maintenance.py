@@ -45,6 +45,12 @@ def rollup_delta(
     and once on the historical backfill to seed the rollup."""
     aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
     aggs += [F.sum(c).alias(f"sum_{c}") for c in (sum_cols or [])]
+    # per-measure non-null count: F.sum skips NULLs, so the derived
+    # avg must divide by the rows that actually contributed, not
+    # n_rows — else NULL measures silently drag the average down
+    aggs += [
+        F.count(c).cast("bigint").alias(f"cnt_{c}") for c in (sum_cols or [])
+    ]
     aggs += [F.min(c).alias(f"min_{c}") for c in (min_cols or [])]
     aggs += [F.max(c).alias(f"max_{c}") for c in (max_cols or [])]
     aggs += [
@@ -73,7 +79,7 @@ def merge_rollups(
     for c in old.columns:
         if c in group_cols:
             continue
-        if c == "n_rows" or c.startswith("sum_"):
+        if c == "n_rows" or c.startswith("sum_") or c.startswith("cnt_"):
             aggs.append(F.sum(c).alias(c))
         elif c.startswith("min_"):
             aggs.append(F.min(c).alias(c))
@@ -88,9 +94,12 @@ def merge_rollups(
 
 def read_rollup(rollup: DataFrame) -> DataFrame:
     """Reader view: sketches become ``distinct_<c>`` estimates, and
-    derived ``avg_<c>`` columns appear for every ``sum_<c>``
-    (sum/n_rows — computed at read, never stored)."""
+    derived ``avg_<c>`` columns appear for every ``sum_<c>`` —
+    sum/cnt_<c> (the per-measure NON-NULL count, matching true
+    ``AVG``'s NULL-skipping), computed at read, never stored. Rollups
+    written before cnt_ columns existed fall back to n_rows."""
     out = rollup
+    cols = set(rollup.columns)
     for c in rollup.columns:
         if c.startswith("sketch_"):
             out = out.withColumn(
@@ -98,8 +107,10 @@ def read_rollup(rollup: DataFrame) -> DataFrame:
                 F.expr(f"hll_sketch_estimate({c})"),
             ).drop(c)
         elif c.startswith("sum_"):
+            measure = c[len("sum_"):]
+            denom = f"cnt_{measure}" if f"cnt_{measure}" in cols else "n_rows"
             out = out.withColumn(
-                f"avg_{c[len('sum_'):]}",
-                F.col(c).cast("double") / F.col("n_rows"),
+                f"avg_{measure}",
+                F.col(c).cast("double") / F.nullif(F.col(denom), F.lit(0)),
             )
     return out

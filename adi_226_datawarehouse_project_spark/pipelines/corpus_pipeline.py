@@ -151,11 +151,24 @@ def run_corpus_pipeline(
         )
         return _write(survivors, "dedup")
 
+    def _bench_docs(upstream_cols=("doc_id", "text")):
+        # benchmark text must go through the SAME normalization (and
+        # PII scrub) the clean stage applies to training text — the
+        # n-gram/shingle match happens on the normalized form, so a
+        # raw-vs-normalized mismatch silently loses decontamination
+        # recall on any bench doc with typographic characters
+        return (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % bench_mod == 0)
+            .select(
+                "doc_id",
+                TX.scrub_pii(TX.normalize_text(F.col("text"))).alias("text"),
+            )
+        )
+
     def _decontaminate(upstream: dict) -> int:
         docs = spark.read.parquet(_zone("dedup"))
-        bench = load_table(spark, sf_dir, "documents").filter(
-            F.col("doc_id") % bench_mod == 0
-        )
+        bench = _bench_docs()
         survivors = decontaminate(
             docs.filter(F.col("doc_id") % bench_mod != 0),
             bench,
@@ -170,9 +183,7 @@ def run_corpus_pipeline(
         from ..operators.decontamination import fuzzy_decontaminate
 
         docs = spark.read.parquet(_zone("decontaminated"))
-        bench = load_table(spark, sf_dir, "documents").filter(
-            F.col("doc_id") % bench_mod == 0
-        ).select(F.col("doc_id").alias("bench_id"), "text")
+        bench = _bench_docs().select(F.col("doc_id").alias("bench_id"), "text")
         survivors = fuzzy_decontaminate(
             docs,
             bench,

@@ -58,10 +58,14 @@ def _fetch_page(url: str, timeout: float) -> list[dict]:
         with urllib.request.urlopen(url, timeout=timeout) as resp:  # noqa: S310
             return json.loads(resp.read().decode("utf-8"))
     except urllib.error.URLError:
-        # past-the-end probe on file:// test sources; http SODA returns
-        # [] instead, so this path never hides a live transport error
-        # below the configured page range — those retry via Spark.
-        return []
+        # ONLY a past-the-end probe on file:// test sources maps to an
+        # empty page (http SODA returns [] past the end, never an
+        # error). HTTPError (429/5xx rate limits) and connection
+        # failures must PROPAGATE so the task fails and Spark's retry
+        # machinery refetches the page instead of silently dropping it.
+        if url.startswith("file:"):
+            return []
+        raise
 
 
 class SodaReader(DataSourceReader):
@@ -130,4 +134,12 @@ class SodaStreamReader(SimpleDataSourceStreamReader):
             return iter([])
         url = self._r.template.format(limit=stop - off, offset=off)
         recs = _fetch_page(url, self._r.timeout)
+        if len(recs) != stop - off:
+            # the committed [start, end) slice is a contract: a short
+            # replay means upstream mutated (not append-only) or the
+            # fetch was truncated — failing is the only safe answer.
+            raise RuntimeError(
+                f"soda replay of [{off}, {stop}) returned {len(recs)} rows; "
+                "expected exactly the committed slice"
+            )
         return iter(tuple(rec.get(n) for n in self._r.fields) for rec in recs)

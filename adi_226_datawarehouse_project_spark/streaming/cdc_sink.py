@@ -25,9 +25,13 @@ an already-folded target and a stale-update-after-delete probe.
 
 The snapshot directory is swapped write-new-then-rename (the
 ``compact_table`` pattern) — a reader never sees a half-written
-snapshot, and a crash between write and rename leaves the old snapshot
-intact. On a transactional table format this body becomes MERGE INTO;
-the streaming graph does not change.
+snapshot, and a crash before the first rename leaves the old snapshot
+intact. The rename pair itself is not atomic; a crash between the two
+renames parks the durable snapshot at ``__old``, and every entry point
+runs :func:`_recover_snapshot` first to move it back, so the worst
+case is re-folding the interrupted (idempotent) batch. On a
+transactional table format this body becomes MERGE INTO; the streaming
+graph does not change.
 """
 
 from __future__ import annotations
@@ -41,7 +45,34 @@ from pyspark.sql import functions as F
 from ..operators.cdc import latest_changes
 
 
+def _recover_snapshot(path: str) -> None:
+    """Crash recovery for the two-rename swap in :func:`_swap_in`: a
+    crash between ``target→__old`` and ``__new→target`` leaves nothing
+    at ``path`` while the last durable snapshot sits at ``__old``.
+    Every entry point calls this first, so that window merely costs a
+    re-fold of the interrupted batch (idempotent by design) instead of
+    silently rebuilding state from one batch."""
+    old = path.rstrip("/") + "__old"
+    if not os.path.isdir(path) and os.path.isdir(old):
+        os.rename(old, path)
+
+
+def _swap_in(merged: DataFrame, target_path: str) -> None:
+    """Publish ``merged`` at ``target_path`` write-new-then-swap. The
+    rename pair is not atomic — :func:`_recover_snapshot` closes the
+    crash window between them."""
+    tmp = target_path.rstrip("/") + "__new"
+    merged.write.mode("overwrite").parquet(tmp)
+    old = target_path.rstrip("/") + "__old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.isdir(target_path):
+        os.rename(target_path, old)
+    os.rename(tmp, target_path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def _snapshot_exists(path: str) -> bool:
+    _recover_snapshot(path)
     return os.path.isdir(path) and any(
         f.endswith(".parquet") for f in os.listdir(path)
     )
@@ -50,6 +81,7 @@ def _snapshot_exists(path: str) -> bool:
 def read_cdc_snapshot(spark: SparkSession, target_path: str, op_col: str = "op") -> DataFrame:
     """The live table view: stored snapshot minus tombstones and
     bookkeeping columns."""
+    _recover_snapshot(target_path)
     snap = spark.read.parquet(target_path)
     return snap.filter(F.col(op_col) != "D").drop(op_col)
 
@@ -72,14 +104,7 @@ def apply_cdc_batch(
     else:
         everything = batch_df
     merged = latest_changes(everything, keys, seq_col, op_col)
-    tmp = target_path.rstrip("/") + "__new"
-    merged.write.mode("overwrite").parquet(tmp)
-    old = target_path.rstrip("/") + "__old"
-    shutil.rmtree(old, ignore_errors=True)
-    if os.path.isdir(target_path):
-        os.rename(target_path, old)
-    os.rename(tmp, target_path)
-    shutil.rmtree(old, ignore_errors=True)
+    _swap_in(merged, target_path)
 
 
 def stream_cdc_apply(
@@ -126,17 +151,12 @@ def compact_tombstones(
     tombstone above the watermark must stay: a stale update for its
     key may still arrive and needs to lose. Rewrites the snapshot
     write-new-then-swap; returns the number of tombstones removed."""
+    _recover_snapshot(target_path)
     snap = spark.read.parquet(target_path)
     keep = snap.filter(
         (F.col(op_col) != "D") | (F.col(seq_col) > F.lit(retention_seq))
     )
     removed = snap.count() - keep.count()
     if removed:
-        tmp = target_path.rstrip("/") + "__new"
-        keep.write.mode("overwrite").parquet(tmp)
-        old = target_path.rstrip("/") + "__old"
-        shutil.rmtree(old, ignore_errors=True)
-        os.rename(target_path, old)
-        os.rename(tmp, target_path)
-        shutil.rmtree(old, ignore_errors=True)
+        _swap_in(keep, target_path)
     return removed

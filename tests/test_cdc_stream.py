@@ -117,3 +117,22 @@ def test_tombstone_compaction_respects_retention(spark, fresh):
     assert _live(spark) == [(1, "a", 1)]
     # idempotent second compaction removes nothing
     assert compact_tombstones(spark, f"{BASE}/target", 20, "seq") == 0
+
+
+def test_crash_between_swap_renames_recovers(spark, fresh):
+    """The two-rename snapshot swap has a window where target is
+    missing and the durable snapshot sits at __old; every entry point
+    must recover it rather than rebuild state from one batch."""
+    b1 = spark.createDataFrame(
+        [(1, "a", 100, 1, "I"), (2, "b", 200, 1, "I")], schema=SCHEMA
+    )
+    apply_cdc_batch(spark, b1, f"{BASE}/target", ["id"], "seq")
+    before = _live(spark)
+    # simulate the crash: target renamed away, __new never moved in
+    os.rename(f"{BASE}/target", f"{BASE}/target__old")
+    assert _live(spark) == before  # read path recovers
+    os.rename(f"{BASE}/target", f"{BASE}/target__old")
+    b2 = spark.createDataFrame([(2, "b", 250, 2, "U")], schema=SCHEMA)
+    apply_cdc_batch(spark, b2, f"{BASE}/target", ["id"], "seq")
+    # apply path recovered the folded state before merging the batch
+    assert _live(spark) == [(1, "a", 100), (2, "b", 250)]

@@ -200,3 +200,54 @@ def test_clean_zone_token_counts_match_output_text(spark, sf_dir, tmp_path):
         TX2.token_count("text").cast("bigint") != F.col("n_tokens")
     ).count()
     assert bad == 0
+
+
+def test_decontamination_matches_on_normalized_text(spark, tmp_path):
+    """The clean stage normalizes typography in training text; the
+    benchmark side must be compared in the SAME normal form, or a
+    contaminated doc whose benchmark twin uses curly quotes slips
+    through (the round-4 ADVICE regression)."""
+    base = (
+        "The quick brown fox said \"hello there\" and it's a fine day "
+        "to jump over the lazy dog near the river bank today."
+    )
+    # the benchmark twin: curly quotes + NBSP separators throughout —
+    # every shingle differs from the training form until both sides
+    # are normalized, so this fails loudly on a raw-bench comparison
+    curly = (
+        base.replace('"', "“", 1)
+        .replace('"', "”", 1)
+        .replace("it's", "it’s")
+        .replace(" ", " ")
+    )
+    fillers = [
+        "Completely unrelated municipal service records describe the annual "
+        "budget review for parks and public libraries across the city.",
+        "Another independent document covers weather observations gathered "
+        "by volunteers during the spring measurement campaign this year.",
+        "A third distinct text lists the ferry timetable changes and the "
+        "expected impact on commuters traveling between the boroughs.",
+    ]
+    rows = [(0, curly, "en", "bench")]  # doc_id % 7 == 0 → benchmark side
+    rows += [(1, base, "en", "train")]  # typographic twin → contaminated
+    rows += [(i + 2, t, "en", "train") for i, t in enumerate(fillers)]
+    sf = tmp_path / "sf_typo"
+    sf.mkdir()
+    import pandas as pd
+
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    ).withColumn("n_chars", F.length("text").cast("bigint")).write.parquet(
+        str(sf / "documents.parquet")
+    )
+    out = str(tmp_path / "corpus_typo")
+    results = run_corpus_pipeline(spark, str(sf), out)
+    assert all(r.state == "SUCCESS" for r in results.values()), {
+        k: (v.state, v.error) for k, v in results.items()
+    }
+    survivors = {
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(out, "decontaminated")).collect()
+    }
+    assert 1 not in survivors  # the contaminated twin must be scrubbed
+    assert {2, 3, 4} <= survivors  # unrelated docs survive

@@ -39,7 +39,7 @@ def test_violation_counts_exact(spark, dirty):
     assert got["unique(id)"] == (1, False)          # one extra row of id=2
     assert got["in_range(lat,[40.4,41.0])"] == (1, False)  # 41.5; NULL not counted
     assert got[r"matches(id,^[0-9]+$)"] == (1, False)      # 'x9'; NULL not counted
-    assert got["in_set(name)"] == (1, False)        # 'e'
+    assert got["in_set(name ∈ {'a','b','c','d'})"] == (1, False)  # 'e'
     assert all(r["total"] == 5 for r in report)
 
 
@@ -110,3 +110,17 @@ def test_require_raises_with_named_failures(spark, dirty):
 def test_check_requires_constraints(spark, dirty):
     with pytest.raises(ValueError):
         QC.check(dirty, [])
+
+
+def test_two_in_set_constraints_on_same_column_stay_distinct(spark):
+    """Identically-shaped in_set constraints on one column must each
+    report their OWN violation count (results are keyed by position,
+    and the name embeds the allowed set)."""
+    df = spark.createDataFrame(
+        [("QUEENS",), ("BRONX",), ("STATEN ISLAND",)], ["borough"]
+    )
+    strict = QC.in_set("borough", ["QUEENS"])
+    loose = QC.in_set("borough", ["QUEENS", "BRONX", "STATEN ISLAND"])
+    report = QC.check(df, [strict, loose])
+    assert [r["violations"] for r in report] == [2, 0]
+    assert report[0]["name"] != report[1]["name"]

@@ -90,3 +90,24 @@ def test_schema_mismatch_and_unknown_columns_raise(spark):
     bad = r1.withColumnRenamed("sum_price_cents", "weird_col")
     with pytest.raises(ValueError, match="non-mergeable"):
         merge_rollups(bad, bad, ["o_orderstatus"])
+
+
+def test_avg_skips_null_measures_like_true_avg(spark):
+    """F.sum skips NULL measures, so read_rollup must divide by the
+    per-measure non-null count (cnt_<c>), not n_rows — matching
+    AVG()'s NULL semantics exactly."""
+    facts = spark.createDataFrame(
+        [("a", 10), ("a", None), ("a", 20), ("b", None)],
+        "g string, v int",
+    )
+    roll = rollup_delta(facts, ["g"], sum_cols=["v"])
+    got = {
+        r["g"]: (r["avg_v"], r["n_rows"])
+        for r in read_rollup(roll).collect()
+    }
+    assert got["a"] == (15.0, 3)  # (10+20)/2 non-null rows, NOT /3
+    assert got["b"][0] is None  # all-NULL group → NULL avg, not 0/1
+    # and the cnt partials merge associatively like every other state
+    merged = merge_rollups(roll, rollup_delta(facts, ["g"], sum_cols=["v"]), ["g"])
+    got2 = {r["g"]: r["avg_v"] for r in read_rollup(merged).collect()}
+    assert got2["a"] == 15.0 and got2["b"] is None

@@ -159,3 +159,49 @@ def test_stream_reader_replay_slice(spark, pages):
     got = list(r.readBetweenOffsets({"offset": 80}, {"offset": 105}))
     assert [g[0] for g in got] == [r_["unique_key"] for r_ in rows[80:105]]
     assert list(r.readBetweenOffsets({"offset": 9}, {"offset": 9})) == []
+
+
+def test_transport_errors_propagate_for_non_file_urls(spark, pages):
+    """Only past-the-end file:// probes map to an empty page; an HTTP
+    transport failure must raise so the Spark task retries instead of
+    silently dropping the page."""
+    import urllib.error
+
+    from adi_226_datawarehouse_project_spark.sources.soda_datasource import (
+        _fetch_page,
+    )
+
+    # missing file:// page → empty (the offline past-the-end probe)
+    assert _fetch_page(f"file://{BASE}/page_999999_40.json", 5.0) == []
+    # refused http connection → URLError propagates (no listener there)
+    with pytest.raises(urllib.error.URLError):
+        _fetch_page("http://127.0.0.1:9/resource?$limit=1&$offset=0", 2.0)
+
+
+def test_stream_replay_short_slice_raises(spark, pages):
+    """readBetweenOffsets replays a COMMITTED [start, end) slice; if
+    the upstream returns fewer rows than committed the reader must
+    fail rather than silently shrink the batch."""
+    from pyspark.sql.types import StructType
+
+    from adi_226_datawarehouse_project_spark.sources.soda_datasource import (
+        SodaStreamReader,
+    )
+
+    schema = (
+        spark.read.format("soda")
+        .schema("unique_key string, borough string, latitude string")
+        .option("url_template", f"file://{BASE}/page_{{offset}}_{{limit}}.json")
+        .load()
+        .schema
+    )
+    r = SodaStreamReader(
+        schema,
+        {
+            "url_template": f"file://{BASE}/page_{{offset}}_{{limit}}.json",
+            "page_size": str(PAGE),
+        },
+    )
+    # page_80_60.json does not exist → 0 rows for a 60-row commit
+    with pytest.raises(RuntimeError, match="committed slice"):
+        list(r.readBetweenOffsets({"offset": 80}, {"offset": 140}))
