@@ -103,12 +103,32 @@ def stratified_sample(
     return df.filter(pred)
 
 
+def _pin(df: DataFrame, storage_level: str | None) -> DataFrame:
+    """Materialize a frame BOTH phases of a two-phase scan will read.
+    Default (None) is ``localCheckpoint`` — right for local mode, where
+    it also truncates lineage. On a real cluster pass a
+    ``pyspark.StorageLevel`` name (``"MEMORY_AND_DISK"``): persist
+    survives executor loss via recompute (localCheckpoint does not) and
+    avoids writing the whole frame to local checkpoint storage."""
+    if storage_level is None:
+        return df.localCheckpoint(eager=True)
+    from pyspark import StorageLevel
+
+    level = getattr(StorageLevel, storage_level, None)
+    if level is None:
+        raise ValueError(f"unknown storage level: {storage_level!r}")
+    out = df.persist(level)
+    out.count()  # eager: both consumers must see ONE materialization
+    return out
+
+
 def distributed_prefix_sum(
     df: DataFrame,
     order_col: str,
     value_col: str,
     out_col: str = "prefix_sum",
     num_partitions: int | None = None,
+    storage_level: str | None = None,
 ) -> DataFrame:
     """EXCLUSIVE prefix sum of ``value_col`` over the total order given
     by ``order_col`` (must be unique — ties would make per-row
@@ -123,19 +143,21 @@ def distributed_prefix_sum(
     back. The result is invariant to the partition count/boundaries, so
     Spark's sampled range boundaries never affect values.
 
-    The ranged frame is localCheckpoint'ed (same rationale as
+    The ranged frame is pinned via :func:`_pin` (same rationale as
     ``near_dup_clusters``): both phases consume it, and pinning the
     materialized partitioning removes any recompute-alignment concern
-    between the totals branch and the main branch. At cluster scale
-    you'd persist to MEMORY_AND_DISK instead — a prefix scan is
-    inherently a two-pass barrier."""
+    between the totals branch and the main branch. Default is
+    ``localCheckpoint``; on a cluster pass
+    ``storage_level="MEMORY_AND_DISK"`` — a prefix scan is inherently
+    a two-pass barrier."""
     n = num_partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    ranged = (
-        df.repartitionByRange(n, F.col(order_col))
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+    ranged = _pin(
+        df.repartitionByRange(n, F.col(order_col)).withColumn(
+            "__pid", F.spark_partition_id()
+        ),
+        storage_level,
     )
     w_intra = (
         Window.partitionBy("__pid")
@@ -245,6 +267,7 @@ def global_order_rank(
     order_cols: list[str],
     rank_col: str = "rank",
     num_partitions: int | None = None,
+    storage_level: str | None = None,
 ) -> DataFrame:
     """Dense 0-based global rank of every row in the total order given
     by ``order_cols`` (ascending; the combination must be unique — add
@@ -259,10 +282,11 @@ def global_order_rank(
     n = num_partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    ranged = (
-        df.repartitionByRange(n, *cols)
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+    ranged = _pin(
+        df.repartitionByRange(n, *cols).withColumn(
+            "__pid", F.spark_partition_id()
+        ),
+        storage_level,
     )
     w_intra = Window.partitionBy("__pid").orderBy(*order_cols)
     intra = ranged.withColumn(
@@ -289,6 +313,7 @@ def global_shuffle_rank(
     id_col: str,
     seed: str,
     num_partitions: int | None = None,
+    storage_level: str | None = None,
 ) -> DataFrame:
     """Deterministic global training-order shuffle: every row gets a
     dense 0-based rank in the pseudo-random order md5(seed:id) (id as
@@ -303,6 +328,7 @@ def global_shuffle_rank(
         order_cols=["__skey", id_col],
         rank_col="shuffle_rank",
         num_partitions=num_partitions,
+        storage_level=storage_level,
     ).drop("__skey")
 
 
@@ -433,6 +459,7 @@ def group_sample_k(
     id_col: str,
     k: int,
     seed: str,
+    prefilter_over: int | None = 10_000_000,
 ) -> DataFrame:
     """Deterministic EXACT-k sample per stratum — the fixed-size
     complement of :func:`stratified_sample`'s fractions (eval-set
@@ -443,13 +470,51 @@ def group_sample_k(
     only when a new row hashes below it (bounded churn — contrast
     per-partition RNG reservoirs, which reshuffle wholesale).
 
-    The per-stratum window is PARTITIONED (never global); skew rule:
-    a stratum's rows shuffle to one task, so for strata bigger than
-    ~10⁷ rows pre-filter with ``keep_fraction`` at ~10·k/|stratum| and
-    sample exactly from the survivors."""
+    The per-stratum window is PARTITIONED (never global), but a
+    stratum's rows still shuffle to ONE task — the skew hazard for
+    hot strata. ``prefilter_over`` (default 10⁷ rows) automates the
+    guard: strata whose row count exceeds it get a narrow
+    hash-threshold pre-filter at fraction (10·k + 50)/|stratum| BEFORE
+    the window, so the sort task sees ~10·k rows instead of the whole
+    stratum. The pre-filter keeps every row whose width-6 hash PREFIX
+    is below the stratum's threshold; since ranking uses the width-12
+    hash of the same md5 (the 6-char prefix is literally a prefix of
+    the 12-char key, and fixed-width hex compares lexicographically),
+    any surviving row outranks every filtered row — the exact-k output
+    is IDENTICAL to the unfiltered computation whenever ≥k rows
+    survive, and with mean 10·k+50 survivors the shortfall probability
+    is Chernoff-negligible (< e⁻²⁰ for any k ≥ 1). Costs one extra
+    map-side-combined count scan; pass ``prefilter_over=None`` to skip
+    it on corpora known to be small."""
     if k <= 0:
         raise ValueError(f"k must be positive: {k}")
     keyed = df.withColumn("__skey", _hash_hex(id_col, seed, width=12))
+    if prefilter_over is not None:
+        space = 16**_HEX_WIDTH
+        hot = (
+            df.groupBy(strata_col)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > prefilter_over)
+            .select(
+                strata_col,
+                F.lpad(
+                    F.lower(
+                        F.hex(
+                            F.least(
+                                F.lit(space),
+                                F.ceil(F.lit(10.0 * k + 50) / F.col("__n") * space),
+                            ).cast("bigint")
+                        )
+                    ),
+                    _HEX_WIDTH,
+                    "0",
+                ).alias("__thr"),
+            )
+        )
+        keyed = keyed.join(F.broadcast(hot), strata_col, "left").filter(
+            F.col("__thr").isNull()
+            | (F.substring(F.col("__skey"), 1, _HEX_WIDTH) < F.col("__thr"))
+        ).drop("__thr")
     w = Window.partitionBy(strata_col).orderBy("__skey", id_col)
     return (
         keyed.withColumn("__rn", F.row_number().over(w))

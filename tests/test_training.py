@@ -331,3 +331,90 @@ def test_group_sample_k_small_stratum_and_bad_k(spark):
 
     with _pytest.raises(ValueError):
         group_sample_k(df, "stratum", "id", k=0, seed="s")
+
+
+def test_group_sample_k_hot_stratum_prefilter_preserves_exact_k(spark):
+    """With prefilter_over set below a planted hot stratum's size, the
+    plan gains a narrow hash-threshold filter BEFORE the per-stratum
+    window, and the exact-k output is row-identical to the unfiltered
+    computation (the prefix-dominates-ranking argument in the
+    docstring)."""
+    from adi_226_datawarehouse_project_spark.operators.training import group_sample_k
+
+    rows = [("hot", i) for i in range(5000)] + [("cold", i) for i in range(40)]
+    df = spark.createDataFrame(rows, ["stratum", "id"])
+
+    base = group_sample_k(df, "stratum", "id", k=7, seed="pf", prefilter_over=None)
+    pre = group_sample_k(df, "stratum", "id", k=7, seed="pf", prefilter_over=1000)
+    want = sorted((r["stratum"], r["id"]) for r in base.collect())
+    got = sorted((r["stratum"], r["id"]) for r in pre.collect())
+    assert got == want and len(got) == 14
+
+    # the pre-filtered plan really carries the threshold filter (the
+    # __thr comparison) upstream of the window
+    plan = pre._jdf.queryExecution().optimizedPlan().toString()
+    assert "__thr" in plan
+
+    # and the filter does its job: the window input shrinks to ~10k+50
+    # survivors for the hot stratum instead of all 5000 rows
+    from adi_226_datawarehouse_project_spark.operators.training import (
+        _HEX_WIDTH,
+        _hash_hex,
+    )
+    from pyspark.sql import functions as F
+
+    thr = (10.0 * 7 + 50) / 5000
+    survivors = df.filter(
+        (F.col("stratum") == "hot")
+        & (
+            _hash_hex("id", "pf", _HEX_WIDTH)
+            < F.lpad(
+                F.lower(F.hex(F.ceil(F.lit(thr) * (16**_HEX_WIDTH)).cast("bigint"))),
+                _HEX_WIDTH,
+                "0",
+            )
+        )
+    ).count()
+    assert 7 <= survivors < 500
+
+
+def test_two_phase_scans_accept_storage_level(spark):
+    """storage_level='MEMORY_AND_DISK' swaps localCheckpoint for an
+    eager persist — values identical either way (cluster users keep
+    recompute-on-executor-loss semantics)."""
+    from adi_226_datawarehouse_project_spark.operators.training import (
+        distributed_prefix_sum,
+        global_order_rank,
+    )
+
+    df = spark.createDataFrame(
+        [(i, (i * 7) % 13 + 1) for i in range(200)], ["k", "v"]
+    )
+    a = {
+        r["k"]: r["prefix_sum"]
+        for r in distributed_prefix_sum(df, "k", "v", num_partitions=4).collect()
+    }
+    b = {
+        r["k"]: r["prefix_sum"]
+        for r in distributed_prefix_sum(
+            df, "k", "v", num_partitions=4, storage_level="MEMORY_AND_DISK"
+        ).collect()
+    }
+    assert a == b
+
+    ra = {
+        r["k"]: r["rank"]
+        for r in global_order_rank(df, ["k"], num_partitions=4).collect()
+    }
+    rb = {
+        r["k"]: r["rank"]
+        for r in global_order_rank(
+            df, ["k"], num_partitions=4, storage_level="MEMORY_AND_DISK"
+        ).collect()
+    }
+    assert ra == rb
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="storage level"):
+        distributed_prefix_sum(df, "k", "v", storage_level="NOPE").collect()
