@@ -92,44 +92,78 @@ ORDER BY total_complaints DESC, agency_name
 """,
     # ---- Airbnb Listings Analysis.ipynb ----
     # cell 0: price stats by borough (A4 multi-agg + J7 geohash join).
+    # g04-g06 use the same aggregate-below-join rewrite as g07/g08:
+    # the raw fact⋈dim_location geohash join is m:n over a ~221-value
+    # key (the fixture's folded spatial grid), which at a 64×-
+    # replicated corpus produced 3.9 BILLION join pairs (measured —
+    # 60s for what is a 5-row answer). Both sides aggregate to geohash
+    # grain FIRST; pair counts/sums are recovered exactly as weighted
+    # products of the per-cell partials (integer-cents math, so the
+    # values stay bit-identical to the raw-join form — the pre-rewrite
+    # text is pinned equivalent in tests/test_golden_rewrites.py).
     "g04_price_stats_by_borough": f"""
-SELECT al.borough,
-       COUNT(*) AS total_listings,
-       {_avg_money(_PRICE, "avg_price")},
-       min({_PRICE}) AS min_price,
-       max({_PRICE}) AS max_price
-FROM fact_airbnb_listings f
-JOIN dim_airbnb_location al ON f.geohash = al.geohash
-WHERE al.borough IS NOT NULL AND {_PRICE_OK}
-GROUP BY al.borough
+SELECT da.borough,
+       CAST(sum(fa.cnt * da.cnt) AS BIGINT) AS total_listings,
+       round(CAST(CAST(sum(fa.cents * da.cnt) AS BIGINT) AS DOUBLE)
+             / CAST(sum(fa.cnt * da.cnt) AS BIGINT) / 100.0, 2) AS avg_price,
+       min(fa.min_price) AS min_price,
+       max(fa.max_price) AS max_price
+FROM (SELECT f.geohash, COUNT(*) AS cnt, sum({_cents(_PRICE)}) AS cents,
+             min({_PRICE}) AS min_price, max({_PRICE}) AS max_price
+      FROM fact_airbnb_listings f
+      WHERE {_PRICE_OK}
+      GROUP BY f.geohash) fa
+JOIN (SELECT geohash, borough, COUNT(*) AS cnt
+      FROM dim_airbnb_location
+      WHERE borough IS NOT NULL
+      GROUP BY geohash, borough) da ON fa.geohash = da.geohash
+GROUP BY da.borough
 ORDER BY total_listings DESC, borough
 """,
     # cell 1: room type × borough with COALESCE fallback (P14 + J8).
+    # Same rewrite; the property LEFT JOIN is 1:1 on listing_id so it
+    # stays below the fact-side aggregation.
     "g05_room_type_price": f"""
-SELECT coalesce(f.room_type, dp.room_type) AS room_type,
-       al.borough,
-       COUNT(*) AS listing_count,
-       {_avg_money(_PRICE, "avg_price")}
-FROM fact_airbnb_listings f
-JOIN dim_airbnb_location al ON f.geohash = al.geohash
-LEFT JOIN dim_airbnb_property dp ON f.listing_id = dp.listing_id
-WHERE al.borough IS NOT NULL AND {_PRICE_OK}
-GROUP BY coalesce(f.room_type, dp.room_type), al.borough
+SELECT fa.room_type,
+       da.borough,
+       CAST(sum(fa.cnt * da.cnt) AS BIGINT) AS listing_count,
+       round(CAST(CAST(sum(fa.cents * da.cnt) AS BIGINT) AS DOUBLE)
+             / CAST(sum(fa.cnt * da.cnt) AS BIGINT) / 100.0, 2) AS avg_price
+FROM (SELECT f.geohash, coalesce(f.room_type, dp.room_type) AS room_type,
+             COUNT(*) AS cnt, sum({_cents(_PRICE)}) AS cents
+      FROM fact_airbnb_listings f
+      LEFT JOIN dim_airbnb_property dp ON f.listing_id = dp.listing_id
+      WHERE {_PRICE_OK}
+      GROUP BY f.geohash, coalesce(f.room_type, dp.room_type)) fa
+JOIN (SELECT geohash, borough, COUNT(*) AS cnt
+      FROM dim_airbnb_location
+      WHERE borough IS NOT NULL
+      GROUP BY geohash, borough) da ON fa.geohash = da.geohash
+GROUP BY fa.room_type, da.borough
 ORDER BY listing_count DESC, room_type, borough
 """,
     # cell 2: neighbourhood revenue (A5 SUM+COALESCE; round 2 not 0 —
-    # see module docstring).
+    # see module docstring). Same rewrite; avg divides by the PAIR
+    # count of non-null prices (pcnt·dcnt), matching count(price) over
+    # the raw join exactly.
     "g06_neighbourhood_revenue": f"""
-SELECT al.neighbourhood_name AS neighbourhood,
-       al.borough,
-       COUNT(*) AS listings,
-       {_avg_money(_PRICE, "avg_price")},
-       round(CAST(CAST(sum({_cents("coalesce(f.estimated_revenue_l365d, 0)")}) AS BIGINT)
-             AS DOUBLE) / 100.0, 2) AS est_total_revenue_l365d
-FROM fact_airbnb_listings f
-JOIN dim_airbnb_location al ON f.geohash = al.geohash
-WHERE f.price NOT IN ('NaN', 'nan', '', 'INF', '-INF')
-GROUP BY al.neighbourhood_name, al.borough
+SELECT da.neighbourhood_name AS neighbourhood,
+       da.borough,
+       CAST(sum(fa.cnt * da.cnt) AS BIGINT) AS listings,
+       round(CAST(CAST(sum(fa.cents * da.cnt) AS BIGINT) AS DOUBLE)
+             / CAST(sum(fa.pcnt * da.cnt) AS BIGINT) / 100.0, 2) AS avg_price,
+       round(CAST(CAST(sum(fa.rev_cents * da.cnt) AS BIGINT) AS DOUBLE) / 100.0, 2)
+         AS est_total_revenue_l365d
+FROM (SELECT f.geohash, COUNT(*) AS cnt, count({_PRICE}) AS pcnt,
+             sum({_cents(_PRICE)}) AS cents,
+             sum({_cents("coalesce(f.estimated_revenue_l365d, 0)")}) AS rev_cents
+      FROM fact_airbnb_listings f
+      WHERE f.price NOT IN ('NaN', 'nan', '', 'INF', '-INF')
+      GROUP BY f.geohash) fa
+JOIN (SELECT geohash, neighbourhood_name, borough, COUNT(*) AS cnt
+      FROM dim_airbnb_location
+      GROUP BY geohash, neighbourhood_name, borough) da ON fa.geohash = da.geohash
+GROUP BY da.neighbourhood_name, da.borough
 ORDER BY listings DESC, neighbourhood, borough
 LIMIT 20
 """,

@@ -2811,6 +2811,172 @@ def _spark_dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- dedup_incremental: batch-vs-stored-index near-dup curation
+# (operators/dedup.py::minhash_index + incremental_near_dup_filter —
+# the persisted-LSH-index ingest path), verified by the same
+# differential-contract style as dedup_lsh_pairs, over a corpus/batch
+# split (doc_id % 5). Parts:
+#   inc_recall    — every CROSS truth pair (batch doc × corpus doc at
+#                   exact word-5gram J >= 0.8) must appear among the
+#                   incremental path's PRE-threshold banding candidates.
+#   inc_precision — zero est>=0.7 incremental flags whose exact J < 0.5.
+#   inc_equiv     — the incremental flag set (est>=0.5) must EQUAL the
+#                   cross-pair restriction of the full-corpus rescan
+#                   (minhash_near_dup_pairs over corpus ∪ batch): one
+#                   boolean row, symmetric difference == 0. This is the
+#                   claim that makes the stored index safe to rely on —
+#                   an increment sees exactly what a rescan would see. ---
+
+
+def _inc_flags(
+    new_sig: DataFrame,
+    new_bands: DataFrame,
+    idx_sig: DataFrame,
+    idx_bands: DataFrame,
+    min_jaccard_est: float,
+) -> DataFrame:
+    """(new_id, corpus_id, jaccard_est) — the batch-vs-index candidate
+    lookup `incremental_near_dup_filter` runs internally, exposed here
+    with its per-pair scores so the contract parts can inspect them.
+    Same shape: banded equi-join on the persisted (band, band_hash)
+    table, signatures re-attached only to surviving candidates."""
+    nb = new_bands.select(F.col("doc_id").alias("new_id"), "band", "band_hash")
+    ib = idx_bands.select(F.col("doc_id").alias("corpus_id"), "band", "band_hash")
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("__ns"), F.col("__cs"), lambda a, b: (a == b).cast("int")),
+            lambda x: x == 1,
+        )
+    )
+    return (
+        nb.join(ib, ["band", "band_hash"])
+        .select("new_id", "corpus_id")
+        .dropDuplicates(["new_id", "corpus_id"])
+        .join(
+            new_sig.select(F.col("doc_id").alias("new_id"), F.col("signature").alias("__ns")),
+            "new_id",
+        )
+        .join(
+            idx_sig.select(F.col("doc_id").alias("corpus_id"), F.col("signature").alias("__cs")),
+            "corpus_id",
+        )
+        .withColumn("jaccard_est", agree.cast("double") / F.lit(64.0))
+        .filter(F.col("jaccard_est") >= min_jaccard_est)
+        .select("new_id", "corpus_id", "jaccard_est")
+    )
+
+
+def _spark_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_index
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    idx_bands, idx_sig = minhash_index(
+        corpus, "doc_id", "text", 64, 16, _NGRAM_N, "word"
+    )
+    new_bands, bsig = minhash_index(batch, "doc_id", "text", 64, 16, _NGRAM_N, "word")
+    cand = _inc_flags(bsig, new_bands, idx_sig, idx_bands, min_jaccard_est=0.0)
+
+    # exact-Jaccard truth over cross pairs, reoriented (batch, corpus)
+    loose = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=_NGRAM_N, min_jaccard=_LSH_PRECISION_MIN_J
+    )
+    b_first = F.col("id_a") % 5 == 0
+    cross = loose.filter((F.col("id_a") % 5 == 0) != (F.col("id_b") % 5 == 0)).select(
+        F.when(b_first, F.col("id_a")).otherwise(F.col("id_b")).alias("new_id"),
+        F.when(b_first, F.col("id_b")).otherwise(F.col("id_a")).alias("corpus_id"),
+        "jaccard",
+    )
+    truth = cross.filter(F.col("jaccard") >= _LSH_TRUTH_MIN_J)
+
+    _null_j = F.lit(None).cast("double").alias("jaccard")
+    _null_id = [F.lit(None).cast("bigint").alias(c) for c in ("id_a", "id_b")]
+    recall = truth.join(
+        cand.select("new_id", "corpus_id").withColumn("__c", F.lit(True)),
+        ["new_id", "corpus_id"],
+        "left",
+    ).select(
+        F.lit("inc_recall").alias("part"),
+        F.col("new_id").cast("bigint").alias("id_a"),
+        F.col("corpus_id").cast("bigint").alias("id_b"),
+        F.round("jaccard", 6).alias("jaccard"),
+        F.lit(None).cast("bigint").alias("n"),
+        F.coalesce(F.col("__c"), F.lit(False)).alias("ok"),
+    )
+    precision = (
+        cand.filter(F.col("jaccard_est") >= 0.7)
+        .join(cross.select("new_id", "corpus_id"), ["new_id", "corpus_id"], "left_anti")
+        .agg(F.count("*").alias("__bad"))
+        .select(
+            F.lit("inc_precision").alias("part"), *_null_id, _null_j,
+            F.col("__bad").cast("bigint").alias("n"),
+            (F.col("__bad") == 0).alias("ok"),
+        )
+    )
+    inc05 = cand.filter(F.col("jaccard_est") >= 0.5).select("new_id", "corpus_id")
+    full = minhash_near_dup_pairs(
+        docs, "doc_id", "text", shingle="word", shingle_size=_NGRAM_N,
+        min_jaccard_est=0.5,
+    )
+    full_cross = full.filter(
+        (F.col("id_a") % 5 == 0) != (F.col("id_b") % 5 == 0)
+    ).select(
+        F.when(b_first, F.col("id_a")).otherwise(F.col("id_b")).alias("new_id"),
+        F.when(b_first, F.col("id_b")).otherwise(F.col("id_a")).alias("corpus_id"),
+    )
+    sym_diff = inc05.join(full_cross, ["new_id", "corpus_id"], "left_anti").unionByName(
+        full_cross.join(inc05, ["new_id", "corpus_id"], "left_anti")
+    )
+    equiv = sym_diff.agg(F.count("*").alias("__d")).select(
+        F.lit("inc_equiv").alias("part"), *_null_id, _null_j,
+        F.col("__d").cast("bigint").alias("n"),
+        (F.col("__d") == 0).alias("ok"),
+    )
+    return recall.unionByName(precision).unionByName(equiv).orderBy(
+        "part", F.col("id_a").asc_nulls_first(), F.col("id_b").asc_nulls_first()
+    )
+
+
+_INCREMENTAL_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, greatest(len(t) - {_NGRAM_N - 1}, 1)),
+                                 i -> array_to_string(t[i:i+{_NGRAM_N - 1}], ' '))) AS g
+    FROM toks
+  ) x
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS bid, b.doc_id AS cid, COUNT(*) AS i
+  FROM grams a JOIN grams b ON a.g = b.g
+  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+  GROUP BY a.doc_id, b.doc_id
+),
+truth AS (
+  SELECT bid, cid, CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) AS j
+  FROM inter
+  JOIN sizes na ON na.doc_id = bid
+  JOIN sizes nb ON nb.doc_id = cid
+  WHERE CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) >= {_LSH_TRUTH_MIN_J}
+)
+SELECT 'inc_recall' AS part, CAST(bid AS BIGINT) AS id_a, CAST(cid AS BIGINT) AS id_b,
+       round(j, 6) AS jaccard, CAST(NULL AS BIGINT) AS n, TRUE AS ok
+FROM truth
+UNION ALL
+SELECT 'inc_equiv', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS DOUBLE), 0, TRUE
+UNION ALL
+SELECT 'inc_precision', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS DOUBLE), 0, TRUE
+ORDER BY part, id_a NULLS FIRST, id_b NULLS FIRST
+"""
+
+
 _LSH_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents
@@ -3155,6 +3321,7 @@ def operator_queries() -> dict[str, OpQuery]:
         "dedup_exact_text": OpQuery(_spark_dedup_exact_text, _DEDUP_EXACT_ORACLE),
         "dedup_ngram_jaccard": OpQuery(_spark_ngram_jaccard, _NGRAM_JACCARD_ORACLE),
         "dedup_lsh_pairs": OpQuery(_spark_dedup_lsh_pairs, _LSH_ORACLE),
+        "dedup_incremental": OpQuery(_spark_dedup_incremental, _INCREMENTAL_ORACLE),
         "sim_cosine_topk": OpQuery(_spark_cosine_topk, _COSINE_TOPK_ORACLE),
         "sim_near_dup_exact": OpQuery(_spark_near_dup_exact, _NEAR_DUP_EXACT_ORACLE),
         "sim_ann_topk": OpQuery(_spark_sim_ann_topk, _ANN_ORACLE),

@@ -77,7 +77,10 @@ def _bench_lsh_pairs(spark, sf_dir):
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    except ValueError:
+        sf = -1.0  # non-sfN dir (e.g. a replicated scale corpus)
     spark = get_spark("bench")
     qs = entrymod.queries()
     qs["dedup_lsh_pairs"] = _bench_lsh_pairs

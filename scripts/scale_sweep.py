@@ -166,7 +166,22 @@ def ops(spark: SparkSession, d: str) -> dict[str, callable]:
         "dsir_select_30pct": lambda: _dsir_count(spark, d),
         "url_dedup": lambda: _url_dedup_count(spark, d),
         "fuzzy_decontaminate": lambda: _fuzzy_count(spark, d),
+        # the text_token_features passage-scrub part: gram-start
+        # inverted index + flagged-gram join + HOF rebuild. Salted
+        # copies keep the flagged-gram structure constant per copy.
+        "passage_scrub": lambda: _passage_scrub_count(spark, d),
     }
+
+
+def _passage_scrub_count(spark: SparkSession, d: str) -> int:
+    from adi_226_datawarehouse_project_spark.operators.passage_dedup import (
+        remove_repeated_passages,
+    )
+
+    docs = load_table(spark, d, "documents").select("doc_id", "text")
+    return remove_repeated_passages(
+        docs, "doc_id", "text", n=5, min_docs=2, keep="first"
+    ).count()
 
 
 def _dsir_count(spark: SparkSession, d: str) -> int:
