@@ -5,9 +5,16 @@ sf0.1.
 
 Replication policy (the salting rationale is scale_sweep.py's):
 
-- ``documents``: per-copy token salt → shingle sets disjoint across
-  copies; intra-copy duplicate structure repeats exactly K× so pair
-  outputs scale linearly and wall time measures the operator.
+- ``documents``: per-copy token salt → shingle sets (near-)disjoint
+  across copies; intra-copy duplicate structure repeats exactly K× so
+  pair outputs scale linearly and wall time measures the operator.
+  STOPWORD tokens keep their original form (the salt is stripped back
+  off them): ``lang_id``/``quality_score`` are stopword-ratio
+  heuristics, and fully-salted copies would all classify as unknown
+  language and be dropped by the pipeline's clean stage — which
+  silently turns a 64× pipeline run into a 1× run (observed). The
+  shared all-stopword shingles this leaves across copies are far too
+  sparse to reach any near-dup operating point (J contribution <3%).
 - ``events``: event_id/user_id offset per copy → per-user session
   structure repeats; the fixed event-time span gets K× denser.
 - ``embeddings``: vec_id offset; vectors copied verbatim (top-k and
@@ -44,6 +51,21 @@ from adi_226_datawarehouse_project_spark.session import get_spark  # noqa: E402
 from adi_226_datawarehouse_project_spark.sources.catalog import load_table  # noqa: E402
 
 COPY_AS_IS = ("region", "nation", "part", "supplier")
+
+
+def _salted_text(c: int):
+    """Per-copy token salt that PRESERVES stopword tokens (see module
+    docstring). Two regexp passes: prefix every token, then strip the
+    prefix back off (case-insensitive) stopword tokens."""
+    from adi_226_datawarehouse_project_spark.functions.text import LANG_STOPWORDS
+
+    if c == 0:
+        return F.col("text")
+    sw = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
+    salted = F.regexp_replace("text", r"(\S+)", f"c{c}$1")
+    return F.regexp_replace(
+        salted, rf"(^|\s)c{c}((?i:{'|'.join(sw)}))(?=\s|$)", "$1$2"
+    )
 
 
 def _stack(copies: list[DataFrame]) -> DataFrame:
@@ -84,9 +106,7 @@ def replicate(spark: SparkSession, sf: str, mult: int, out: Path) -> None:
         [
             docs.select(
                 (F.col("doc_id") + F.lit(c * n["doc_id"])).alias("doc_id"),
-                F.regexp_replace("text", r"(\S+)", f"c{c}$1").alias("text")
-                if c
-                else F.col("text"),
+                _salted_text(c).alias("text"),
                 "lang",
                 "source",
                 "n_chars",
