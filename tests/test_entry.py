@@ -18,8 +18,9 @@ def test_entry_returns_rows(spark):
 def test_every_query_has_oracle(spark):
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    # exactly the driver's 50-query CORRECTNESS budget, all oracled
-    assert len(qs) == 50
+    # the declared CORRECTNESS surface: 10 goldens + 41 operator
+    # queries (round 5 added dedup_incremental), all oracled
+    assert len(qs) == 51
     assert set(oracles) == set(qs)
 
 
