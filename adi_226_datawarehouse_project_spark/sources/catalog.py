@@ -89,6 +89,19 @@ def events_ts_storage(path: str) -> str:
         if not parts:
             raise FileNotFoundError(f"no parquet part files under {path}")
         path = parts[0]
+    # INT96 (legacy Spark/Hive timestamps — what Spark itself writes
+    # under the default outputTimestampType) surfaces as timestamp[ns]
+    # in the ARROW schema, indistinguishable from a real
+    # TIMESTAMP(NANOS) column; only the parquet PHYSICAL type tells
+    # them apart. Spark reads INT96 natively as a session-tz
+    # timestamp, so it takes the plain "timestamp" path — classifying
+    # it "nanos" would request bigint over INT96 pages and fail the
+    # scan (observed on a Spark-written events table).
+    pf = pq.ParquetFile(path)
+    for i in range(len(pf.schema)):
+        col = pf.schema.column(i)
+        if col.name == "ts" and col.physical_type == "INT96":
+            return "timestamp"
     t = pq.read_schema(path).field("ts").type
     if pa.types.is_integer(t) or (pa.types.is_timestamp(t) and t.unit == "ns"):
         return "nanos"

@@ -62,12 +62,18 @@ def read_events_stream(spark: SparkSession, sf_dir: str, **options: str) -> Data
     unaffected (same scoping as sources.catalog.load_table)."""
     schema = events_schema(sf_dir)
     nanos = isinstance(schema["ts"].dataType, T.LongType)
-    reader = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("path", sf_dir)
-        .option("pathGlobFilter", "events.parquet")
-    )
+    # events.parquet is a single FILE in the driver-generated testdata
+    # but a DIRECTORY of part files when Spark wrote it (e.g. the
+    # replicated scale corpora) — the glob form matches only the file
+    # layout and would silently stream ZERO rows from a directory.
+    events_path = os.path.join(sf_dir, "events.parquet")
+    reader = spark.readStream.schema(schema).format("parquet")
+    if os.path.isdir(events_path):
+        reader = reader.option("path", events_path)
+    else:
+        reader = reader.option("path", sf_dir).option(
+            "pathGlobFilter", "events.parquet"
+        )
     for k, v in options.items():
         reader = reader.option(k, v)
     if nanos:

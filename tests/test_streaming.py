@@ -58,19 +58,38 @@ def test_events_ts_layout_matrix(spark, tmp_path):
         "nanos_ts": pa.array([m * 1000 for m in micros], pa.timestamp("ns")),
         "ntz": pa.array(micros, pa.timestamp("us")),
         "timestamp": pa.array(micros, pa.timestamp("us", tz="UTC")),
+        # legacy Spark/Hive INT96 — what Spark itself writes under the
+        # default outputTimestampType. Arrow-level schema says
+        # timestamp[ns], so only the parquet PHYSICAL type separates it
+        # from nanos_ts; misclassifying it "nanos" fails the scan.
+        "int96": pa.array(micros, pa.timestamp("us", tz="UTC")),
+        # Spark-written DIRECTORY layout (part files under
+        # events.parquet/) — the streaming source must read it too.
+        "timestamp_dir": pa.array(micros, pa.timestamp("us", tz="UTC")),
     }
     # storage classification folds both physical nanos encodings
     # (raw int64 and parquet TIMESTAMP(NANOS)) into "nanos"
     expected_storage = {
-        "nanos": "nanos", "nanos_ts": "nanos", "ntz": "ntz", "timestamp": "timestamp"
+        "nanos": "nanos", "nanos_ts": "nanos", "ntz": "ntz",
+        "timestamp": "timestamp", "int96": "timestamp",
+        "timestamp_dir": "timestamp",
     }
     got, got_stream = {}, {}
     for name, ts_arr in layouts.items():
         d = tmp_path / name
         d.mkdir()
-        path = str(d / "events.parquet")
-        pq.write_table(pa.table({"event_id": base["event_id"], "ts": ts_arr, **{
-            k: v for k, v in base.items() if k != "event_id"}}), path)
+        table = pa.table({"event_id": base["event_id"], "ts": ts_arr, **{
+            k: v for k, v in base.items() if k != "event_id"}})
+        if name == "timestamp_dir":
+            (d / "events.parquet").mkdir()
+            path = str(d / "events.parquet" / "part-00000.parquet")
+        else:
+            path = str(d / "events.parquet")
+        pq.write_table(
+            table, path, use_deprecated_int96_timestamps=(name == "int96")
+        )
+        if name == "timestamp_dir":
+            path = str(d / "events.parquet")
         assert events_ts_storage(path) == expected_storage[name]
         df = load_table(spark, str(d), "events")
         assert isinstance(df.schema["ts"].dataType, T.TimestampType), name
@@ -89,7 +108,8 @@ def test_events_ts_layout_matrix(spark, tmp_path):
         # honoring an explicit TIMESTAMP schema over an NTZ-stored
         # file — version-sensitive, so execute it, don't assume it
         got_stream[name] = _stream_ts_values(spark, str(d), name)
-    assert got["nanos"] == got["nanos_ts"] == got["ntz"] == got["timestamp"]
+    vals = list(got.values())
+    assert all(v == vals[0] for v in vals), got
     for name in layouts:
         assert got_stream[name] == got[name], (
             f"{name}: streamed ts values diverge from the batch loader"
