@@ -497,17 +497,26 @@ def group_sample_k(
             .filter(F.col("__n") > prefilter_over)
             .select(
                 strata_col,
-                F.lpad(
-                    F.lower(
-                        F.hex(
-                            F.least(
-                                F.lit(space),
-                                F.ceil(F.lit(10.0 * k + 50) / F.col("__n") * space),
-                            ).cast("bigint")
-                        )
-                    ),
-                    _HEX_WIDTH,
-                    "0",
+                # fraction >= 1 (stratum over the row threshold but not
+                # over 10k+50) must DISABLE the filter, not cap it: the
+                # capped 16^6 renders as SEVEN hex chars and lpad(…, 6)
+                # TRUNCATES from the right, yielding "100000" — a ~1/16
+                # keep rate that silently breaks exact-k. "g" sorts
+                # above every hex digit, so `prefix < "g"` keeps all.
+                F.when(
+                    F.lit(10.0 * k + 50) >= F.col("__n"), F.lit("g")
+                ).otherwise(
+                    F.lpad(
+                        F.lower(
+                            F.hex(
+                                F.ceil(
+                                    F.lit(10.0 * k + 50) / F.col("__n") * space
+                                ).cast("bigint")
+                            )
+                        ),
+                        _HEX_WIDTH,
+                        "0",
+                    )
                 ).alias("__thr"),
             )
         )

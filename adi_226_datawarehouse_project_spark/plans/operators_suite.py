@@ -2811,6 +2811,63 @@ def _spark_dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- corpus_group_sample: deterministic per-stratum EXACT-k sampling
+# (operators/training.py::group_sample_k), full value oracle — the
+# md5(seed:id) ranking is engine-portable, so DuckDB re-derives the
+# exact sampled id set. Two parts over the SAME operating point:
+#   plain       — prefilter_over=None (single-pass window).
+#   prefiltered — prefilter_over=60, which at the test SFs puts the
+#                 large stratum (en) through the REAL fractional
+#                 hash-threshold pre-pass and the small strata through
+#                 the fraction>=1 disabled branch — both must produce
+#                 EXACTLY the same rows as the plain form (the
+#                 prefix-dominates-ranking invariant, and the round-5
+#                 lpad-truncation regression, correctness-gated). ---
+_GS_K = 5
+_GS_SEED = "gs-oracle-v1"
+
+
+def _spark_corpus_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.training import group_sample_k
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+
+    def _part(label: str, prefilter_over: int | None) -> DataFrame:
+        return group_sample_k(
+            docs, "lang", "doc_id", k=_GS_K, seed=_GS_SEED,
+            prefilter_over=prefilter_over,
+        ).select(
+            F.lit(label).alias("part"),
+            "lang",
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+        )
+
+    return (
+        _part("plain", None)
+        .unionByName(_part("prefiltered", 60))
+        .orderBy("part", "lang", "doc_id")
+    )
+
+
+_GROUP_SAMPLE_ORACLE = f"""
+WITH ranked AS (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY substring(md5('{_GS_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 12),
+                    doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT 'plain' AS part, lang, CAST(doc_id AS BIGINT) AS doc_id
+FROM ranked WHERE rn <= {_GS_K}
+UNION ALL
+SELECT 'prefiltered' AS part, lang, CAST(doc_id AS BIGINT) AS doc_id
+FROM ranked WHERE rn <= {_GS_K}
+ORDER BY part, lang, doc_id
+"""
+
+
 # --- dedup_incremental: batch-vs-stored-index near-dup curation
 # (operators/dedup.py::minhash_index + incremental_near_dup_filter —
 # the persisted-LSH-index ingest path), verified by the same
@@ -3328,6 +3385,7 @@ def operator_queries() -> dict[str, OpQuery]:
         "sim_ivf_topk": OpQuery(_spark_ivf_topk, _IVF_TOPK_ORACLE),
         "text_token_features": OpQuery(_spark_text_token_features, _text_token_features_oracle()),
         "text_doc_features": OpQuery(_spark_text_doc_features, _text_doc_features_oracle()),
+        "corpus_group_sample": OpQuery(_spark_corpus_group_sample, _GROUP_SAMPLE_ORACLE),
         "pipeline_curation_funnel": OpQuery(_spark_curation_funnel, _funnel_oracle()),
         "multimodal_suite": OpQuery(_spark_multimodal_suite, _multimodal_suite_oracle()),
         # --- star-schema cleaning / warehouse operators ---

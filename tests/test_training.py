@@ -418,3 +418,19 @@ def test_two_phase_scans_accept_storage_level(spark):
 
     with _pytest.raises(ValueError, match="storage level"):
         distributed_prefix_sum(df, "k", "v", storage_level="NOPE").collect()
+
+
+def test_group_sample_k_prefilter_fraction_ge_one_keeps_exact_k(spark):
+    """Regression: a stratum over prefilter_over but NOT over 10k+50
+    rows has keep-fraction >= 1 — the pre-filter must disable itself
+    for that stratum (the capped 16^6 threshold renders as seven hex
+    chars and lpad truncation would silently keep ~1/16 of rows,
+    breaking exact-k)."""
+    from adi_226_datawarehouse_project_spark.operators.training import group_sample_k
+
+    df = spark.createDataFrame([("s", i) for i in range(100)], ["stratum", "id"])
+    base = group_sample_k(df, "stratum", "id", k=25, seed="f1", prefilter_over=None)
+    pre = group_sample_k(df, "stratum", "id", k=25, seed="f1", prefilter_over=50)
+    want = sorted(r["id"] for r in base.collect())
+    got = sorted(r["id"] for r in pre.collect())
+    assert got == want and len(got) == 25
