@@ -108,6 +108,12 @@ def ingest_increment(
     if batch_id in ingested_batches(spark, corpus_dir):
         return {"batch_id": batch_id, "n_in": 0, "n_kept": 0, "skipped": True}
 
+    from pyspark import StorageLevel
+
+    # The cleaned batch feeds FIVE consumers (two candidate joins, the
+    # docs append, and both index-delta writes), and cleaning is regex-
+    # heavy (lang-id + quality + PII scrub) — without a pin, each
+    # consumer re-runs the whole chain. Persist is batch-size state.
     cleaned = (
         batch_docs.filter(
             (TX.lang_id("text") == lang)
@@ -120,6 +126,7 @@ def ingest_increment(
             "source",
         )
         .withColumn("n_tokens", TX.token_count("text").cast("bigint"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n_in = batch_docs.count()
 
@@ -136,16 +143,24 @@ def ingest_increment(
         shingle_size=shingle_size,
         min_jaccard_est=min_jaccard_est,
         shingle="word",
-    )
-    # one signature computation for the delta — appended, never rebuilt
-    new_bands, new_sigs = minhash_index(
-        survivors, "doc_id", "text", _NUM_HASHES, _BANDS, shingle_size, "word"
-    )
-    n_kept = observed_write_parquet(
-        survivors, _zone(corpus_dir, "docs"), mode="append"
-    )
-    observed_write_parquet(new_bands, _zone(corpus_dir, "index_bands"), mode="append")
-    observed_write_parquet(new_sigs, _zone(corpus_dir, "index_sigs"), mode="append")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        # one signature computation for the delta — appended, never rebuilt
+        new_bands, new_sigs = minhash_index(
+            survivors, "doc_id", "text", _NUM_HASHES, _BANDS, shingle_size, "word"
+        )
+        n_kept = observed_write_parquet(
+            survivors, _zone(corpus_dir, "docs"), mode="append"
+        )
+        observed_write_parquet(
+            new_bands, _zone(corpus_dir, "index_bands"), mode="append"
+        )
+        observed_write_parquet(
+            new_sigs, _zone(corpus_dir, "index_sigs"), mode="append"
+        )
+    finally:
+        survivors.unpersist()
+        cleaned.unpersist()
     # marker LAST: a crash anywhere above re-runs the batch and
     # converges (module docstring)
     observed_write_parquet(
