@@ -41,8 +41,15 @@ def get_spark(
         # encoding of high-cardinality string columns; with ample
         # executor memory the encode CPU outweighs the space saved
         # (measured: warehouse materialization 23s → 13s at sf0.1).
-        # Re-enable on memory-tight clusters.
-        .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
+        # SPARK_GRAFT_CACHE_COMPRESS=true re-enables it for memory-
+        # tight runs — at a 128×-replicated corpus the uncompressed
+        # cache starved execution memory (UNABLE_TO_ACQUIRE) in a 16g
+        # heap; compressed cache + a bigger heap is that scale's
+        # operating point.
+        .config(
+            "spark.sql.inMemoryColumnarStorage.compressed",
+            os.environ.get("SPARK_GRAFT_CACHE_COMPRESS", "false"),
+        )
         # ANSI off: the engine's cleaning layer relies on null-on-error
         # cast semantics (reference TRY_CAST behavior); explicit
         # try_* functions are still used where intent matters.

@@ -122,12 +122,34 @@ def main() -> None:
     # methodology: the first run can carry residual JIT/classloading
     # and background-process contention; the min is the
     # reproducible cost of the plan).
+    # Row-per-doc suites are consumed via a hash-reduce: every column
+    # of every row is evaluated (xxhash64 forces the projections a
+    # bare count() would let Catalyst prune), but only ONE row crosses
+    # py4j — collect()ing the full result measured the driver transfer
+    # tax, not the plan (83s of a 1.28M-row collect at a 128×-
+    # replicated corpus, vs 10s for the actual query work).
+    _HASH_CONSUME = {"text_token_features", "op_topk_orders_per_customer"}
+
+    def _consume(df):
+        from pyspark.sql import functions as F
+
+        row = df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64(*[F.col(c) for c in df.columns])).alias("h"),
+        ).collect()[0]
+        return int(row["n"])
+
     for name in BENCH_QUERIES:
         best, n = float("inf"), 0
         for _ in range(2):
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
-            n = df.count() if name.startswith(("dedup_", "sim_")) else len(df.collect())
+            if name.startswith(("dedup_", "sim_")):
+                n = df.count()
+            elif name in _HASH_CONSUME:
+                n = _consume(df)
+            else:
+                n = len(df.collect())
             best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 3)
         print(f"# {name}: {times[name]:.3f}s rows={n}", file=sys.stderr)
