@@ -79,8 +79,15 @@ def matches(col: str, pattern: str) -> Constraint:
 def in_set(col: str, values: list) -> Constraint:
     # name embeds the allowed values (like in_range/matches embed their
     # parameters) so two in_set constraints on the same column with
-    # different sets stay distinguishable in reports
-    shown = ",".join(repr(v) for v in values[:4]) + (",…" if len(values) > 4 else "")
+    # different sets stay distinguishable in reports; when the shown
+    # prefix truncates, a digest of the FULL list disambiguates sets
+    # that agree on their first four values
+    shown = ",".join(repr(v) for v in values[:4])
+    if len(values) > 4:
+        import hashlib
+
+        digest = hashlib.md5(repr(values).encode()).hexdigest()[:8]
+        shown += f",…#{digest}"
     c = F.col(col)
     return Constraint(
         f"in_set({col} ∈ {{{shown}}})",

@@ -423,10 +423,18 @@ def incremental_near_dup_filter(
     shingle_size: int = 3,
     min_jaccard_est: float = 0.5,
     shingle: str = "char",
+    new_index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Append-time dedup: drop every row of ``new_docs`` that is a
     near-duplicate of the INDEXED corpus or of an earlier-id row in the
     same batch; return the surviving rows unchanged.
+
+    ``new_index`` optionally supplies the batch's own (band rows,
+    signatures) — the :func:`minhash_index` output over ``new_docs`` —
+    so a caller that also needs them (e.g. the ingest pipeline's
+    index-delta append) computes the 64-hash signature aggregation
+    ONCE instead of once here and once for the delta. Must be derived
+    from ``new_docs`` with the same num_hashes/bands/shingle settings.
 
     Candidates come from two equi-joins, both O(batch), never a
     corpus-sized shuffle: new-vs-index on the persisted (band,
@@ -448,10 +456,13 @@ def incremental_near_dup_filter(
     band/signature rows (from :func:`minhash_index` over the survivors)
     to the two index tables; re-running the same batch then drops every
     row (idempotent ingest — tested)."""
-    new_sig = minhash_signatures(
-        new_docs, id_col, text_col, num_hashes, shingle_size, shingle
-    )
-    new_bands = _band_rows(new_sig, id_col, num_hashes, bands)
+    if new_index is not None:
+        new_bands, new_sig = new_index
+    else:
+        new_sig = minhash_signatures(
+            new_docs, id_col, text_col, num_hashes, shingle_size, shingle
+        )
+        new_bands = _band_rows(new_sig, id_col, num_hashes, bands)
 
     def _est(sig_a, sig_b) -> Column:
         agree = F.size(

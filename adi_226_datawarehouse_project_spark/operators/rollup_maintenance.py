@@ -70,6 +70,24 @@ def merge_rollups(
     ``sum_*``/``min_*``/``max_*``/``sketch_*``/``n_rows`` layout from
     :func:`rollup_delta` works). Associative: merging day-by-day or
     all-at-once yields the same table."""
+    # Back-compat: rollups persisted before cnt_<c> partials existed
+    # lack them — synthesize cnt_<c> := n_rows on the legacy side (its
+    # historical avg semantics: every row assumed to have contributed),
+    # so an old stored rollup keeps merging with new deltas instead of
+    # failing the nightly refresh.
+    def _with_legacy_cnts(df: DataFrame, other: DataFrame) -> DataFrame:
+        for c in other.columns:
+            if (
+                c.startswith("cnt_")
+                and c not in df.columns
+                and f"sum_{c[len('cnt_'):]}" in df.columns
+            ):
+                df = df.withColumn(c, F.col("n_rows"))
+        return df  # a cnt_ with no matching sum_ falls through to the
+        # schemas-differ check below — that's a genuine mismatch
+
+    old = _with_legacy_cnts(old, delta)
+    delta = _with_legacy_cnts(delta, old)
     if set(old.columns) != set(delta.columns):
         raise ValueError(
             f"rollup schemas differ: {sorted(old.columns)} vs {sorted(delta.columns)}"

@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.text import _let
+
 _HEX_WIDTH = 6  # 16^6 = 16.7M buckets: fraction granularity ~6e-8
 
 
@@ -497,26 +499,21 @@ def group_sample_k(
             .filter(F.col("__n") > prefilter_over)
             .select(
                 strata_col,
-                # fraction >= 1 (stratum over the row threshold but not
-                # over 10k+50) must DISABLE the filter, not cap it: the
-                # capped 16^6 renders as SEVEN hex chars and lpad(…, 6)
-                # TRUNCATES from the right, yielding "100000" — a ~1/16
-                # keep rate that silently breaks exact-k. "g" sorts
-                # above every hex digit, so `prefix < "g"` keeps all.
-                F.when(
-                    F.lit(10.0 * k + 50) >= F.col("__n"), F.lit("g")
-                ).otherwise(
-                    F.lpad(
-                        F.lower(
-                            F.hex(
-                                F.ceil(
-                                    F.lit(10.0 * k + 50) / F.col("__n") * space
-                                ).cast("bigint")
-                            )
-                        ),
-                        _HEX_WIDTH,
-                        "0",
-                    )
+                # a threshold at or above 16^6 must DISABLE the filter,
+                # not cap it: the capped value renders as SEVEN hex
+                # chars and lpad(…, 6) TRUNCATES from the right,
+                # yielding "100000" — a ~1/16 keep rate that silently
+                # breaks exact-k. The guard is on the CEIL'd value, not
+                # the raw fraction: for n just above 10k+50 the ceil
+                # still rounds up to exactly 16^6. "g" sorts above
+                # every hex digit, so `prefix < "g"` keeps all.
+                _let(
+                    F.ceil(
+                        F.lit(10.0 * k + 50) / F.col("__n") * space
+                    ).cast("bigint"),
+                    lambda v: F.when(v >= F.lit(space), F.lit("g")).otherwise(
+                        F.lpad(F.lower(F.hex(v)), _HEX_WIDTH, "0")
+                    ),
                 ).alias("__thr"),
             )
         )

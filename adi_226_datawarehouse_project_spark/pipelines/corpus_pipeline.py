@@ -151,7 +151,7 @@ def run_corpus_pipeline(
         )
         return _write(survivors, "dedup")
 
-    def _bench_docs(upstream_cols=("doc_id", "text")):
+    def _bench_docs():
         # benchmark text must go through the SAME normalization (and
         # PII scrub) the clean stage applies to training text — the
         # n-gram/shingle match happens on the normalized form, so a

@@ -45,11 +45,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
-from ..operators.dedup import incremental_near_dup_filter, minhash_index
+from ..operators.dedup import _band_rows, incremental_near_dup_filter, minhash_index
 from ..sources.observe import observed_write_parquet
 
 _NUM_HASHES = 64
 _BANDS = 16
+
+
+def _band_rows_of(sigs: DataFrame) -> DataFrame:
+    return _band_rows(sigs, "doc_id", _NUM_HASHES, _BANDS)
 
 
 def _zone(corpus_dir: str, name: str) -> str:
@@ -96,6 +100,7 @@ def ingest_increment(
     batch_id: str,
     lang: str = "en",
     min_quality: float = 0.75,
+    max_repetition: float = 0.8,
     min_jaccard_est: float = 0.7,
     shingle_size: int = 3,
 ) -> dict:
@@ -105,6 +110,10 @@ def ingest_increment(
     PII scrub / lang / quality gates as ``corpus_pipeline``'s clean
     zone, so a doc admitted incrementally is a doc the full rebuild
     would admit."""
+    if not _exists(_zone(corpus_dir, "docs")):
+        raise FileNotFoundError(
+            f"{corpus_dir} is not an initialized corpus — run init_corpus first"
+        )
     if batch_id in ingested_batches(spark, corpus_dir):
         return {"batch_id": batch_id, "n_in": 0, "n_kept": 0, "skipped": True}
 
@@ -118,6 +127,7 @@ def ingest_increment(
         batch_docs.filter(
             (TX.lang_id("text") == lang)
             & (TX.quality_score("text") >= min_quality)
+            & (TX.repeated_token_fraction("text") <= max_repetition)
         )
         .select(
             "doc_id",
@@ -132,6 +142,13 @@ def ingest_increment(
 
     index_bands = spark.read.parquet(_zone(corpus_dir, "index_bands"))
     index_sigs = spark.read.parquet(_zone(corpus_dir, "index_sigs"))
+    # the batch's signatures are computed ONCE (the dominant per-doc
+    # CPU): the filter reuses them via new_index, and the index delta
+    # below is a plain semi-join of the same frames on survivor ids
+    batch_bands, batch_sigs = minhash_index(
+        cleaned, "doc_id", "text", _NUM_HASHES, _BANDS, shingle_size, "word"
+    )
+    batch_sigs = batch_sigs.persist(StorageLevel.MEMORY_AND_DISK)
     survivors = incremental_near_dup_filter(
         cleaned,
         "doc_id",
@@ -143,23 +160,26 @@ def ingest_increment(
         shingle_size=shingle_size,
         min_jaccard_est=min_jaccard_est,
         shingle="word",
+        new_index=(_band_rows_of(batch_sigs), batch_sigs),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        # one signature computation for the delta — appended, never rebuilt
-        new_bands, new_sigs = minhash_index(
-            survivors, "doc_id", "text", _NUM_HASHES, _BANDS, shingle_size, "word"
-        )
         n_kept = observed_write_parquet(
             survivors, _zone(corpus_dir, "docs"), mode="append"
         )
+        kept_ids = survivors.select("doc_id")
         observed_write_parquet(
-            new_bands, _zone(corpus_dir, "index_bands"), mode="append"
+            _band_rows_of(batch_sigs).join(kept_ids, "doc_id"),
+            _zone(corpus_dir, "index_bands"),
+            mode="append",
         )
         observed_write_parquet(
-            new_sigs, _zone(corpus_dir, "index_sigs"), mode="append"
+            batch_sigs.join(kept_ids, "doc_id"),
+            _zone(corpus_dir, "index_sigs"),
+            mode="append",
         )
     finally:
         survivors.unpersist()
+        batch_sigs.unpersist()
         cleaned.unpersist()
     # marker LAST: a crash anywhere above re-runs the batch and
     # converges (module docstring)

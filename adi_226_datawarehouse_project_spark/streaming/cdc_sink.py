@@ -27,11 +27,14 @@ The snapshot directory is swapped write-new-then-rename (the
 ``compact_table`` pattern) — a reader never sees a half-written
 snapshot, and a crash before the first rename leaves the old snapshot
 intact. The rename pair itself is not atomic; a crash between the two
-renames parks the durable snapshot at ``__old``, and every entry point
-runs :func:`_recover_snapshot` first to move it back, so the worst
-case is re-folding the interrupted (idempotent) batch. On a
-transactional table format this body becomes MERGE INTO; the streaming
-graph does not change.
+renames leaves the committed merge at ``__new`` and the previous
+snapshot at ``__old``. WRITE paths (apply/compact — serialized by
+foreachBatch) run :func:`_recover_snapshot` first to finish or unwind
+the swap; READ paths stay side-effect-free and resolve the right
+directory via :func:`_read_path`, so a concurrent reader can never
+race an in-flight writer swap. Worst case is re-folding the
+interrupted (idempotent) batch. On a transactional table format this
+body becomes MERGE INTO; the streaming graph does not change.
 """
 
 from __future__ import annotations
@@ -46,15 +49,43 @@ from ..operators.cdc import latest_changes
 
 
 def _recover_snapshot(path: str) -> None:
-    """Crash recovery for the two-rename swap in :func:`_swap_in`: a
-    crash between ``target→__old`` and ``__new→target`` leaves nothing
-    at ``path`` while the last durable snapshot sits at ``__old``.
-    Every entry point calls this first, so that window merely costs a
-    re-fold of the interrupted batch (idempotent by design) instead of
-    silently rebuilding state from one batch."""
+    """WRITER-side crash recovery for the two-rename swap in
+    :func:`_swap_in`: a crash between ``target→__old`` and
+    ``__new→target`` leaves nothing at ``path``, the COMMITTED merge at
+    ``__new`` (its parquet write finished before any rename started)
+    and the previous snapshot at ``__old``. Promote ``__new`` when it
+    committed (the fold it holds is idempotent — a checkpoint replay of
+    the same batch changes nothing), else fall back to ``__old``.
+
+    Called only from the write path (apply/compact), which foreachBatch
+    serializes — READERS must stay side-effect-free (see
+    :func:`_read_path`) or a reader's rename races the writer's swap
+    and fails its ``__new→target`` rename."""
+    if os.path.isdir(path):
+        return
+    new = path.rstrip("/") + "__new"
     old = path.rstrip("/") + "__old"
-    if not os.path.isdir(path) and os.path.isdir(old):
+    if os.path.isdir(new) and os.path.exists(os.path.join(new, "_SUCCESS")):
+        os.rename(new, path)
+        shutil.rmtree(old, ignore_errors=True)
+    elif os.path.isdir(old):
         os.rename(old, path)
+
+
+def _read_path(path: str) -> str:
+    """Side-effect-free reader view of the swap state: the directory a
+    reader should load — ``target`` normally, the committed ``__new``
+    or parked ``__old`` inside the crash window. Never renames, so
+    concurrent readers cannot race an in-flight writer swap."""
+    if os.path.isdir(path):
+        return path
+    new = path.rstrip("/") + "__new"
+    if os.path.isdir(new) and os.path.exists(os.path.join(new, "_SUCCESS")):
+        return new
+    old = path.rstrip("/") + "__old"
+    if os.path.isdir(old):
+        return old
+    return path
 
 
 def _swap_in(merged: DataFrame, target_path: str) -> None:
@@ -80,9 +111,9 @@ def _snapshot_exists(path: str) -> bool:
 
 def read_cdc_snapshot(spark: SparkSession, target_path: str, op_col: str = "op") -> DataFrame:
     """The live table view: stored snapshot minus tombstones and
-    bookkeeping columns."""
-    _recover_snapshot(target_path)
-    snap = spark.read.parquet(target_path)
+    bookkeeping columns. Reads through :func:`_read_path`, so a crash
+    window is readable WITHOUT mutating the swap state."""
+    snap = spark.read.parquet(_read_path(target_path))
     return snap.filter(F.col(op_col) != "D").drop(op_col)
 
 

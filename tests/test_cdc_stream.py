@@ -121,8 +121,10 @@ def test_tombstone_compaction_respects_retention(spark, fresh):
 
 def test_crash_between_swap_renames_recovers(spark, fresh):
     """The two-rename snapshot swap has a window where target is
-    missing and the durable snapshot sits at __old; every entry point
-    must recover it rather than rebuild state from one batch."""
+    missing and the durable snapshot sits at __old (and the committed
+    merge, when it got that far, at __new). Readers must resolve the
+    window WITHOUT renaming (a reader rename would race an in-flight
+    writer swap); the serialized write path recovers it."""
     b1 = spark.createDataFrame(
         [(1, "a", 100, 1, "I"), (2, "b", 200, 1, "I")], schema=SCHEMA
     )
@@ -130,9 +132,19 @@ def test_crash_between_swap_renames_recovers(spark, fresh):
     before = _live(spark)
     # simulate the crash: target renamed away, __new never moved in
     os.rename(f"{BASE}/target", f"{BASE}/target__old")
-    assert _live(spark) == before  # read path recovers
-    os.rename(f"{BASE}/target", f"{BASE}/target__old")
+    assert _live(spark) == before  # reader sees the parked snapshot...
+    assert not os.path.isdir(f"{BASE}/target")  # ...WITHOUT renaming
     b2 = spark.createDataFrame([(2, "b", 250, 2, "U")], schema=SCHEMA)
     apply_cdc_batch(spark, b2, f"{BASE}/target", ["id"], "seq")
     # apply path recovered the folded state before merging the batch
     assert _live(spark) == [(1, "a", 100), (2, "b", 250)]
+    assert os.path.isdir(f"{BASE}/target")
+
+    # the other half of the window: __new committed, target missing —
+    # the writer promotes the committed merge, the reader prefers it
+    os.rename(f"{BASE}/target", f"{BASE}/target__new")
+    assert _live(spark) == [(1, "a", 100), (2, "b", 250)]  # reader, no rename
+    assert not os.path.isdir(f"{BASE}/target")
+    b3 = spark.createDataFrame([(3, "c", 10, 1, "I")], schema=SCHEMA)
+    apply_cdc_batch(spark, b3, f"{BASE}/target", ["id"], "seq")
+    assert _live(spark) == [(1, "a", 100), (2, "b", 250), (3, "c", 10)]

@@ -124,3 +124,11 @@ def test_two_in_set_constraints_on_same_column_stay_distinct(spark):
     report = QC.check(df, [strict, loose])
     assert [r["violations"] for r in report] == [2, 0]
     assert report[0]["name"] != report[1]["name"]
+
+
+def test_in_set_names_disagree_beyond_shown_prefix(spark):
+    """Sets agreeing on their first four values still get distinct
+    names via the full-list digest."""
+    a = QC.in_set("c", ["a", "b", "c", "d", "e"])
+    b = QC.in_set("c", ["a", "b", "c", "d", "f"])
+    assert a.name != b.name

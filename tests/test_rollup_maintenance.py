@@ -111,3 +111,17 @@ def test_avg_skips_null_measures_like_true_avg(spark):
     merged = merge_rollups(roll, rollup_delta(facts, ["g"], sum_cols=["v"]), ["g"])
     got2 = {r["g"]: r["avg_v"] for r in read_rollup(merged).collect()}
     assert got2["a"] == 15.0 and got2["b"] is None
+
+
+def test_merge_accepts_legacy_rollup_without_cnt_columns(spark):
+    """Rollups persisted before cnt_<c> partials existed must keep
+    merging: the legacy side synthesizes cnt_<c> := n_rows (its
+    historical every-row-counts avg semantics)."""
+    facts = spark.createDataFrame([("a", 10), ("a", 20)], "g string, v int")
+    legacy = rollup_delta(facts, ["g"], sum_cols=["v"]).drop("cnt_v")
+    delta = rollup_delta(facts, ["g"], sum_cols=["v"])
+    merged = merge_rollups(legacy, delta, ["g"])
+    row = {r["g"]: (r["n_rows"], r["sum_v"], r["cnt_v"]) for r in merged.collect()}
+    assert row["a"] == (4, 60, 4)
+    got = read_rollup(merged).collect()[0]
+    assert got["avg_v"] == 15.0
