@@ -145,10 +145,14 @@ def ingest_increment(
     # the batch's signatures are computed ONCE (the dominant per-doc
     # CPU): the filter reuses them via new_index, and the index delta
     # below is a plain semi-join of the same frames on survivor ids
-    batch_bands, batch_sigs = minhash_index(
+    _, batch_sigs = minhash_index(
         cleaned, "doc_id", "text", _NUM_HASHES, _BANDS, shingle_size, "word"
     )
+    # band rows are derived from the PERSISTED signatures (a narrow
+    # posexplode), so both consumers below read the pinned sigs instead
+    # of re-running the signature aggregation
     batch_sigs = batch_sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    batch_bands = _band_rows_of(batch_sigs)
     survivors = incremental_near_dup_filter(
         cleaned,
         "doc_id",
@@ -160,7 +164,7 @@ def ingest_increment(
         shingle_size=shingle_size,
         min_jaccard_est=min_jaccard_est,
         shingle="word",
-        new_index=(_band_rows_of(batch_sigs), batch_sigs),
+        new_index=(batch_bands, batch_sigs),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     try:
         n_kept = observed_write_parquet(
@@ -168,7 +172,7 @@ def ingest_increment(
         )
         kept_ids = survivors.select("doc_id")
         observed_write_parquet(
-            _band_rows_of(batch_sigs).join(kept_ids, "doc_id"),
+            batch_bands.join(kept_ids, "doc_id"),
             _zone(corpus_dir, "index_bands"),
             mode="append",
         )

@@ -1,4 +1,4 @@
-from .cdc_sink import apply_cdc_batch, read_cdc_snapshot, stream_cdc_apply
+from .cdc_sink import apply_cdc_batch, read_cdc_snapshot, read_cdc_stored, stream_cdc_apply
 from .enrich import enrich_stream
 from .events_stream import (
     run_windowed_counts_once,
@@ -14,6 +14,7 @@ __all__ = [
     "observe_stream",
     "progress_summary",
     "read_cdc_snapshot",
+    "read_cdc_stored",
     "run_windowed_counts_once",
     "session_window_counts",
     "stream_cdc_apply",

@@ -23,18 +23,28 @@ whole source, changes nothing) and order-insensitive across batches.
 Pinned in tests/test_cdc_stream.py including a full-source replay into
 an already-folded target and a stale-update-after-delete probe.
 
-The snapshot directory is swapped write-new-then-rename (the
-``compact_table`` pattern) — a reader never sees a half-written
-snapshot, and a crash before the first rename leaves the old snapshot
-intact. The rename pair itself is not atomic; a crash between the two
-renames leaves the committed merge at ``__new`` and the previous
-snapshot at ``__old``. WRITE paths (apply/compact — serialized by
-foreachBatch) run :func:`_recover_snapshot` first to finish or unwind
-the swap; READ paths stay side-effect-free and resolve the right
-directory via :func:`_read_path`, so a concurrent reader can never
-race an in-flight writer swap. Worst case is re-folding the
-interrupted (idempotent) batch. On a transactional table format this
-body becomes MERGE INTO; the streaming graph does not change.
+Publication is ATOMIC-POINTER, not directory rename (the fix for the
+round-4/5 swap-race findings — directory-rename publishing has an
+unavoidable window where target is missing and any recovery rename can
+race a concurrent actor):
+
+    target_path/
+      _current        pointer FILE naming the live generation
+      gen-000000/     immutable parquet snapshot generations
+      gen-000001/
+
+Writers fold into a NEW generation directory and then flip ``_current``
+with ``os.replace`` — atomic on POSIX for a file, so a reader sees
+either the old pointer or the new one, never a half-state, and no
+rename of DATA directories ever happens. Crash anywhere before the
+flip leaves an orphan generation directory that the retried
+(idempotent) batch simply overwrites; crash after the flip is a
+completed publish. The previous generation is retained (``keep=2``)
+so a reader that resolved the pointer just before a flip can still
+finish its scan; generations older than that are pruned. On a
+transactional table format (Delta/Iceberg) this whole file becomes
+MERGE INTO — the pointer file is exactly a poor man's table
+manifest — and the streaming graph does not change.
 """
 
 from __future__ import annotations
@@ -47,73 +57,76 @@ from pyspark.sql import functions as F
 
 from ..operators.cdc import latest_changes
 
-
-def _recover_snapshot(path: str) -> None:
-    """WRITER-side crash recovery for the two-rename swap in
-    :func:`_swap_in`: a crash between ``target→__old`` and
-    ``__new→target`` leaves nothing at ``path``, the COMMITTED merge at
-    ``__new`` (its parquet write finished before any rename started)
-    and the previous snapshot at ``__old``. Promote ``__new`` when it
-    committed (the fold it holds is idempotent — a checkpoint replay of
-    the same batch changes nothing), else fall back to ``__old``.
-
-    Called only from the write path (apply/compact), which foreachBatch
-    serializes — READERS must stay side-effect-free (see
-    :func:`_read_path`) or a reader's rename races the writer's swap
-    and fails its ``__new→target`` rename."""
-    if os.path.isdir(path):
-        return
-    new = path.rstrip("/") + "__new"
-    old = path.rstrip("/") + "__old"
-    if os.path.isdir(new) and os.path.exists(os.path.join(new, "_SUCCESS")):
-        os.rename(new, path)
-        shutil.rmtree(old, ignore_errors=True)
-    elif os.path.isdir(old):
-        os.rename(old, path)
+_POINTER = "_current"
+_KEEP_GENERATIONS = 2
 
 
-def _read_path(path: str) -> str:
-    """Side-effect-free reader view of the swap state: the directory a
-    reader should load — ``target`` normally, the committed ``__new``
-    or parked ``__old`` inside the crash window. Never renames, so
-    concurrent readers cannot race an in-flight writer swap."""
-    if os.path.isdir(path):
-        return path
-    new = path.rstrip("/") + "__new"
-    if os.path.isdir(new) and os.path.exists(os.path.join(new, "_SUCCESS")):
-        return new
-    old = path.rstrip("/") + "__old"
-    if os.path.isdir(old):
-        return old
-    return path
+def _pointer_path(target: str) -> str:
+    return os.path.join(target, _POINTER)
 
 
-def _swap_in(merged: DataFrame, target_path: str) -> None:
-    """Publish ``merged`` at ``target_path`` write-new-then-swap. The
-    rename pair is not atomic — :func:`_recover_snapshot` closes the
-    crash window between them."""
-    tmp = target_path.rstrip("/") + "__new"
-    merged.write.mode("overwrite").parquet(tmp)
-    old = target_path.rstrip("/") + "__old"
-    shutil.rmtree(old, ignore_errors=True)
-    if os.path.isdir(target_path):
-        os.rename(target_path, old)
-    os.rename(tmp, target_path)
-    shutil.rmtree(old, ignore_errors=True)
+def _current_gen(target: str) -> str | None:
+    """The live generation name, or None when nothing is published.
+    Pure read — never mutates anything."""
+    try:
+        with open(_pointer_path(target)) as f:
+            gen = f.read().strip()
+        return gen or None
+    except FileNotFoundError:
+        return None
+
+
+def _live_dir(target: str) -> str | None:
+    gen = _current_gen(target)
+    return os.path.join(target, gen) if gen else None
+
+
+def _publish(merged: DataFrame, target_path: str) -> None:
+    """Write ``merged`` as the next generation and atomically flip the
+    pointer. A crash before the ``os.replace`` leaves the pointer on
+    the old generation (the orphan directory is overwritten by the
+    retried batch — same generation number is computed again); the
+    flip itself is atomic. After the flip, generations older than the
+    retained window are pruned."""
+    os.makedirs(target_path, exist_ok=True)
+    cur = _current_gen(target_path)
+    cur_n = int(cur.split("-")[1]) if cur else -1
+    gen = f"gen-{cur_n + 1:06d}"
+    merged.write.mode("overwrite").parquet(os.path.join(target_path, gen))
+    tmp = _pointer_path(target_path) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(gen)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, _pointer_path(target_path))
+    for d in os.listdir(target_path):
+        if d.startswith("gen-") and int(d.split("-")[1]) <= cur_n + 1 - _KEEP_GENERATIONS:
+            shutil.rmtree(os.path.join(target_path, d), ignore_errors=True)
 
 
 def _snapshot_exists(path: str) -> bool:
-    _recover_snapshot(path)
-    return os.path.isdir(path) and any(
-        f.endswith(".parquet") for f in os.listdir(path)
-    )
+    return _current_gen(path) is not None
+
+
+def read_cdc_stored(spark: SparkSession, target_path: str) -> DataFrame:
+    """The RAW stored snapshot — bookkeeping columns and tombstones
+    included (operational inspection / tests). Same pointer-resolution
+    guarantees as :func:`read_cdc_snapshot`."""
+    live = _live_dir(target_path)
+    if live is None:
+        raise FileNotFoundError(f"no published CDC snapshot at {target_path}")
+    return spark.read.parquet(live)
 
 
 def read_cdc_snapshot(spark: SparkSession, target_path: str, op_col: str = "op") -> DataFrame:
     """The live table view: stored snapshot minus tombstones and
-    bookkeeping columns. Reads through :func:`_read_path`, so a crash
-    window is readable WITHOUT mutating the swap state."""
-    snap = spark.read.parquet(_read_path(target_path))
+    bookkeeping columns. Resolves the atomic pointer — side-effect-free
+    and race-free against concurrent publishes (the resolved generation
+    directory is immutable and retained across one further publish)."""
+    live = _live_dir(target_path)
+    if live is None:
+        raise FileNotFoundError(f"no published CDC snapshot at {target_path}")
+    snap = spark.read.parquet(live)
     return snap.filter(F.col(op_col) != "D").drop(op_col)
 
 
@@ -126,16 +139,17 @@ def apply_cdc_batch(
     op_col: str = "op",
 ) -> None:
     """Fold one micro-batch of change events into the stored snapshot
-    at ``target_path`` (write-new-then-swap). The stored snapshot keeps
-    the full change schema (incl. ``seq_col`` and ``op_col``
-    tombstones) — see module docstring for why."""
-    if _snapshot_exists(target_path):
-        base = spark.read.parquet(target_path)
+    at ``target_path`` (new generation + atomic pointer flip). The
+    stored snapshot keeps the full change schema (incl. ``seq_col``
+    and ``op_col`` tombstones) — see module docstring for why."""
+    live = _live_dir(target_path)
+    if live is not None:
+        base = spark.read.parquet(live)
         everything = base.unionByName(batch_df)
     else:
         everything = batch_df
     merged = latest_changes(everything, keys, seq_col, op_col)
-    _swap_in(merged, target_path)
+    _publish(merged, target_path)
 
 
 def stream_cdc_apply(
@@ -180,14 +194,16 @@ def compact_tombstones(
     the retention watermark below which the source can no longer
     deliver events (e.g. the replication slot's confirmed LSN). A
     tombstone above the watermark must stay: a stale update for its
-    key may still arrive and needs to lose. Rewrites the snapshot
-    write-new-then-swap; returns the number of tombstones removed."""
-    _recover_snapshot(target_path)
-    snap = spark.read.parquet(target_path)
+    key may still arrive and needs to lose. Publishes a new generation;
+    returns the number of tombstones removed."""
+    live = _live_dir(target_path)
+    if live is None:
+        return 0
+    snap = spark.read.parquet(live)
     keep = snap.filter(
         (F.col(op_col) != "D") | (F.col(seq_col) > F.lit(retention_seq))
     )
     removed = snap.count() - keep.count()
     if removed:
-        _swap_in(keep, target_path)
+        _publish(keep, target_path)
     return removed

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from adi_226_datawarehouse_project_spark.streaming.cdc_sink import (
     apply_cdc_batch,
     read_cdc_snapshot,
+    read_cdc_stored,
     stream_cdc_apply,
 )
 
@@ -85,7 +86,7 @@ def test_single_batch_idempotent(spark, fresh):
     apply_cdc_batch(spark, b, f"{BASE}/target", ["id"], "seq")
     assert _live(spark) == first == [(1, "a", 2)]
     # the stored snapshot keeps exactly one row per key (no growth)
-    stored = spark.read.parquet(f"{BASE}/target")
+    stored = read_cdc_stored(spark, f"{BASE}/target")
     assert stored.count() == 1
     assert stored.groupBy("id").count().filter(F.col("count") > 1).count() == 0
 
@@ -107,7 +108,7 @@ def test_tombstone_compaction_respects_retention(spark, fresh):
     # watermark 20: the seq-10 tombstone is compactable, seq-30 is not
     removed = compact_tombstones(spark, f"{BASE}/target", 20, "seq")
     assert removed == 1
-    stored = {(r["id"], r["op"]) for r in spark.read.parquet(f"{BASE}/target").collect()}
+    stored = {(r["id"], r["op"]) for r in read_cdc_stored(spark, f"{BASE}/target").collect()}
     assert stored == {(1, "I"), (3, "D")}
     # live view unchanged by compaction
     assert _live(spark) == [(1, "a", 1)]
@@ -119,32 +120,46 @@ def test_tombstone_compaction_respects_retention(spark, fresh):
     assert compact_tombstones(spark, f"{BASE}/target", 20, "seq") == 0
 
 
-def test_crash_between_swap_renames_recovers(spark, fresh):
-    """The two-rename snapshot swap has a window where target is
-    missing and the durable snapshot sits at __old (and the committed
-    merge, when it got that far, at __new). Readers must resolve the
-    window WITHOUT renaming (a reader rename would race an in-flight
-    writer swap); the serialized write path recovers it."""
+def test_atomic_pointer_publish_crash_and_reader_retention(spark, fresh):
+    """Atomic-pointer publication: a crash BEFORE the pointer flip
+    leaves an orphan generation the retried batch overwrites; the flip
+    itself is atomic; and the generation a reader resolved stays on
+    disk across one further publish (retention), so in-flight scans
+    never race the writer."""
+    t = f"{BASE}/target"
     b1 = spark.createDataFrame(
         [(1, "a", 100, 1, "I"), (2, "b", 200, 1, "I")], schema=SCHEMA
     )
-    apply_cdc_batch(spark, b1, f"{BASE}/target", ["id"], "seq")
+    apply_cdc_batch(spark, b1, t, ["id"], "seq")
     before = _live(spark)
-    # simulate the crash: target renamed away, __new never moved in
-    os.rename(f"{BASE}/target", f"{BASE}/target__old")
-    assert _live(spark) == before  # reader sees the parked snapshot...
-    assert not os.path.isdir(f"{BASE}/target")  # ...WITHOUT renaming
-    b2 = spark.createDataFrame([(2, "b", 250, 2, "U")], schema=SCHEMA)
-    apply_cdc_batch(spark, b2, f"{BASE}/target", ["id"], "seq")
-    # apply path recovered the folded state before merging the batch
-    assert _live(spark) == [(1, "a", 100), (2, "b", 250)]
-    assert os.path.isdir(f"{BASE}/target")
 
-    # the other half of the window: __new committed, target missing —
-    # the writer promotes the committed merge, the reader prefers it
-    os.rename(f"{BASE}/target", f"{BASE}/target__new")
-    assert _live(spark) == [(1, "a", 100), (2, "b", 250)]  # reader, no rename
-    assert not os.path.isdir(f"{BASE}/target")
+    # simulate a crash after the generation write but BEFORE the flip:
+    # an orphan next-generation directory with garbage content
+    os.makedirs(f"{t}/gen-000001/junk")
+    assert _live(spark) == before  # pointer still names gen-000000
+
+    # the retried batch overwrites the orphan and flips atomically
+    b2 = spark.createDataFrame([(2, "b", 250, 2, "U")], schema=SCHEMA)
+    apply_cdc_batch(spark, b2, t, ["id"], "seq")
+    assert _live(spark) == [(1, "a", 100), (2, "b", 250)]
+    assert not os.path.exists(f"{t}/gen-000001/junk")
+
+    # reader retention: resolve the CURRENT generation, publish once
+    # more, and the resolved directory must still be fully readable
+    from adi_226_datawarehouse_project_spark.streaming.cdc_sink import _live_dir
+
+    held = _live_dir(t)
     b3 = spark.createDataFrame([(3, "c", 10, 1, "I")], schema=SCHEMA)
-    apply_cdc_batch(spark, b3, f"{BASE}/target", ["id"], "seq")
+    apply_cdc_batch(spark, b3, t, ["id"], "seq")
+    assert os.path.isdir(held)  # retained for the in-flight reader
+    held_rows = sorted(
+        (r["id"], r["name"]) for r in spark.read.parquet(held).collect()
+    )
+    assert held_rows == [(1, "a"), (2, "b")]
     assert _live(spark) == [(1, "a", 100), (2, "b", 250), (3, "c", 10)]
+
+    # and generations beyond the retention window are pruned
+    b4 = spark.createDataFrame([(4, "d", 1, 1, "I")], schema=SCHEMA)
+    apply_cdc_batch(spark, b4, t, ["id"], "seq")
+    gens = sorted(d for d in os.listdir(t) if d.startswith("gen-"))
+    assert len(gens) <= 2 and gens[-1] == "gen-000003"
