@@ -38,7 +38,15 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / F.nullif(_norm(a) * _norm(b), F.lit(0.0))
+    """Cosine similarity, NULL-safe at both poison points: zero-norm
+    vectors (nullif denominator) AND NaN/Inf components — Spark orders
+    NaN ABOVE every double and NaN passes ``>=`` threshold filters, so
+    one corrupt embedding would otherwise rank first in every top-k
+    window and mark itself a near-dup of every cell-mate (mass
+    collapse under semantic dedup). NaN folds to NULL here, which
+    fails filters and sorts last, quarantining the corrupt row."""
+    raw = _dot(a, b) / F.nullif(_norm(a) * _norm(b), F.lit(0.0))
+    return F.when(~F.isnan(raw), raw)
 
 
 def cosine_self_topk(
@@ -103,6 +111,8 @@ def srp_signature(vec_col: str, num_planes: int = 16) -> Column:
     the bigint sign bit; wider configurations go through
     :func:`srp_band_buckets`, which never packs more than one band per
     long."""
+    if num_planes < 1:
+        raise ValueError(f"num_planes must be positive: {num_planes}")
     if num_planes > 63:
         raise ValueError(
             "srp_signature packs all planes into one signed bigint; "
@@ -121,6 +131,15 @@ def srp_band_buckets(vec_col: str, num_planes: int, bands: int) -> Column:
     with no all-planes pack — so ``num_planes`` can grow with corpus
     size (the candidate-density rule in
     :func:`embedding_near_dup_pairs`) without hitting the 63-bit cap."""
+    if bands < 1:
+        raise ValueError(f"bands must be positive: {bands}")
+    if num_planes % bands != 0:
+        # silently dropping the remainder planes would compute the
+        # banding recall curve for a DIFFERENT operating point than the
+        # caller asked for (and bits=0 renders malformed SQL)
+        raise ValueError(
+            f"num_planes={num_planes} is not divisible by bands={bands}"
+        )
     bits = num_planes // bands
     if bits > 63:
         raise ValueError(f"bits_per_band={bits} > 63 cannot pack into a bigint")
@@ -264,17 +283,29 @@ def train_ivf_centroids(
     L2-normalized (spherical k-means maximizes mean cosine).
     Returns ``(centroid_id, centroid)`` ready for ``ivf_topk``.
     """
-    first = df.select(vec_col).first()
-    if first is None:
-        raise ValueError("train_ivf_centroids: empty input")
-    dim = len(first[0])
     seed_rows = sorted(
         (r[0], [float(x) for x in r[1]])
         for r in df.select(id_col, vec_col).orderBy(id_col).limit(n_clusters).collect()
     )
+    if not seed_rows:
+        raise ValueError("train_ivf_centroids: empty input")
+    dim = len(seed_rows[0][1])
     cents = [_l2(v) for _, v in seed_rows]
     use_join = n_clusters * dim > inline_max_terms
-    vecs = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")).persist()
+    # ragged/NULL vectors poison the mean update: element_at past the
+    # array end is NULL, sum() skips it, and an all-short cell yields a
+    # None sum that crashes the Python-side divide AFTER the expensive
+    # Lloyd iterations. Drop them up front — a wrong-dim vector can
+    # never be assigned meaningfully anyway.
+    vecs = (
+        df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        .filter(
+            F.col("__v").isNotNull()
+            & (F.size("__v") == dim)
+            & ~F.exists("__v", lambda x: x.isNull() | F.isnan(x))
+        )
+        .persist()
+    )
     mean_aggs = [
         F.expr(f"sum(CAST(element_at(__v, {i + 1}) AS DOUBLE))").alias(f"__s{i}")
         for i in range(dim)
@@ -294,8 +325,7 @@ def train_ivf_centroids(
             )
             nxt = list(cents)
             for r in new_rows:
-                if r["__n"] > 0:
-                    nxt[r["__c"]] = _l2([r[f"__s{i}"] / r["__n"] for i in range(dim)])
+                nxt[r["__c"]] = _l2([r[f"__s{i}"] / r["__n"] for i in range(dim)])
             cents = nxt
     finally:
         vecs.unpersist()

@@ -352,9 +352,12 @@ def chunk_documents(
     ``stride`` defaults to ``window`` (no overlap); a smaller stride
     gives sliding-window overlap (common for RAG indexing and for
     training-context continuity). The chunk count is
-    ``1 + ceil(max(n_tokens - window, 0) / stride)`` — always ≥ 1, so
-    empty/short docs yield exactly one (possibly short) chunk and no
-    data is silently dropped.
+    ``1 + ceil(max(n_tokens - window, 0) / stride)``, clamped to
+    ``ceil(n_tokens / stride)`` (the number of non-empty windows —
+    without the clamp a stride wider than the window would emit a
+    spurious empty trailing chunk) — and always ≥ 1, so empty/short
+    docs yield exactly one (possibly short) chunk and no data is
+    silently dropped.
 
     Distribution: pure narrow expressions — tokenize once per row
     (let-bound), ``posexplode`` over a computed chunk-index sequence,
@@ -368,9 +371,15 @@ def chunk_documents(
     if window <= 0 or stride <= 0:
         raise ValueError(f"window and stride must be positive: {window}, {stride}")
     toks = df.withColumn("__toks", word_tokens(F.col(text_col)))
-    n_chunks = F.lit(1) + F.ceil(
-        F.greatest(F.size("__toks") - window, F.lit(0)).cast("double") / stride
-    ).cast("int")
+    n_chunks = F.least(
+        F.lit(1)
+        + F.ceil(
+            F.greatest(F.size("__toks") - window, F.lit(0)).cast("double") / stride
+        ).cast("int"),
+        F.greatest(
+            F.ceil(F.size("__toks").cast("double") / stride).cast("int"), F.lit(1)
+        ),
+    )
     chunks = toks.withColumn("__n_chunks", n_chunks).select(
         F.col(id_col),
         F.col("__toks"),
@@ -433,9 +442,16 @@ def corpus_report(
             F.expr("approx_percentile(__nt, 0.9, 10000)").alias("p90_tokens"),
             F.max("__nt").alias("max_tokens"),
             F.approx_count_distinct("__fp").alias("approx_distinct_fingerprints"),
+            # F.grouping separates the ROLLUP total row from a genuine
+            # NULL-language stratum — coalesce alone would emit two
+            # indistinguishable "__all__" rows when lang IS NULL occurs
+            # (grouping() is only legal inside the grouping aggregate)
+            F.grouping("lang").alias("__is_total"),
         )
         .select(
-            F.coalesce(F.col("lang"), F.lit("__all__")).alias("lang"),
+            F.when(F.col("__is_total") == 1, F.lit("__all__"))
+            .otherwise(F.coalesce(F.col("lang"), F.lit("__unknown__")))
+            .alias("lang"),
             "n_docs",
             "total_tokens",
             "min_tokens",
@@ -517,10 +533,19 @@ def group_sample_k(
                 ).alias("__thr"),
             )
         )
-        keyed = keyed.join(F.broadcast(hot), strata_col, "left").filter(
+        # eqNullSafe: a NULL stratum (un-tagged docs are often the
+        # BIGGEST stratum) must still match its hot-list row — a plain
+        # key join never matches NULL, which would silently disable the
+        # pre-filter for exactly the stratum most likely to need it
+        hot_r = hot.withColumnRenamed(strata_col, "__hot_key")
+        keyed = keyed.join(
+            F.broadcast(hot_r),
+            F.col(strata_col).eqNullSafe(F.col("__hot_key")),
+            "left",
+        ).filter(
             F.col("__thr").isNull()
             | (F.substring(F.col("__skey"), 1, _HEX_WIDTH) < F.col("__thr"))
-        ).drop("__thr")
+        ).drop("__thr", "__hot_key")
     w = Window.partitionBy(strata_col).orderBy("__skey", id_col)
     return (
         keyed.withColumn("__rn", F.row_number().over(w))

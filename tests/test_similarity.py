@@ -2,6 +2,7 @@
 the exact baseline (correctness authority for rows-only sim_lsh_topk)."""
 
 import numpy as np
+import pytest
 from conftest import SF_SMALL
 
 from adi_226_datawarehouse_project_spark.operators.similarity import (
@@ -432,3 +433,67 @@ def test_srp_wide_planes_supported_and_signature_guarded(spark):
     # ...while the all-planes pack refuses to overflow its sign bit
     with _pytest.raises(ValueError, match="63"):
         srp_signature("embedding", 64)
+
+
+def test_nan_embedding_is_quarantined(spark):
+    """A corrupt vector (NaN component) must not rank in anyone's
+    top-k nor mark itself a near-dup of every cell-mate — Spark orders
+    NaN above every double, so an unguarded cosine would put it at
+    rank 1 everywhere."""
+    from adi_226_datawarehouse_project_spark.operators.similarity import (
+        cosine_self_topk,
+        embedding_near_dup_pairs,
+    )
+
+    nan = float("nan")
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.99, 0.14, 0.0]),   # near-dup of 0
+        (2, [0.0, 1.0, 0.0]),
+        (9, [nan, 1.0, 0.0]),     # corrupt
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    topk = cosine_self_topk(df, "vec_id", "embedding", k=2, probe_ids=[0])
+    neighbors = [r["neighbor_id"] for r in topk.collect()]
+    assert 9 not in neighbors and neighbors[0] == 1
+
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            df, "vec_id", "embedding", min_cosine=0.9
+        ).collect()
+    }
+    assert all(9 not in p for p in pairs)
+    assert (0, 1) in pairs
+
+
+def test_srp_band_validation(spark):
+    from adi_226_datawarehouse_project_spark.operators.similarity import (
+        srp_band_buckets,
+        srp_signature,
+    )
+
+    with pytest.raises(ValueError, match="not divisible"):
+        srp_band_buckets("v", 16, 3)
+    with pytest.raises(ValueError, match="positive"):
+        srp_band_buckets("v", 16, 0)
+    with pytest.raises(ValueError, match="positive"):
+        srp_signature("v", 0)
+
+
+def test_ivf_training_survives_ragged_and_nan_vectors(spark):
+    from adi_226_datawarehouse_project_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+
+    nan = float("nan")
+    rows = [(i, [float(i % 3), 1.0, 0.5]) for i in range(12)]
+    rows += [(100, [1.0]), (101, None), (102, [nan, 0.0, 0.0])]  # poison
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cents = train_ivf_centroids(df, "vec_id", "embedding", n_clusters=3, n_iter=2)
+    got = cents.collect()
+    assert len(got) == 3
+    import math
+
+    for r in got:
+        assert all(math.isfinite(x) for x in r["centroid"])

@@ -434,3 +434,49 @@ def test_group_sample_k_prefilter_fraction_ge_one_keeps_exact_k(spark):
     want = sorted(r["id"] for r in base.collect())
     got = sorted(r["id"] for r in pre.collect())
     assert got == want and len(got) == 25
+
+
+def test_corpus_report_separates_null_lang_from_rollup_total(spark):
+    from adi_226_datawarehouse_project_spark.operators.training import corpus_report
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma", "en"), (2, "delta epsilon zeta", None)],
+        "doc_id bigint, text string, lang string",
+    )
+    rows = {r["lang"]: r["n_docs"] for r in corpus_report(df, "doc_id", "text", "lang").collect()}
+    assert rows == {"en": 1, "__unknown__": 1, "__all__": 2}
+
+
+def test_group_sample_k_prefilter_matches_null_stratum(spark):
+    """An un-tagged (NULL) stratum is often the biggest; the hot-list
+    join must match it null-safely or the pre-filter silently turns
+    off for exactly the stratum that needs it."""
+    from adi_226_datawarehouse_project_spark.operators.training import group_sample_k
+
+    rows = [(None, i) for i in range(3000)] + [("en", i + 10000) for i in range(40)]
+    df = spark.createDataFrame(rows, "stratum string, id bigint")
+    base = group_sample_k(df, "stratum", "id", k=6, seed="ns", prefilter_over=None)
+    pre = group_sample_k(df, "stratum", "id", k=6, seed="ns", prefilter_over=500)
+    key = lambda t: (t[0] is None, t[0] or "", t[1])
+    assert sorted(map(tuple, base.collect()), key=key) == sorted(
+        map(tuple, pre.collect()), key=key
+    )
+    plan = pre._jdf.queryExecution().optimizedPlan().toString()
+    assert "__thr" in plan
+
+
+def test_chunk_documents_stride_wider_than_window(spark):
+    """stride > window must not emit a spurious empty trailing chunk
+    (the old count formula overcounted by one)."""
+    from adi_226_datawarehouse_project_spark.operators.training import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")], "doc_id bigint, text string"
+    )
+    out = chunk_documents(df, "doc_id", "text", window=2, stride=5).collect()
+    assert len(out) == 2 and all(r["n_chunks"] == 2 for r in out)
+    assert [r["chunk_text"] for r in sorted(out, key=lambda r: r["chunk_idx"])] == [
+        "t0 t1",
+        "t5 t6",
+    ]
+    assert all(r["chunk_tokens"] == 2 for r in out)
