@@ -393,27 +393,20 @@ def ivf_topk(
     """
     if centroids is None:
         centroids = sample_centroids(df, id_col, vec_col, n_clusters)
-    centroids = centroids.select("centroid_id", F.col("centroid").alias("__cv"))
 
-    def _cells(side: DataFrame, id_alias: str, vec_alias: str, n: int) -> DataFrame:
-        scored = side.join(F.broadcast(centroids)).withColumn(
-            "__ccos", cosine(F.col(vec_alias), F.col("__cv"))
-        )
-        w = Window.partitionBy(id_alias).orderBy(
-            F.col("__ccos").desc(), F.col("centroid_id").asc()
-        )
-        return (
-            scored.withColumn("__crank", F.row_number().over(w))
-            .filter(F.col("__crank") <= n)
-            .select(id_alias, vec_alias, "centroid_id")
-        )
-
+    # cell assignment reuses the shared argmax operators (one
+    # tie-break/argmax implementation to keep correct): the corpus side
+    # gets assign_cells' map-side-combined struct-argmax — no window,
+    # no per-row sort shuffle (an earlier inline variant shuffled all
+    # n·k scored rows through a row_number window); the probe side
+    # gets assign_cells_multi's bounded collect+slice. Identical
+    # assignments: max(struct(cos, -id)) ≡ ORDER BY cos DESC, id ASC.
     corpus = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv"))
-    assigned = _cells(corpus, "neighbor_id", "__nv", 1)  # inverted lists
+    assigned = assign_cells(corpus, "neighbor_id", "__nv", centroids)
     probes = df.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
     if probe_ids is not None:
         probes = probes.filter(F.col("query_id").isin(probe_ids))
-    probed = _cells(probes, "query_id", "__qv", n_probe)
+    probed = assign_cells_multi(probes, "query_id", "__qv", centroids, n_probe=n_probe)
 
     cand = (
         assigned.join(probed, "centroid_id")
