@@ -165,6 +165,12 @@ def lsh_bucket_topk(
     candidates → exact cosine re-rank within candidates. The join is
     on (band, sub-signature) — shuffle-partitioned, never a cross
     join; recall is tuned by num_planes/bands."""
+    # NOTE: both self-join branches re-evaluate the SRP fold (no
+    # exchange below it to reuse). A repartition("band","bucket")
+    # barrier WAS tried to force ReusedExchange — measured 3.5× SLOWER
+    # at 40k vectors / 64 planes: the extra full shuffle of banded rows
+    # costs far more than the duplicated per-row fold, which is narrow
+    # and cheap next to the candidate join. Keep the fold duplicated.
     banded = df.select(
         id_col,
         vec_col,
@@ -604,6 +610,9 @@ def embedding_near_dup_pairs(
     truth-set recall holds at 78/80 vs 79/80 for 16/4, both with zero
     false positives. Band buckets come from :func:`srp_band_buckets`,
     so num_planes is not capped by the 63-bit signature pack."""
+    # the SRP fold is evaluated once per self-join branch — measured
+    # cheaper than forcing a ReusedExchange barrier (see
+    # lsh_bucket_topk's note for the experiment)
     banded = df.select(
         F.col(id_col),
         F.posexplode(srp_band_buckets(vec_col, num_planes, bands)).alias(
