@@ -40,6 +40,8 @@ from ..operators.dedup import (
     ngram_jaccard_pairs,
     simhash_near_dup_pairs,
 )
+from ..operators.gapfill import gap_fill_interpolate, hourly_observations
+from ..operators.quality_model import hashed_linear_score, make_hashed_weights
 from ..operators.similarity import cosine, cosine_self_topk, ivf_topk, lsh_bucket_topk
 from ..operators.training import (
     fraction_threshold,
@@ -3363,6 +3365,104 @@ def _multimodal_suite_oracle() -> str:
     ]) + "\nORDER BY part, doc_id"
 
 
+# --- op_gapfill_interpolate: dense hourly spine + LOCF + linear
+# interpolation over the event stream, grouped into 16 rollup series.
+# The oracle re-derives the whole fill with the same portable
+# "observation group" window algebra (COUNT-over-ORDER then MIN/MAX
+# over the group) — no IGNORE NULLS anywhere, exact micro-unit
+# arithmetic end to end (operators/gapfill.py design notes). ---
+_GAPFILL_SERIES_MOD = 16
+
+
+def _spark_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    obs = hourly_observations(ev, F.col("user_id") % _GAPFILL_SERIES_MOD)
+    return gap_fill_interpolate(obs).orderBy("series_id", "bucket_hour")
+
+
+_GAPFILL_ORACLE = f"""
+WITH obs AS (
+  SELECT user_id % {_GAPFILL_SERIES_MOD} AS series_id,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket_hour,
+         CAST(sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS BIGINT) AS v_units,
+         count(value) AS n_obs
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT series_id, min(bucket_hour) AS h0, max(bucket_hour) AS h1 FROM obs GROUP BY 1),
+spine AS (SELECT series_id, unnest(generate_series(h0, h1)) AS bucket_hour FROM span),
+j AS (
+  SELECT sp.series_id, sp.bucket_hour, o.v_units, o.n_obs
+  FROM spine sp LEFT JOIN obs o USING (series_id, bucket_hour)
+),
+g AS (
+  SELECT *,
+    COUNT(v_units) OVER (PARTITION BY series_id ORDER BY bucket_hour ASC) AS grp,
+    COUNT(v_units) OVER (PARTITION BY series_id ORDER BY bucket_hour DESC) AS grp2
+  FROM j
+),
+f AS (
+  SELECT *,
+    MAX(v_units) OVER (PARTITION BY series_id, grp) AS pu,
+    MAX(CASE WHEN v_units IS NOT NULL THEN n_obs END) OVER (PARTITION BY series_id, grp) AS pn,
+    MIN(CASE WHEN v_units IS NOT NULL THEN bucket_hour END) OVER (PARTITION BY series_id, grp) AS ph,
+    MAX(v_units) OVER (PARTITION BY series_id, grp2) AS nu,
+    MAX(CASE WHEN v_units IS NOT NULL THEN n_obs END) OVER (PARTITION BY series_id, grp2) AS nn,
+    MAX(CASE WHEN v_units IS NOT NULL THEN bucket_hour END) OVER (PARTITION BY series_id, grp2) AS nh
+  FROM g
+)
+SELECT series_id, bucket_hour,
+  CAST(coalesce(n_obs, 0) AS BIGINT) AS n_obs,
+  floor((CAST(v_units AS DOUBLE) / n_obs / 1000000) * 1000000 + 0.5) / 1000000 AS v,
+  floor((CAST(pu AS DOUBLE) / pn / 1000000) * 1000000 + 0.5) / 1000000 AS locf_v,
+  floor(((CASE WHEN v_units IS NOT NULL THEN CAST(v_units AS DOUBLE) / n_obs
+        WHEN pu IS NULL THEN CAST(nu AS DOUBLE) / nn
+        WHEN nu IS NULL THEN CAST(pu AS DOUBLE) / pn
+        ELSE CAST(pu AS DOUBLE) / pn
+             + (CAST(nu AS DOUBLE) / nn - CAST(pu AS DOUBLE) / pn)
+               * (CAST(bucket_hour - ph AS DOUBLE) / CAST(nh - ph AS DOUBLE))
+        END) / 1000000) * 1000000 + 0.5) / 1000000 AS interp_v
+FROM f ORDER BY series_id, bucket_hour
+"""
+
+
+# --- text_quality_classifier: fastText-style hashed linear quality
+# model scored as broadcast-join + combinable aggregate; the oracle
+# regenerates the deterministic model from range(n) and recomputes
+# every score from the literal token strings (operators/quality_model).
+_QC_BIAS_MILLI = -25
+
+
+def _spark_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    weights = make_hashed_weights(spark)
+    return hashed_linear_score(docs, weights, bias_milli=_QC_BIAS_MILLI).orderBy("doc_id")
+
+
+_QUALITY_CLASSIFIER_ORACLE = f"""
+WITH wt AS (
+  SELECT CAST(range AS INT) AS bucket,
+         CAST(CAST(concat('0x', substr(md5(concat('qw-v1-', CAST(range AS VARCHAR))), 1, 8))
+              AS BIGINT) % 2001 - 1000 AS BIGINT) AS w_milli
+  FROM range(256)
+),
+toks AS (
+  SELECT doc_id,
+         CAST(CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) % 256 AS INT) AS bucket
+  FROM (SELECT doc_id, unnest({_DUCK_TOKENS}) AS t FROM documents) __t
+),
+per_doc AS (
+  SELECT doc_id, sum(w_milli) AS sum_w_milli, count(*) AS n_tokens
+  FROM toks JOIN wt USING (bucket) GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+  CAST(p.sum_w_milli AS BIGINT) AS sum_w_milli,
+  floor((CAST(p.sum_w_milli AS DOUBLE) / p.n_tokens / 1000.0 + ({_QC_BIAS_MILLI} / 1000.0)) * 1000000 + 0.5) / 1000000 AS score,
+  coalesce(floor((CAST(p.sum_w_milli AS DOUBLE) / p.n_tokens / 1000.0 + ({_QC_BIAS_MILLI} / 1000.0)) * 1000000 + 0.5) / 1000000 > 0.0, FALSE) AS keep
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -3386,6 +3486,10 @@ def operator_queries() -> dict[str, OpQuery]:
         "text_token_features": OpQuery(_spark_text_token_features, _text_token_features_oracle()),
         "text_doc_features": OpQuery(_spark_text_doc_features, _text_doc_features_oracle()),
         "corpus_group_sample": OpQuery(_spark_corpus_group_sample, _GROUP_SAMPLE_ORACLE),
+        "text_quality_classifier": OpQuery(
+            _spark_quality_classifier, _QUALITY_CLASSIFIER_ORACLE
+        ),
+        "op_gapfill_interpolate": OpQuery(_spark_gapfill, _GAPFILL_ORACLE),
         "pipeline_curation_funnel": OpQuery(_spark_curation_funnel, _funnel_oracle()),
         "multimodal_suite": OpQuery(_spark_multimodal_suite, _multimodal_suite_oracle()),
         # --- star-schema cleaning / warehouse operators ---
