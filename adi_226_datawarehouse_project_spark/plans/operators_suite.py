@@ -3463,6 +3463,95 @@ ORDER BY d.doc_id
 """
 
 
+# --- op_graph_pagerank: integer-deterministic PageRank over the
+# customer↔supplier transaction graph (distinct order lineage pairs,
+# symmetrized so no mass leaks). Ranks are exact BIGINT scale-units —
+# see operators/graph.py for the recurrence contract — and the oracle
+# replays all 8 iterations as unrolled CTEs in exact integer
+# arithmetic, so every rank unit must match bit-for-bit. ---
+_PR_ITERS = 8
+_PR_SCALE = 10**12
+_PR_DAMP = 85
+
+
+def _spark_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = cs.unionByName(
+        cs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    out = pagerank(
+        edges, iterations=_PR_ITERS, damping_pct=_PR_DAMP, scale=_PR_SCALE
+    )
+    return out.select(
+        "node",
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        "out_deg",
+        "rank_units",
+        "rank",
+    ).orderBy("node")
+
+
+def _graph_pagerank_oracle() -> str:
+    # Every r{i} is referenced TWICE by r{i+1} (rank carry + contribution
+    # scan). Without AS MATERIALIZED DuckDB inlines the chain and the
+    # unrolled recurrence evaluates r0 2^iters times — measured as a
+    # disk-spill blowup at sf0.1. Materializing each step makes the
+    # oracle linear in iterations, mirroring the Spark side's pins.
+    scale, damp, tele_pct = _PR_SCALE, _PR_DAMP, 100 - _PR_DAMP
+    iters = [
+        f"""r0 AS MATERIALIZED (
+  SELECT d.node, d.out_deg,
+         CAST({scale} // p.n AS BIGINT) AS ru,
+         CAST({tele_pct} * ({scale} // p.n) // 100 AS BIGINT) AS tele
+  FROM deg d CROSS JOIN params p
+)"""
+    ]
+    for i in range(1, _PR_ITERS + 1):
+        prev = f"r{i - 1}"
+        iters.append(
+            f"""r{i} AS MATERIALIZED (
+  SELECT r.node, r.out_deg,
+         CAST(r.tele + {damp} * coalesce(s.s, 0) // 100 AS BIGINT) AS ru,
+         r.tele
+  FROM {prev} r LEFT JOIN (
+    SELECT e.dst AS node, CAST(sum(r.ru // r.out_deg) AS BIGINT) AS s
+    FROM {prev} r JOIN edges e ON r.node = e.src
+    WHERE r.out_deg > 0 GROUP BY 1
+  ) s USING (node)
+)"""
+        )
+    chain = ",\n".join(iters)
+    return f"""
+WITH cs AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+edges AS MATERIALIZED (SELECT src, dst FROM cs UNION ALL SELECT dst AS src, src AS dst FROM cs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS out_deg FROM edges GROUP BY 1),
+params AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+{chain}
+SELECT node,
+       CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+       out_deg, ru AS rank_units,
+       CAST(ru AS DOUBLE) / {scale} AS rank
+FROM r{_PR_ITERS} ORDER BY node
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -3490,6 +3579,7 @@ def operator_queries() -> dict[str, OpQuery]:
             _spark_quality_classifier, _QUALITY_CLASSIFIER_ORACLE
         ),
         "op_gapfill_interpolate": OpQuery(_spark_gapfill, _GAPFILL_ORACLE),
+        "op_graph_pagerank": OpQuery(_spark_graph_pagerank, _graph_pagerank_oracle()),
         "pipeline_curation_funnel": OpQuery(_spark_curation_funnel, _funnel_oracle()),
         "multimodal_suite": OpQuery(_spark_multimodal_suite, _multimodal_suite_oracle()),
         # --- star-schema cleaning / warehouse operators ---
