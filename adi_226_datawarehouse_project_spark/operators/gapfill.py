@@ -96,8 +96,10 @@ def gap_fill_interpolate(
     - ``locf_v``: last observation carried forward (on an observed row,
       itself; never NULL because the spine starts at an observation);
     - ``interp_v``: linear interpolation between the surrounding
-      observations (equals ``v`` on observed rows; falls back to the
-      nearest available side at the spine's trailing edge).
+      observations (equals ``v`` on observed rows). Every gap row has
+      BOTH neighbors by construction — the spine is bounded by the
+      series' first and last observations — so no edge fallback
+      exists or is needed.
 
     All three are rounded to 6 decimals with the PORTABLE rounding
     ``floor(x * 1e6 + 0.5) / 1e6`` — engine-native ``round(x, 6)`` is
@@ -164,10 +166,10 @@ def gap_fill_interpolate(
     frac = (F.col(h) - F.col("__prev_h")).cast("double") / (
         F.col("__next_h") - F.col("__prev_h")
     ).cast("double")
+    # No NULL-neighbor branches: spine endpoints are observations, so
+    # a gap row always has both a previous and a next observation.
     interp = F.when(v.isNotNull(), obs_avg).otherwise(
-        F.when(F.col("__prev_units").isNull(), next_avg)
-        .when(F.col("__next_units").isNull(), prev_avg)
-        .otherwise(prev_avg + (next_avg - prev_avg) * frac)
+        prev_avg + (next_avg - prev_avg) * frac
     )
 
     def _round6(x: Column) -> Column:

@@ -46,21 +46,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .training import _pin
+
 SCALE_DEFAULT = 10**12
 DAMPING_PCT_DEFAULT = 85
-
-
-def _pin(df: DataFrame, storage_level: str | None) -> DataFrame:
-    if storage_level is None:
-        return df.localCheckpoint(eager=True)
-    from pyspark import StorageLevel
-
-    level = getattr(StorageLevel, storage_level, None)
-    if level is None:
-        raise ValueError(f"unknown storage level: {storage_level!r}")
-    df = df.persist(level)
-    df.count()
-    return df
 
 
 def pagerank(
@@ -162,6 +151,14 @@ def pagerank(
                 for p in pinned:
                     p.unpersist(blocking=False)
             pinned = [ranks]
+
+    if storage_level is not None:
+        # Release the working-set pins; the FINAL ranks frame stays
+        # persisted (the caller owns it — unpersist when done). If it
+        # is later evicted+recomputed it re-derives from source, which
+        # is correct, just slower.
+        e.unpersist(blocking=False)
+        nodes.unpersist(blocking=False)
 
     return ranks.select(
         "node",

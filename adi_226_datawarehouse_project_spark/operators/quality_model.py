@@ -96,11 +96,14 @@ def hashed_linear_score(
         F.col(id_col), F.explode(word_tokens(text_col)).alias("__tok")
     ).select(id_col, _bucket32(F.col("__tok"), n_buckets).alias("bucket"))
 
+    # LEFT join + coalesce(w, 0): a real trained model table often
+    # stores only non-zero buckets, and an inner join would silently
+    # drop those tokens from BOTH the sum and the n_tokens denominator.
     per_doc = (
-        toks.join(F.broadcast(weights), "bucket")
+        toks.join(F.broadcast(weights), "bucket", "left")
         .groupBy(id_col)
         .agg(
-            F.sum("w_milli").alias("sum_w_milli"),
+            F.sum(F.coalesce(F.col("w_milli"), F.lit(0))).alias("sum_w_milli"),
             F.count(F.lit(1)).alias("n_tokens"),
         )
     )

@@ -3415,8 +3415,6 @@ SELECT series_id, bucket_hour,
   floor((CAST(v_units AS DOUBLE) / n_obs / 1000000) * 1000000 + 0.5) / 1000000 AS v,
   floor((CAST(pu AS DOUBLE) / pn / 1000000) * 1000000 + 0.5) / 1000000 AS locf_v,
   floor(((CASE WHEN v_units IS NOT NULL THEN CAST(v_units AS DOUBLE) / n_obs
-        WHEN pu IS NULL THEN CAST(nu AS DOUBLE) / nn
-        WHEN nu IS NULL THEN CAST(pu AS DOUBLE) / pn
         ELSE CAST(pu AS DOUBLE) / pn
              + (CAST(nu AS DOUBLE) / nn - CAST(pu AS DOUBLE) / pn)
                * (CAST(bucket_hour - ph AS DOUBLE) / CAST(nh - ph AS DOUBLE))
@@ -3451,8 +3449,8 @@ toks AS (
   FROM (SELECT doc_id, unnest({_DUCK_TOKENS}) AS t FROM documents) __t
 ),
 per_doc AS (
-  SELECT doc_id, sum(w_milli) AS sum_w_milli, count(*) AS n_tokens
-  FROM toks JOIN wt USING (bucket) GROUP BY doc_id
+  SELECT doc_id, sum(coalesce(w_milli, 0)) AS sum_w_milli, count(*) AS n_tokens
+  FROM toks LEFT JOIN wt USING (bucket) GROUP BY doc_id
 )
 SELECT d.doc_id, CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
   CAST(p.sum_w_milli AS BIGINT) AS sum_w_milli,
@@ -3552,6 +3550,52 @@ FROM r{_PR_ITERS} ORDER BY node
 """
 
 
+# --- op_copurchase_pairs: market-basket affinity (frequent part pairs
+# + lift) over order baskets. Support >= 2 keeps the output non-empty
+# and ~3.5k rows at every sf (pair repeats shrink as the part space
+# grows — measured 2324/3445/3573 rows at sf0.001/0.01/0.1). ---
+_MB_MIN_PAIRS = 2
+
+
+def _spark_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.market_basket import copurchase_pairs
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = copurchase_pairs(
+        li, "l_orderkey", "l_partkey", min_pair_count=_MB_MIN_PAIRS
+    )
+    return out.orderBy(
+        F.col("pair_count").desc(), "item_a", "item_b"
+    )
+
+
+_COPURCHASE_ORACLE = f"""
+WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+sized AS (
+  SELECT b.basket, b.item
+  FROM b JOIN (
+    SELECT basket FROM b GROUP BY basket HAVING count(*) <= 1000
+  ) ok USING (basket)
+),
+ic AS (SELECT item, CAST(count(*) AS BIGINT) AS cnt FROM sized GROUP BY item),
+tot AS (SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n_baskets FROM sized),
+p AS (
+  SELECT a.item AS item_a, c.item AS item_b, CAST(count(*) AS BIGINT) AS pair_count
+  FROM sized a JOIN sized c ON a.basket = c.basket AND a.item < c.item
+  GROUP BY 1, 2 HAVING count(*) >= {_MB_MIN_PAIRS}
+)
+SELECT p.item_a, p.item_b, p.pair_count,
+       ca.cnt AS count_a, cb.cnt AS count_b, tot.n_baskets,
+       floor((CAST(p.pair_count * tot.n_baskets AS DOUBLE)
+              / CAST(ca.cnt * cb.cnt AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS lift
+FROM p
+JOIN ic ca ON ca.item = p.item_a
+JOIN ic cb ON cb.item = p.item_b
+CROSS JOIN tot
+ORDER BY p.pair_count DESC, p.item_a, p.item_b
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -3580,6 +3624,7 @@ def operator_queries() -> dict[str, OpQuery]:
         ),
         "op_gapfill_interpolate": OpQuery(_spark_gapfill, _GAPFILL_ORACLE),
         "op_graph_pagerank": OpQuery(_spark_graph_pagerank, _graph_pagerank_oracle()),
+        "op_copurchase_pairs": OpQuery(_spark_copurchase, _COPURCHASE_ORACLE),
         "pipeline_curation_funnel": OpQuery(_spark_curation_funnel, _funnel_oracle()),
         "multimodal_suite": OpQuery(_spark_multimodal_suite, _multimodal_suite_oracle()),
         # --- star-schema cleaning / warehouse operators ---

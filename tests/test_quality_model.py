@@ -91,6 +91,27 @@ def test_plan_broadcasts_model_and_stays_jvm_side(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_sparse_model_table_treats_missing_buckets_as_zero_weight(spark):
+    # A trained model that only ships non-zero buckets must not drop
+    # the tokens whose bucket is absent: they carry weight 0 and STILL
+    # count in the n_tokens denominator.
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], "doc_id BIGINT, text STRING"
+    )
+    dense = make_hashed_weights(spark)
+    toks = ["alpha", "beta", "gamma", "delta"]
+    buckets = {_h32(t) % N_BUCKETS_DEFAULT for t in toks}
+    keep_bucket = min(buckets)
+    sparse = dense.where(F.col("bucket") == keep_bucket)
+
+    out = hashed_linear_score(docs, sparse).collect()[0]
+    assert out.n_tokens == 4  # all tokens counted
+    expected = sum(
+        _py_weight(b) for t in toks if (b := _h32(t) % N_BUCKETS_DEFAULT) == keep_bucket
+    )
+    assert out.sum_w_milli == expected
+
+
 def test_keep_threshold_moves_the_gate(spark):
     docs = spark.createDataFrame([(1, "alpha beta gamma")], "doc_id BIGINT, text STRING")
     w = make_hashed_weights(spark)
