@@ -3596,6 +3596,82 @@ ORDER BY p.pair_count DESC, p.item_a, p.item_b
 """
 
 
+# --- op_event_funnel: ordered conversion funnel view→click→purchase
+# within 72h of the first view, per user. All time comparisons in
+# integer microseconds (operators/funnel.py); the oracle replays the
+# same step chain as CTEs. signup→error appended as a second funnel
+# part so the union exercises independent step chains. ---
+_FUNNEL_WINDOW_S = 72 * 3600
+
+
+def _spark_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import conversion_funnel
+
+    ev = load_table(spark, sf_dir, "events")
+    main = conversion_funnel(
+        ev, ["view", "click", "purchase"], max_window_seconds=_FUNNEL_WINDOW_S
+    ).select(F.lit("shop").alias("funnel"), "*")
+    ops = conversion_funnel(ev, ["signup", "error"]).select(
+        F.lit("ops").alias("funnel"), "*"
+    )
+    return main.unionByName(ops).orderBy("funnel", "step")
+
+
+def _event_funnel_oracle() -> str:
+    def chain(name: str, steps: list[str], window_s: int | None) -> str:
+        ctes = [
+            f"""s1 AS (
+  SELECT user_id AS u, min(epoch_us(ts)) AS reach
+  FROM events WHERE event_type = '{steps[0]}' GROUP BY 1
+)"""
+        ]
+        for i in range(2, len(steps) + 1):
+            # the 72h window anchors at the STEP-1 reach time, carried
+            # through the chain as reach0 (p.reach IS it when p = s1)
+            base = "p.reach" if i == 2 else "p.reach0"
+            win = (
+                f" AND epoch_us(e.ts) <= {base} + {window_s * 1000000}"
+                if window_s is not None
+                else ""
+            )
+            ctes.append(
+                f"""s{i} AS (
+  SELECT e.user_id AS u, min(epoch_us(e.ts)) AS reach, min({base}) AS reach0
+  FROM events e JOIN s{i - 1} p ON e.user_id = p.u
+    AND epoch_us(e.ts) >= p.reach{win}
+  WHERE e.event_type = '{steps[i - 1]}' GROUP BY 1
+)"""
+            )
+        counts = "\nUNION ALL\n".join(
+            f"SELECT {i + 1} AS step, '{s}' AS step_name,"
+            f" CAST((SELECT count(*) FROM s{i + 1}) AS BIGINT) AS n_users"
+            for i, s in enumerate(steps)
+        )
+        return f"""
+SELECT '{name}' AS funnel, step, step_name, n_users,
+  CASE WHEN step = 1 THEN 1.0
+       WHEN lag(n_users) OVER (ORDER BY step) > 0
+       THEN floor((CAST(n_users AS DOUBLE)
+                   / CAST(lag(n_users) OVER (ORDER BY step) AS DOUBLE))
+                  * 1000000 + 0.5) / 1000000
+  END AS conv_from_prev,
+  CASE WHEN step = 1 THEN 1.0
+       WHEN first_value(n_users) OVER (ORDER BY step) > 0
+       THEN floor((CAST(n_users AS DOUBLE)
+                   / CAST(first_value(n_users) OVER (ORDER BY step) AS DOUBLE))
+                  * 1000000 + 0.5) / 1000000
+  END AS conv_from_first
+FROM (WITH {", ".join(ctes)} {counts}) __c
+"""
+
+    shop = chain("shop", ["view", "click", "purchase"], _FUNNEL_WINDOW_S)
+    ops = chain("ops", ["signup", "error"], None)
+    return (
+        f"SELECT * FROM ({shop}) __a UNION ALL SELECT * FROM ({ops}) __b"
+        " ORDER BY funnel, step"
+    )
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -3625,6 +3701,7 @@ def operator_queries() -> dict[str, OpQuery]:
         "op_gapfill_interpolate": OpQuery(_spark_gapfill, _GAPFILL_ORACLE),
         "op_graph_pagerank": OpQuery(_spark_graph_pagerank, _graph_pagerank_oracle()),
         "op_copurchase_pairs": OpQuery(_spark_copurchase, _COPURCHASE_ORACLE),
+        "op_event_funnel": OpQuery(_spark_event_funnel, _event_funnel_oracle()),
         "pipeline_curation_funnel": OpQuery(_spark_curation_funnel, _funnel_oracle()),
         "multimodal_suite": OpQuery(_spark_multimodal_suite, _multimodal_suite_oracle()),
         # --- star-schema cleaning / warehouse operators ---

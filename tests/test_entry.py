@@ -18,11 +18,12 @@ def test_entry_returns_rows(spark):
 def test_every_query_has_oracle(spark):
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    # the declared CORRECTNESS surface: 10 goldens + 46 operator
+    # the declared CORRECTNESS surface: 10 goldens + 47 operator
     # queries (round 5 added dedup_incremental, corpus_group_sample,
     # text_quality_classifier, op_gapfill_interpolate,
-    # op_graph_pagerank, op_copurchase_pairs), all oracled
-    assert len(qs) == 56
+    # op_graph_pagerank, op_copurchase_pairs, op_event_funnel), all
+    # oracled
+    assert len(qs) == 57
     assert set(oracles) == set(qs)
 
 
