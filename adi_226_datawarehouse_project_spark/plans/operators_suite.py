@@ -1857,6 +1857,83 @@ def _spark_set_operators(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.unionByName(stream_part).orderBy("part", "k")
 
 
+# --- op_events_time_suite: gap-sessionization (lag window) + 5-minute
+# tumbling-window rollup over events, folded into one tag-union suite
+# (formerly the standalone op_sessionize_events / op_events_tumbling_
+# window queries — merged for the driver's 50-query CORRECTNESS cap).
+# Dialect-parameterized for epoch extraction. ---
+def _events_time_suite_sql(d: str) -> str:
+    return _suite_sql([
+        _part_sql("sessionize", _sessionize_sql(d), k="CAST(n_sessions AS STRING)", n="n_users"),
+        _part_sql(
+            "tumbling_5m",
+            _events_window_sql(d),
+            k=f"CAST(CAST({_epoch(d, 'window_start')} AS BIGINT) AS STRING)"
+              " || '|' || event_type",
+            n="n_events",
+            n2="total_value_micros",
+        ),
+    ])
+
+
+# --- op_asof_range_join_suite: the as-of attribution join and the
+# keyless interval-containment (range) join, folded into one suite
+# (formerly standalone op_asof_join_events / op_range_join_events).
+# Both Spark sides run the real operators (operators/asof.py,
+# operators/rangejoin.py); the oracles are DuckDB's native ASOF JOIN
+# and a BETWEEN join. ---
+def _spark_asof_range_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    asof = _spark_asof_join(spark, sf_dir).select(
+        F.lit("asof_click_view").alias("part"),
+        F.col("click_id").cast("string").alias("k"),
+        F.col("view_id").cast("bigint").alias("n"),
+        F.col("gap_us").cast("bigint").alias("n2"),
+        F.col("view_value").cast("double").alias("v"),
+    )
+    rng = _spark_range_join(spark, sf_dir).select(
+        F.lit("range_first_hour").alias("part"),
+        F.col("window_user").cast("string").alias("k"),
+        F.col("n_events").cast("bigint").alias("n"),
+        F.col("value_cents").cast("bigint").alias("n2"),
+        F.lit(None).cast("double").alias("v"),
+    )
+    return asof.unionByName(rng).orderBy("part", "k")
+
+
+_ASOF_RANGE_ORACLE = _suite_sql([
+    _part_sql(
+        "asof_click_view", _ASOF_ORACLE,
+        k="click_id", n="view_id", n2="gap_us", v="view_value",
+    ),
+    _part_sql(
+        "range_first_hour", _RANGE_JOIN_ORACLE,
+        k="window_user", n="n_events", n2="value_cents",
+    ),
+])
+
+
+# --- text_features_suite: the token-level and document-level text
+# feature families, folded into one suite (formerly standalone
+# text_token_features / text_doc_features). Part tags are disjoint, so
+# both keep their independent value oracles. ---
+def _spark_text_features_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = _spark_text_token_features(spark, sf_dir)
+    doc = _spark_text_doc_features(spark, sf_dir).withColumn(
+        "v", F.lit(None).cast("double")
+    )
+    return tok.unionByName(doc).orderBy("part", "k")
+
+
+def _text_features_suite_oracle() -> str:
+    tok = _text_token_features_oracle().rsplit("\nORDER BY", 1)[0]
+    doc = _text_doc_features_oracle().rsplit("\nORDER BY", 1)[0]
+    return (
+        f"{tok}\nUNION ALL\n"
+        f"SELECT part, k, n, n2, CAST(NULL AS DOUBLE) AS v FROM ({doc}) __doc"
+        "\nORDER BY part, k"
+    )
+
+
 # --- op_extract_functions: JSON path extraction + regexp_extract +
 # the date-part suite / weekend flag (F7-F10, formerly the standalone
 # op_date_functions query — folded in for the 50-query cap) ---
@@ -3716,8 +3793,7 @@ def operator_queries() -> dict[str, OpQuery]:
         "sim_near_dup_exact": OpQuery(_spark_near_dup_exact, _NEAR_DUP_EXACT_ORACLE),
         "sim_ann_topk": OpQuery(_spark_sim_ann_topk, _ANN_ORACLE),
         "sim_ivf_topk": OpQuery(_spark_ivf_topk, _IVF_TOPK_ORACLE),
-        "text_token_features": OpQuery(_spark_text_token_features, _text_token_features_oracle()),
-        "text_doc_features": OpQuery(_spark_text_doc_features, _text_doc_features_oracle()),
+        "text_features_suite": OpQuery(_spark_text_features_suite, _text_features_suite_oracle()),
         "corpus_group_sample": OpQuery(_spark_corpus_group_sample, _GROUP_SAMPLE_ORACLE),
         "text_quality_classifier": OpQuery(
             _spark_quality_classifier, _QUALITY_CLASSIFIER_ORACLE
@@ -3761,24 +3837,16 @@ def operator_queries() -> dict[str, OpQuery]:
         "op_multijoin_revenue": OpQuery(_sql(_MULTIJOIN_REVENUE_SQL), _MULTIJOIN_REVENUE_SQL),
         "op_dim_rollups": OpQuery(_sql(_DIM_ROLLUPS_SQL), _DIM_ROLLUPS_SQL),
         "op_topk_orders_per_customer": OpQuery(_sql(_TOPK_ORDERS), _TOPK_ORDERS),
-        "op_window_functions": OpQuery(_sql(_WINDOW_FUNCTIONS_SQL), _WINDOW_FUNCTIONS_SQL),
-        "op_lag_lead_rank": OpQuery(_sql(_LAG_LEAD_SQL), _LAG_LEAD_ORACLE),
-        "op_rolling_7d_window": OpQuery(_sql(_ROLLING_WINDOW_SQL), _ROLLING_WINDOW_SQL),
-        "op_set_operators": OpQuery(_sql(_SET_OPERATORS_SQL), _SET_OPERATORS_SQL),
+        "op_window_functions": OpQuery(
+            _sql(_window_functions_sql(D.SPARK)), _window_functions_sql(D.DUCKDB)
+        ),
+        "op_set_operators": OpQuery(_spark_set_operators, _SET_OPERATORS_SQL),
         "op_join_filters": OpQuery(_sql(_JOIN_FILTERS_SQL), _JOIN_FILTERS_SQL),
         "op_grouping_variants": OpQuery(_sql(_GROUPING_VARIANTS_SQL), _GROUPING_VARIANTS_SQL),
         "op_pivot_status_by_year": OpQuery(_spark_pivot_status, _PIVOT_STATUS_ORACLE),
-        "op_distinct_dedup": OpQuery(_spark_distinct_dedup, _DISTINCT_DEDUP_SQL),
-        "op_date_functions": OpQuery(
-            _sql(_date_functions_sql(D.SPARK)), _date_functions_sql(D.DUCKDB)
+        "op_events_time_suite": OpQuery(
+            _sql(_events_time_suite_sql(D.SPARK)), _events_time_suite_sql(D.DUCKDB)
         ),
-        "op_sessionize_events": OpQuery(
-            _sql(_sessionize_sql(D.SPARK)), _sessionize_sql(D.DUCKDB)
-        ),
-        "op_events_tumbling_window": OpQuery(
-            _sql(_events_window_sql(D.SPARK)), _events_window_sql(D.DUCKDB)
-        ),
-        "op_asof_join_events": OpQuery(_spark_asof_join, _ASOF_ORACLE),
-        "op_range_join_events": OpQuery(_spark_range_join, _RANGE_JOIN_ORACLE),
+        "op_asof_range_join_suite": OpQuery(_spark_asof_range_suite, _ASOF_RANGE_ORACLE),
         "op_scd2_dimension_apply": OpQuery(_spark_scd2_apply, _SCD2_ORACLE),
     }

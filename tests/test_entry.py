@@ -18,12 +18,13 @@ def test_entry_returns_rows(spark):
 def test_every_query_has_oracle(spark):
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    # the declared CORRECTNESS surface: 10 goldens + 47 operator
-    # queries (round 5 added dedup_incremental, corpus_group_sample,
-    # text_quality_classifier, op_gapfill_interpolate,
-    # op_graph_pagerank, op_copurchase_pairs, op_event_funnel), all
-    # oracled
-    assert len(qs) == 57
+    # the declared CORRECTNESS surface: 10 goldens + 40 operator
+    # queries — exactly the driver's 50-query CORRECTNESS budget, so
+    # every declared query gets a hard oracle check each round (the
+    # round-6/7 fold-ins merged the window family, distinct/dedup,
+    # date functions, events sessionize/tumbling, asof/range joins,
+    # and the two text-feature families into tag-union suites)
+    assert len(qs) == 50
     assert set(oracles) == set(qs)
 
 
