@@ -478,6 +478,9 @@ def group_sample_k(
     k: int,
     seed: str,
     prefilter_over: int | None = 10_000_000,
+    strict: bool = False,
+    _oversample: float = 10.0,
+    _pad: float = 50.0,
 ) -> DataFrame:
     """Deterministic EXACT-k sample per stratum — the fixed-size
     complement of :func:`stratified_sample`'s fractions (eval-set
@@ -503,10 +506,23 @@ def group_sample_k(
     survive, and with mean 10·k+50 survivors the shortfall probability
     is Chernoff-negligible (< e⁻²⁰ for any k ≥ 1). Costs one extra
     map-side-combined count scan; pass ``prefilter_over=None`` to skip
-    it on corpora known to be small."""
+    it on corpora known to be small.
+
+    ``strict=True`` removes even that residual risk: after sampling it
+    counts the kept rows of each pre-filtered stratum (one extra job
+    over the k-sized output joined to the hot list) and recomputes any
+    shortfall stratum WITHOUT the pre-filter, so the result is exact-k
+    unconditionally. The default stays lazy (no action inside the
+    function) because the failure probability is < e⁻²⁰ per stratum;
+    turn strict on for eval-set builds where a silent k−1 matters more
+    than one extra job. (``_oversample``/``_pad`` tune the pre-filter
+    target of ``_oversample·k + _pad`` expected survivors — test knobs
+    for forcing the shortfall path deterministically; leave them at the
+    defaults in production.)"""
     if k <= 0:
         raise ValueError(f"k must be positive: {k}")
     keyed = df.withColumn("__skey", _hash_hex(id_col, seed, width=12))
+    hot = None
     if prefilter_over is not None:
         space = 16**_HEX_WIDTH
         hot = (
@@ -515,6 +531,7 @@ def group_sample_k(
             .filter(F.col("__n") > prefilter_over)
             .select(
                 strata_col,
+                "__n",
                 # a threshold at or above 16^6 must DISABLE the filter,
                 # not cap it: the capped value renders as SEVEN hex
                 # chars and lpad(…, 6) TRUNCATES from the right,
@@ -525,7 +542,7 @@ def group_sample_k(
                 # every hex digit, so `prefix < "g"` keeps all.
                 _let(
                     F.ceil(
-                        F.lit(10.0 * k + 50) / F.col("__n") * space
+                        F.lit(_oversample * k + _pad) / F.col("__n") * space
                     ).cast("bigint"),
                     lambda v: F.when(v >= F.lit(space), F.lit("g")).otherwise(
                         F.lpad(F.lower(F.hex(v)), _HEX_WIDTH, "0")
@@ -537,7 +554,7 @@ def group_sample_k(
         # BIGGEST stratum) must still match its hot-list row — a plain
         # key join never matches NULL, which would silently disable the
         # pre-filter for exactly the stratum most likely to need it
-        hot_r = hot.withColumnRenamed(strata_col, "__hot_key")
+        hot_r = hot.drop("__n").withColumnRenamed(strata_col, "__hot_key")
         keyed = keyed.join(
             F.broadcast(hot_r),
             F.col(strata_col).eqNullSafe(F.col("__hot_key")),
@@ -547,8 +564,51 @@ def group_sample_k(
             | (F.substring(F.col("__skey"), 1, _HEX_WIDTH) < F.col("__thr"))
         ).drop("__thr", "__hot_key")
     w = Window.partitionBy(strata_col).orderBy("__skey", id_col)
-    return (
+    out = (
         keyed.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .drop("__skey", "__rn")
     )
+    if strict and hot is not None:
+        # Verify-and-repair: only the pre-filtered (hot) strata can
+        # fall short; count the kept rows of each (the output is ≤k
+        # rows per stratum, so this job is tiny) and recompute any
+        # shortfall stratum without the pre-filter. The hot list is
+        # strata with >prefilter_over rows — a handful by construction
+        # — so the collect is bounded driver state.
+        # drive from the hot LIST, not the kept rows: a stratum whose
+        # survivors all fell to the pre-filter has ZERO output rows and
+        # would never appear in a groupBy over `out` — exactly the case
+        # that must be caught.
+        kept_counts = out.groupBy(F.col(strata_col).alias("__kc_key")).agg(
+            F.count(F.lit(1)).alias("__kept")
+        )
+        kept = (
+            hot.withColumnRenamed(strata_col, "__hot_key")
+            .join(
+                kept_counts,
+                F.col("__hot_key").eqNullSafe(F.col("__kc_key")),
+                "left",
+            )
+            .filter(
+                F.coalesce(F.col("__kept"), F.lit(0))
+                < F.least(F.lit(k), F.col("__n"))
+            )
+            .select("__hot_key")
+            .collect()
+        )
+        if kept:
+            short = {r["__hot_key"] for r in kept}
+            non_null = [s for s in short if s is not None]
+            cond = F.col(strata_col).isin(non_null) if non_null else F.lit(False)
+            if None in short:
+                cond = cond | F.col(strata_col).isNull()
+            redo = (
+                df.filter(cond)
+                .withColumn("__skey", _hash_hex(id_col, seed, width=12))
+                .withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= k)
+                .drop("__skey", "__rn")
+            )
+            out = out.filter(~cond | cond.isNull()).unionByName(redo)
+    return out

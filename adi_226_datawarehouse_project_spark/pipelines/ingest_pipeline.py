@@ -171,14 +171,21 @@ def ingest_increment(
             survivors, _zone(corpus_dir, "docs"), mode="append"
         )
         kept_ids = survivors.select("doc_id")
-        observed_write_parquet(
-            batch_bands.join(kept_ids, "doc_id"),
-            _zone(corpus_dir, "index_bands"),
-            mode="append",
-        )
+        # sigs BEFORE bands: the candidate scorer inner-joins
+        # index_sigs, so a band row whose sig row is missing (crash
+        # between the two appends, bands-first order) would silently
+        # fail verification and admit real near-dups forever. A sig
+        # row without its bands only re-admits the crashed doc as a
+        # docs-zone duplicate on re-run — the sweep posture the module
+        # docstring already documents.
         observed_write_parquet(
             batch_sigs.join(kept_ids, "doc_id"),
             _zone(corpus_dir, "index_sigs"),
+            mode="append",
+        )
+        observed_write_parquet(
+            batch_bands.join(kept_ids, "doc_id"),
+            _zone(corpus_dir, "index_bands"),
             mode="append",
         )
     finally:

@@ -49,6 +49,8 @@ manifest — and the streaming graph does not change.
 
 from __future__ import annotations
 
+import contextlib
+import fcntl
 import os
 import shutil
 
@@ -81,14 +83,46 @@ def _live_dir(target: str) -> str | None:
     return os.path.join(target, gen) if gen else None
 
 
-def _publish(merged: DataFrame, target_path: str) -> None:
-    """Write ``merged`` as the next generation and atomically flip the
-    pointer. A crash before the ``os.replace`` leaves the pointer on
-    the old generation (the orphan directory is overwritten by the
-    retried batch — same generation number is computed again); the
-    flip itself is atomic. After the flip, generations older than the
-    retained window are pruned."""
+@contextlib.contextmanager
+def _writer_lock(target_path: str):
+    """Exclusive advisory lock serializing writers on one target.
+
+    Readers never take it (pointer resolution stays lock-free). It
+    guards the read-pointer → write-generation → flip critical
+    section: two concurrent publishers would otherwise compute the
+    SAME next generation number, overwrite each other's directory,
+    and race the flip — the single-writer assumption the streaming
+    query satisfies on its own, but which nothing enforced when two
+    queries (or a query plus a backfill job) share a target. flock is
+    a local-FS mechanism, same scope as the pointer file itself; on
+    object storage, generations + pointer + lock all become the table
+    format's transaction log (module docstring)."""
     os.makedirs(target_path, exist_ok=True)
+    with open(os.path.join(target_path, "_writer.lock"), "w") as fd:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        try:
+            yield
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+
+
+def _publish(merged: DataFrame, target_path: str) -> None:
+    """Standalone publish: take the writer lock, then write-and-flip.
+    Callers that already resolved the base under the lock (the fold
+    path) use :func:`_publish_locked` directly — flock is not
+    re-entrant across file descriptors, so nesting would deadlock."""
+    with _writer_lock(target_path):
+        _publish_locked(merged, target_path)
+
+
+def _publish_locked(merged: DataFrame, target_path: str) -> None:
+    """Write ``merged`` as the next generation and atomically flip the
+    pointer — REQUIRES the target's :func:`_writer_lock` to be held.
+    A crash before the ``os.replace`` leaves the pointer on the old
+    generation (the orphan directory is overwritten by the retried
+    batch — same generation number is computed again); the flip itself
+    is atomic. After the flip, generations older than the retained
+    window are pruned."""
     cur = _current_gen(target_path)
     cur_n = int(cur.split("-")[1]) if cur else -1
     gen = f"gen-{cur_n + 1:06d}"
@@ -141,15 +175,22 @@ def apply_cdc_batch(
     """Fold one micro-batch of change events into the stored snapshot
     at ``target_path`` (new generation + atomic pointer flip). The
     stored snapshot keeps the full change schema (incl. ``seq_col``
-    and ``op_col`` tombstones) — see module docstring for why."""
-    live = _live_dir(target_path)
-    if live is not None:
-        base = spark.read.parquet(live)
-        everything = base.unionByName(batch_df)
-    else:
-        everything = batch_df
-    merged = latest_changes(everything, keys, seq_col, op_col)
-    _publish(merged, target_path)
+    and ``op_col`` tombstones) — see module docstring for why.
+
+    The writer lock spans base-pointer resolution through the flip:
+    resolving the base OUTSIDE the lock would let two concurrent
+    folders both read generation N and publish N+1/N+2, silently
+    dropping whichever fold lands first (lost update, not just a
+    directory race)."""
+    with _writer_lock(target_path):
+        live = _live_dir(target_path)
+        if live is not None:
+            base = spark.read.parquet(live)
+            everything = base.unionByName(batch_df)
+        else:
+            everything = batch_df
+        merged = latest_changes(everything, keys, seq_col, op_col)
+        _publish_locked(merged, target_path)
 
 
 def stream_cdc_apply(
@@ -195,15 +236,18 @@ def compact_tombstones(
     deliver events (e.g. the replication slot's confirmed LSN). A
     tombstone above the watermark must stay: a stale update for its
     key may still arrive and needs to lose. Publishes a new generation;
-    returns the number of tombstones removed."""
-    live = _live_dir(target_path)
-    if live is None:
-        return 0
-    snap = spark.read.parquet(live)
-    keep = snap.filter(
-        (F.col(op_col) != "D") | (F.col(seq_col) > F.lit(retention_seq))
-    )
-    removed = snap.count() - keep.count()
-    if removed:
-        _publish(keep, target_path)
-    return removed
+    returns the number of tombstones removed. Holds the writer lock
+    across resolve→publish — compacting against a base another writer
+    is concurrently replacing would un-fold that writer's batch."""
+    with _writer_lock(target_path):
+        live = _live_dir(target_path)
+        if live is None:
+            return 0
+        snap = spark.read.parquet(live)
+        keep = snap.filter(
+            (F.col(op_col) != "D") | (F.col(seq_col) > F.lit(retention_seq))
+        )
+        removed = snap.count() - keep.count()
+        if removed:
+            _publish_locked(keep, target_path)
+        return removed

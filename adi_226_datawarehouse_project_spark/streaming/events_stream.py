@@ -47,6 +47,22 @@ def events_schema(sf_dir: str) -> T.StructType:
     )
 
 
+def _is_dir(spark: SparkSession, path: str) -> bool:
+    """Directory probe through the session's Hadoop FileSystem, so the
+    layout branch below works for ANY configured filesystem (HDFS,
+    S3A, ...), not just the driver's local disk — `os.path.isdir`
+    returns False for every remote URI, which silently picked the
+    glob branch. Falls back to the local probe when no JVM gateway is
+    reachable (Spark Connect)."""
+    try:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.getFileStatus(hpath).isDirectory())
+    except Exception:  # noqa: BLE001 - missing path or no gateway
+        return os.path.isdir(path)
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str, **options: str) -> DataFrame:
     """File-source readStream over the events parquet with ``ts``
     normalized to a (naive) TIMESTAMP column, whatever the file's
@@ -68,7 +84,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str, **options: str) -> Data
     # layout and would silently stream ZERO rows from a directory.
     events_path = os.path.join(sf_dir, "events.parquet")
     reader = spark.readStream.schema(schema).format("parquet")
-    if os.path.isdir(events_path):
+    if _is_dir(spark, events_path):
         reader = reader.option("path", events_path)
     else:
         reader = reader.option("path", sf_dir).option(

@@ -163,3 +163,54 @@ def test_atomic_pointer_publish_crash_and_reader_retention(spark, fresh):
     apply_cdc_batch(spark, b4, t, ["id"], "seq")
     gens = sorted(d for d in os.listdir(t) if d.startswith("gen-"))
     assert len(gens) <= 2 and gens[-1] == "gen-000003"
+
+
+def test_writer_lock_serializes_concurrent_publishers(spark, tmp_path):
+    """The single-writer assumption is now ENFORCED: while one writer
+    holds the target's lock, a second writer's critical section cannot
+    enter (flock blocks across file descriptors). Pins the guard the
+    fold/compact paths rely on to never lose an update."""
+    import fcntl
+    import threading
+    import time
+
+    from adi_226_datawarehouse_project_spark.streaming.cdc_sink import (
+        _writer_lock,
+    )
+
+    target = str(tmp_path / "locked_target")
+    os.makedirs(target, exist_ok=True)
+    entered = threading.Event()
+
+    def second_writer():
+        with _writer_lock(target):
+            entered.set()
+
+    # hold the lock as "writer one" through an independent descriptor
+    with open(os.path.join(target, "_writer.lock"), "w") as fd:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        t = threading.Thread(target=second_writer, daemon=True)
+        t.start()
+        time.sleep(0.5)
+        assert not entered.is_set()  # blocked while writer one holds it
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        assert entered.wait(timeout=10)  # admitted immediately after
+        t.join(timeout=10)
+
+
+def test_fold_under_lock_still_correct_and_lock_released(spark, fresh):
+    """apply_cdc_batch now resolves the base pointer INSIDE the writer
+    lock; a normal sequential fold is unchanged, and the lock is free
+    afterwards (a second immediate fold does not deadlock)."""
+    import fcntl
+
+    target = f"{BASE}/target"
+    b1 = spark.createDataFrame([(1, "alice", 100, 1, "I"), (2, "bob", 200, 2, "I")], SCHEMA)
+    apply_cdc_batch(spark, b1, target, keys=["id"], seq_col="seq")
+    b2 = spark.createDataFrame([(1, "alice", 150, 3, "U")], SCHEMA)
+    apply_cdc_batch(spark, b2, target, keys=["id"], seq_col="seq")
+    assert _live(spark) == [(1, "alice", 150), (2, "bob", 200)]
+    # the lock is not held between calls
+    with open(os.path.join(target, "_writer.lock"), "w") as fd:
+        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)  # must not raise
+        fcntl.flock(fd, fcntl.LOCK_UN)

@@ -137,3 +137,26 @@ def _stream_ts_values(spark, sf_dir, name):
     finally:
         q.stop()
     return sorted(r["ts"] for r in spark.sql(f"SELECT ts FROM {out}").collect())
+
+
+def test_is_dir_probe_handles_uris_and_local_paths(spark, tmp_path):
+    """The layout branch in read_events_stream must resolve through the
+    session's Hadoop FileSystem so directory-of-part-files tables are
+    detected on ANY filesystem. file:// URIs are the probe: os.path.isdir
+    returns False for them, so a True here proves the Hadoop path."""
+    import os
+
+    from adi_226_datawarehouse_project_spark.streaming.events_stream import _is_dir
+
+    d = tmp_path / "events.parquet"
+    d.mkdir()
+    f = tmp_path / "single.parquet"
+    f.write_bytes(b"x")
+
+    assert _is_dir(spark, str(d)) is True
+    assert _is_dir(spark, str(f)) is False
+    assert _is_dir(spark, str(tmp_path / "missing")) is False
+    # URI forms — the local fallback can't answer these
+    assert os.path.isdir(f"file://{d}") is False  # why the fallback isn't enough
+    assert _is_dir(spark, f"file://{d}") is True
+    assert _is_dir(spark, f"file://{f}") is False

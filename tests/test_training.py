@@ -378,6 +378,56 @@ def test_group_sample_k_hot_stratum_prefilter_preserves_exact_k(spark):
     assert 7 <= survivors < 500
 
 
+def test_group_sample_k_strict_repairs_prefilter_shortfall(spark):
+    """The residual hazard of the hot-stratum pre-filter is a SILENT
+    shortfall (< e⁻²⁰ per stratum at the production oversample, but
+    nonzero). Forcing it with the test knobs (_oversample=_pad=0 →
+    threshold 000000 → zero survivors) pins both behaviors: the lazy
+    default returns fewer than k for the hot stratum (the documented
+    trade), and strict=True detects it and recomputes that stratum
+    without the pre-filter — row-identical to the unfiltered ground
+    truth, cold strata untouched."""
+    from adi_226_datawarehouse_project_spark.operators.training import group_sample_k
+
+    rows = (
+        [("hot", i) for i in range(5000)]
+        + [(None, i) for i in range(2000)]  # NULL stratum must repair too
+        + [("cold", i) for i in range(40)]
+    )
+    df = spark.createDataFrame(rows, "stratum string, id bigint")
+
+    nsort = lambda pairs: sorted(pairs, key=lambda t: (t[0] is not None, t[0] or "", t[1]))  # noqa: E731
+    base = group_sample_k(df, "stratum", "id", k=7, seed="pf", prefilter_over=None)
+    want = nsort((r["stratum"], r["id"]) for r in base.collect())
+
+    kw = dict(k=7, seed="pf", prefilter_over=1000, _oversample=0.0, _pad=0.0)
+    lazy = group_sample_k(df, "stratum", "id", **kw)
+    got_lazy = [(r["stratum"], r["id"]) for r in lazy.collect()]
+    assert {s for s, _ in got_lazy} == {"cold"}  # the silent shortfall
+    assert len(got_lazy) == 7
+
+    strict = group_sample_k(df, "stratum", "id", strict=True, **kw)
+    got = nsort((r["stratum"], r["id"]) for r in strict.collect())
+    assert got == want and len(got) == 21
+
+
+def test_group_sample_k_strict_is_noop_without_shortfall(spark):
+    """At the production oversample the strict verify pass finds no
+    shortfall and the output is identical to the lazy path."""
+    from adi_226_datawarehouse_project_spark.operators.training import group_sample_k
+
+    rows = [("hot", i) for i in range(5000)] + [(None, i) for i in range(3000)]
+    df = spark.createDataFrame(rows, ["stratum", "id"])
+    lazy = group_sample_k(df, "stratum", "id", k=7, seed="pf", prefilter_over=1000)
+    strict = group_sample_k(
+        df, "stratum", "id", k=7, seed="pf", prefilter_over=1000, strict=True
+    )
+    key = lambda t: (t[0] is not None, t[0] or "", t[1])  # noqa: E731
+    assert sorted(map(tuple, lazy.collect()), key=key) == sorted(
+        map(tuple, strict.collect()), key=key
+    )
+
+
 def test_two_phase_scans_accept_storage_level(spark):
     """storage_level='MEMORY_AND_DISK' swaps localCheckpoint for an
     eager persist — values identical either way (cluster users keep
