@@ -248,8 +248,45 @@ def simhash_near_dup_pairs(
     )
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al. 2014): every node u links
+    each STRICTLY LARGER neighbor to min(N(u) ∪ {u}). Input/output are
+    canonical undirected edges ``(hi, lo)`` with hi > lo."""
+    sym = edges.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionByName(
+        edges.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(
+        F.least(F.min("v"), F.col("u")).alias("m")
+    )
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+        .filter(F.col("hi") != F.col("lo"))
+        .dropDuplicates(["hi", "lo"])
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: every node links its SMALLER-OR-EQUAL
+    neighborhood (all of ``lo`` for a given ``hi``, which are < hi by
+    canonical form) plus itself to the minimum of that set."""
+    mins = edges.groupBy("hi").agg(F.min("lo").alias("m"))
+    relinked = (
+        edges.join(mins, "hi")
+        .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+        .filter(F.col("hi") != F.col("lo"))
+    )
+    self_links = mins.select(F.col("hi"), F.col("m").alias("lo"))
+    return relinked.unionByName(self_links).dropDuplicates(["hi", "lo"])
+
+
 def near_dup_clusters(
-    ids: DataFrame, id_col: str, pairs: DataFrame, max_iter: int = 20
+    ids: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    max_iter: int = 20,
+    _stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph:
     ``(id, cluster_id)`` where ``cluster_id`` is the MINIMUM id in the
@@ -258,77 +295,78 @@ def near_dup_clusters(
     alone can't answer "keep one doc per duplicate GROUP" when dups
     chain (A~B, B~C but A≁C must still collapse to one survivor).
 
-    Algorithm: min-label propagation. Each iteration sends every
-    node's current label along its edges and takes the min of
-    (own label, incoming labels) — all hash joins + a map-side-combined
-    groupBy min, no windows, no collects of anything graph-sized; the
-    only driver-side value per iteration is the changed-label COUNT
-    (the convergence probe). Converges in component-diameter
-    iterations: near-dup components are LSH cliques and short chains
-    (diameter ≲ 5), so the loop is a handful of bounded shuffles.
+    Algorithm: alternating large-star/small-star contraction (Kiveris
+    et al., "Connected Components in MapReduce and Beyond", SoCC 2014
+    — the same public algorithm GraphFrames ships as its default CC).
+    Each round is two groupBy-min + join passes over the EDGE set; the
+    edge set converges to one star per component centered on the
+    component minimum in O(log n) rounds — a 200-node path converges
+    in ~7 rounds where min-label propagation (this function's previous
+    algorithm) needed ~200 diameter-bound rounds. Everything is hash
+    joins + map-side-combined aggregations: no windows, no
+    graph-sized driver state; the only driver-side values per round
+    are the convergence probe counts.
 
-    Labels are ``localCheckpoint(eager=True)``-ed every iteration —
-    NOT merely persisted: each round's plan embeds the previous
-    round's twice (label join + convergence join), so without lineage
-    truncation the logical plan grows ~2^iterations and the DRIVER
-    dies of plan-analysis OOM around iteration 8 (observed). The
-    checkpoint materializes the round and replaces its plan with a
-    flat scan, which is exactly how GraphX/GraphFrames pace their
-    iterative jobs; on a cluster with executor churn swap in reliable
-    ``checkpoint()`` against a checkpoint dir. For adversarial
-    long-path graphs (diameter > ``max_iter``) this raises rather than
-    returning partial clusters; the O(log n)-round upgrade path is the
-    large-star/small-star contraction of Kiveris et al. (2014), which
-    drops in behind the same (id, cluster_id) contract.
+    Edges are ``localCheckpoint(eager=True)``-ed every round — NOT
+    merely persisted: each round's plan embeds the previous round's
+    several times (two star passes + the convergence anti-join), so
+    without lineage truncation the logical plan grows exponentially
+    and the DRIVER dies of plan-analysis OOM (observed with the old
+    loop around iteration 8). The checkpoint materializes the round
+    and replaces its plan with a flat scan — how GraphX/GraphFrames
+    pace their iterative jobs; on a cluster with executor churn swap
+    in reliable ``checkpoint()`` against a checkpoint dir.
+
+    ``max_iter`` is a safety bound only (log-scale rounds make it
+    generous for any real graph); exceeding it raises rather than
+    returning partial clusters. ``_stats``, when a dict, receives
+    ``{"rounds": n}`` — observability for tests and tuning.
 
     The result is returned still checkpoint-backed — recomputing it
-    from scratch would replay every iteration.
+    from scratch would replay every round.
     """
     edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-        .dropDuplicates(["src", "dst"])
-        .persist()
+        pairs.filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.greatest(F.col("id_a"), F.col("id_b")).alias("hi"),
+            F.least(F.col("id_a"), F.col("id_b")).alias("lo"),
+        )
+        .dropDuplicates(["hi", "lo"])
+        .localCheckpoint(eager=True)
     )
-    lab = ids.select(
-        F.col(id_col).alias("__id"), F.col(id_col).alias("__lbl")
-    ).localCheckpoint(eager=True)
-    try:
-        for _ in range(max_iter):
-            incoming = (
-                edges.join(lab, F.col("src") == F.col("__id"))
-                .select(F.col("dst").alias("__id"), F.col("__lbl"))
-                .groupBy("__id")
-                .agg(F.min("__lbl").alias("__nl"))
-            )
-            new_lab = (
-                lab.join(incoming, "__id", "left")
-                .select(
-                    "__id",
-                    F.least(
-                        F.col("__lbl"), F.coalesce(F.col("__nl"), F.col("__lbl"))
-                    ).alias("__lbl"),
-                )
-                .localCheckpoint(eager=True)
-            )
-            changed = (
-                new_lab.alias("n")
-                .join(lab.alias("o"), "__id")
-                .filter(F.col("n.__lbl") != F.col("o.__lbl"))
-                .count()
-            )
-            lab = new_lab
-            if changed == 0:
-                break
-        else:
-            raise RuntimeError(
-                f"near_dup_clusters: labels still changing after {max_iter} "
-                "iterations (component diameter exceeds max_iter); raise "
-                "max_iter or switch to star-contraction for this graph"
-            )
-    finally:
-        edges.unpersist()
-    return lab.select(F.col("__id").alias(id_col), F.col("__lbl").alias("cluster_id"))
+    rounds = 0
+    for _ in range(max_iter):
+        nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        rounds += 1
+        # set-equality probe: counts match AND nothing is new
+        changed = (
+            nxt.count() != edges.count()
+            or nxt.join(edges, ["hi", "lo"], "left_anti").count() > 0
+        )
+        edges = nxt
+        if not changed:
+            break
+    else:
+        raise RuntimeError(
+            f"near_dup_clusters: edge set still changing after {max_iter} "
+            "contraction rounds; raise max_iter"
+        )
+    if _stats is not None:
+        _stats["rounds"] = rounds
+    # fixed point = one star per component: every non-center node has
+    # exactly one (node, center) edge; centers and isolated nodes label
+    # themselves
+    labels = edges.groupBy("hi").agg(F.min("lo").alias("__lbl")).select(
+        F.col("hi").alias("__id"), "__lbl"
+    )
+    return (
+        ids.select(F.col(id_col).alias("__id"))
+        .join(labels, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col("__lbl"), F.col("__id")).alias("cluster_id"),
+        )
+    )
 
 
 def ngram_jaccard_pairs(
@@ -338,12 +376,29 @@ def ngram_jaccard_pairs(
     n: int = 2,
     min_jaccard: float = 0.5,
     max_shingle_freq: int | None = None,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard similarity for every pair sharing at
     least one n-gram (inverted-index self-join). Returns (id_a, id_b,
     jaccard). `max_shingle_freq` drops ultra-common shingles before
     the join — the stop-shingle cap that keeps the self-join bounded
-    at corpus scale."""
+    at corpus scale, at the cost of APPROXIMATING the shingle sets.
+
+    ``prefix_filter=True`` keeps the result EXACT while still taming
+    stopword-hot corpora: PPJoin-style prefix filtering (Xiao et al.,
+    "Efficient Similarity Joins for Near Duplicate Detection", WWW
+    2008). Shingles get a global total order by ascending document
+    frequency (rarest first, ties by hash); a pair with Jaccard ≥ t
+    must share at least one shingle inside both docs' length-
+    ``s - ceil(t·s) + 1`` prefixes under that order, so the candidate
+    join runs over PREFIX rows only — the hot head of the frequency
+    distribution (exactly the stopword shingles that blow up the naive
+    self-join) sorts to the SUFFIX and never generates candidates.
+    Candidates are then verified with the true intersection over the
+    full shingle sets. Costs one extra frequency aggregation and one
+    per-doc rank window (keyed by doc — no skew); wins whenever hot
+    shingles dominate the naive join's candidate volume.
+    """
     # array_distinct already guarantees per-doc shingle uniqueness, so
     # no dedup shuffle is needed. The inverted index carries an 8-byte
     # xxhash64 of each shingle instead of the string: the self-join
@@ -364,12 +419,47 @@ def ngram_jaccard_pairs(
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("__n"))
     a = sh.select(F.col(id_col).alias("id_a"), "__g")
     b = sh.select(F.col(id_col).alias("id_b"), "__g")
-    inter = (
-        a.join(b, "__g")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("__i"))
-    )
+    if prefix_filter:
+        from pyspark.sql import Window
+
+        freq = sh.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
+        w = Window.partitionBy(id_col).orderBy("__df", "__g")
+        ranked = (
+            sh.join(freq, "__g")
+            .withColumn("__rk", F.row_number().over(w))
+            .withColumn("__s", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+        )
+        # the 1e-9 slack keeps binary-float products like 0.8*5 =
+        # 4.0000000000000002 from ceil-ing one too high, which would
+        # SHORTEN the prefix and silently break exactness
+        pref = ranked.filter(
+            F.col("__rk")
+            <= F.col("__s")
+            - F.ceil(F.lit(float(min_jaccard)) * F.col("__s") - F.lit(1e-9))
+            + 1
+        ).select(id_col, "__g")
+        cand = (
+            pref.select(F.col(id_col).alias("id_a"), "__g")
+            .join(pref.select(F.col(id_col).alias("id_b"), "__g"), "__g")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        # exact verification: true intersection over the FULL sets,
+        # restricted to the candidate pairs
+        inter = (
+            cand.join(a, "id_a")
+            .join(b, ["id_b", "__g"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("__i"))
+        )
+    else:
+        inter = (
+            a.join(b, "__g")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("__i"))
+        )
     na = sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"))
     nb = sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"))
     return (

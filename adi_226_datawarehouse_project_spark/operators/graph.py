@@ -37,8 +37,13 @@ Scale design (100 TB):
   any ``pyspark.StorageLevel`` via the knob for clusters — same policy
   as ``training.distributed_prefix_sum``), which also truncates the
   otherwise exponentially-growing lineage.
-- High-degree hubs skew the groupBy(dst); AQE skew-join handles it, or
-  pre-salt dst with ``operators.skew`` for adversarial graphs.
+- High-degree hubs DON'T skew the groupBy(dst) the way they skew
+  joins: map-side partial aggregation collapses a hot dst to one row
+  per map task before the shuffle (measured: salting the sum is a net
+  LOSS — see ``salt_buckets`` in :func:`pagerank`). The join side
+  (ranks ⋈ edges on src, hot src = mega-out-degree hub) is where skew
+  bites, and AQE's skew-join split handles that; the ``salt_buckets``
+  escape hatch covers engines without map-side combine.
 """
 
 from __future__ import annotations
@@ -61,6 +66,7 @@ def pagerank(
     scale: int = SCALE_DEFAULT,
     storage_level: str | None = None,
     pin_every: int = 2,
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """Integer PageRank over a directed edge list.
 
@@ -77,6 +83,21 @@ def pagerank(
     launch per round; the default re-pins every 2nd round (the plan
     between pins is two join+agg layers — well inside Catalyst's
     comfort zone) and always pins the final round.
+
+    ``salt_buckets`` turns the per-iteration contribution sum into the
+    two-phase salted aggregation (``operators.skew.salted_agg``).
+    BIGINT addition is order-independent, so ranks are bit-identical
+    with or without the salt — it is purely a shuffle-balance knob.
+    MEASURED (scripts/pagerank_salt_scale.py, 20M edges with 50% of
+    them on one hub, local[32]): plain 9.2s vs salted 12.8s — the
+    DEFAULT (None) wins, because the hot groupBy(dst) key is already
+    collapsed map-side by Spark's partial (hash) aggregation to one
+    row per map task before any shuffle, so there is no hot reducer
+    for salting to fix and the salt just buys an extra exchange. Keep
+    the knob for deployments where partial aggregation is ineffective
+    (e.g. ``spark.sql.aggregate.partialAggregationOptimization`` style
+    fallbacks on memory-starved executors, or engines without
+    map-side combine); everywhere else leave it None.
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
@@ -126,16 +147,22 @@ def pagerank(
 
     pinned = [ranks]
     for it in range(1, iterations + 1):
-        contrib = (
+        sent = (
             ranks.where(F.col("out_deg") > 0)
             .join(e, ranks.node == e.src)
             .select(
                 F.col("dst"),
                 F.expr("rank_units DIV out_deg").alias("__c"),
             )
-            .groupBy("dst")
-            .agg(F.sum("__c").alias("__s"))
         )
+        if salt_buckets:
+            from .skew import salted_agg
+
+            contrib = salted_agg(
+                sent, ["dst"], sums=["__c"], counts=False, buckets=salt_buckets
+            ).withColumnRenamed("sum___c", "__s")
+        else:
+            contrib = sent.groupBy("dst").agg(F.sum("__c").alias("__s"))
         ranks = ranks.join(contrib, ranks.node == contrib.dst, "left").select(
             "node",
             "out_deg",

@@ -527,8 +527,8 @@ def semantic_dedup(
     (n²/k per cell in expectation, the whole point of the paper's
     k-means pre-pass) and runs as a self-equi-join on ``centroid_id``
     with the exact cosine computed per candidate; the component
-    collapse is :func:`~..operators.dedup.near_dup_clusters`' bounded
-    min-label propagation. Documented approximation: a pair whose
+    collapse is :func:`~..operators.dedup.near_dup_clusters`'
+    log-round star contraction. Documented approximation: a pair whose
     members land in DIFFERENT cells is never examined — that recall
     loss is inherent to single-probe SemDeDup and shrinks as cells grow
     (measured same-cell pair recall vs the exhaustive cosine≥0.9 truth

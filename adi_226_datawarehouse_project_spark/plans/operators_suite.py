@@ -1463,8 +1463,8 @@ def _spark_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines derive the identical eval set with no side state). Every
     stage is the already-oracled operator, composed; output is one row
     per stage so the oracle checks the whole funnel's selectivity AND
-    token mass. The components stage is the iterative min-label
-    propagation (operators.dedup.near_dup_clusters); its DuckDB oracle
+    token mass. The components stage is the alternating
+    large-star/small-star contraction (operators.dedup.near_dup_clusters); its DuckDB oracle
     is a recursive-CTE transitive closure over the identical edge set.
     The decontamination stage is operators.decontamination (broadcast
     bench-gram inverted index); its oracle is the same distinct-gram

@@ -1,0 +1,86 @@
+"""Measure PPJoin prefix filtering vs the naive inverted-index
+self-join for exact n-gram Jaccard on a stopword-hot corpus — the
+adversarial shape behind the exact-mode α≈0.64 watch item.
+
+Every doc shares a hot stopword head (all-pairs collision for the
+naive join) plus a genuine variable-length tail; ~1% of docs get a
+planted near-duplicate so the output is non-trivial. Both modes must
+return identical pairs.
+
+Usage::
+
+    python scripts/ngram_prefix_scale.py [n_docs] [n_docs_2]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from adi_226_datawarehouse_project_spark.operators.dedup import (  # noqa: E402
+    ngram_jaccard_pairs,
+)
+from adi_226_datawarehouse_project_spark.session import get_spark  # noqa: E402
+
+SIZES = [int(a) for a in sys.argv[1:]] or [2_000, 8_000]
+HOT = "the cat sat on the mat and the dog ran to the park"
+
+
+def _corpus(spark, n):
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit(HOT + " "),
+            F.concat_ws(
+                " ",
+                *[
+                    F.concat(F.lit(f"tok{j}x"), (F.xxhash64("id") % 1000 + j).cast("string"))
+                    for j in range(12)
+                ],
+            ),
+        ).alias("text"),
+    )
+    dups = (
+        base.filter(F.col("doc_id") % 100 == 7)
+        .select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+    )
+    return base.unionByName(dups)
+
+
+def main() -> None:
+    spark = get_spark(shuffle_partitions=32)
+    out = {}
+    for n in SIZES:
+        docs = _corpus(spark, n).persist()
+        docs.count()
+        row = {}
+        for label, kw in [("naive", {}), ("prefix", {"prefix_filter": True})]:
+            best, pairs = float("inf"), 0
+            for _ in range(2):
+                t0 = time.perf_counter()
+                pairs = ngram_jaccard_pairs(
+                    docs, "doc_id", "text", n=2, min_jaccard=0.8, **kw
+                ).count()
+                best = min(best, time.perf_counter() - t0)
+            row[label] = (round(best, 2), pairs)
+            print(f"# n={n} {label}: {best:.2f}s pairs={pairs}", file=sys.stderr)
+        assert row["naive"][1] == row["prefix"][1], "pair sets diverged!"
+        out[n] = row
+        docs.unpersist()
+    if len(SIZES) == 2:
+        import math
+
+        k = SIZES[1] / SIZES[0]
+        for label in ("naive", "prefix"):
+            a = math.log(out[SIZES[1]][label][0] / out[SIZES[0]][label][0]) / math.log(k)
+            print(f"# alpha[{label}] = {a:.2f}", file=sys.stderr)
+    print({n: {k: v for k, v in row.items()} for n, row in out.items()})
+
+
+if __name__ == "__main__":
+    main()

@@ -217,18 +217,37 @@ def test_near_dup_clusters_matches_union_find(spark):
 
 
 def test_near_dup_clusters_raises_past_max_iter(spark):
-    """A chain longer than max_iter must refuse loudly (partial labels
-    would silently under-merge clusters)."""
+    """A graph that can't converge within max_iter must refuse loudly
+    (partial edges would silently under-merge clusters)."""
     import pytest
 
     from adi_226_datawarehouse_project_spark.operators.dedup import near_dup_clusters
 
-    ids = list(range(8))
-    chain = [(i, i + 1) for i in range(7)]
+    ids = list(range(50))
+    chain = [(i, i + 1) for i in range(49)]
     nodes = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
     pairs = spark.createDataFrame(chain, ["id_a", "id_b"])
     with pytest.raises(RuntimeError, match="max_iter"):
-        near_dup_clusters(nodes, "doc_id", pairs, max_iter=3)
+        near_dup_clusters(nodes, "doc_id", pairs, max_iter=1)
+
+
+def test_near_dup_clusters_long_chain_converges_in_log_rounds(spark):
+    """The star-contraction upgrade's point: a 200-node path (diameter
+    199 — min-label propagation needed ~199 rounds and would have hit
+    the default max_iter=20 guard) converges in O(log n) contraction
+    rounds with every node labeled 0."""
+    from adi_226_datawarehouse_project_spark.operators.dedup import near_dup_clusters
+
+    n = 200
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"])
+    stats: dict = {}
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in near_dup_clusters(nodes, "doc_id", pairs, _stats=stats).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+    assert stats["rounds"] <= 12, stats  # log-scale, nowhere near diameter 199
 
 
 def test_simhash_lane_overflow_guard(spark):
@@ -330,3 +349,92 @@ def test_incremental_filter_no_corpus_sized_shuffle(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_ngram_jaccard_prefix_filter_is_exact(spark):
+    """PPJoin prefix filtering must return the IDENTICAL pair set and
+    jaccard values as the naive inverted-index self-join, across
+    thresholds (including ones where ceil(t*s) is float-hazardous) and
+    on both real docs and a stopword-hot synthetic corpus."""
+    from conftest import SF_SMALL
+
+    from adi_226_datawarehouse_project_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    for t in (0.5, 0.8):
+        naive = {
+            (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+            for r in ngram_jaccard_pairs(
+                docs, "doc_id", "text", n=3, min_jaccard=t
+            ).collect()
+        }
+        pf = {
+            (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+            for r in ngram_jaccard_pairs(
+                docs, "doc_id", "text", n=3, min_jaccard=t, prefix_filter=True
+            ).collect()
+        }
+        assert pf == naive, f"t={t}"
+
+    # stopword-hot corpus: every doc shares the same hot bigrams, plus
+    # a rare discriminating tail; sizes vary so ceil(t*s) hits many
+    # boundaries (s=6..15, t=0.8 → 0.8*10=8.000000000000002 class)
+    hot = "the cat sat on the mat"
+    rows = [
+        (i, hot + " " + " ".join(f"tok{i}x{j}" for j in range(i % 10)))
+        for i in range(60)
+    ]
+    # plant a true near-dup pair
+    rows.append((1000, rows[7][1]))
+    sdf = spark.createDataFrame(rows, "doc_id bigint, text string")
+    for t in (0.5, 0.8):
+        naive = {
+            (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+            for r in ngram_jaccard_pairs(sdf, "doc_id", "text", n=2, min_jaccard=t).collect()
+        }
+        pf = {
+            (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+            for r in ngram_jaccard_pairs(
+                sdf, "doc_id", "text", n=2, min_jaccard=t, prefix_filter=True
+            ).collect()
+        }
+        assert pf == naive, f"hot t={t}"
+        assert (7, 1000) in pf
+
+
+def test_ngram_jaccard_prefix_filter_prunes_hot_candidates(spark):
+    """The point of the prefix: hot shingles sort to the SUFFIX, so the
+    candidate join never touches them. On a corpus where every doc
+    shares 5 hot bigrams, the naive self-join candidate volume is all
+    C(n,2) pairs; the prefix join's is a small fraction."""
+    from pyspark.sql import functions as F
+
+    from adi_226_datawarehouse_project_spark.functions.text import word_ngrams
+    from adi_226_datawarehouse_project_spark.operators.dedup import (
+        ngram_jaccard_pairs as _njp,
+    )
+
+    hot = "alpha beta gamma delta epsilon zeta"
+    rows = [(i, hot + f" uniq{i}a uniq{i}b uniq{i}c uniq{i}d uniq{i}e") for i in range(80)]
+    sdf = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    # naive candidate volume: pairs sharing >=1 shingle = all pairs
+    sh = sdf.select(
+        "doc_id", F.explode(F.array_distinct(word_ngrams(F.col("text"), 2))).alias("g")
+    )
+    naive_cand = (
+        sh.alias("a")
+        .join(sh.alias("b"), "g")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id"), F.col("b.doc_id"))
+        .distinct()
+        .count()
+    )
+    assert naive_cand == 80 * 79 // 2  # every pair collides on the hot head
+
+    # prefix mode: at t=0.5 and ~11 shingles/doc the prefix is the 6
+    # RAREST shingles — the per-doc uniq tail — so candidates collapse
+    # to near zero while the output (no pair reaches J>=0.5) matches
+    got = _njp(sdf, "doc_id", "text", n=2, min_jaccard=0.5, prefix_filter=True)
+    naive = _njp(sdf, "doc_id", "text", n=2, min_jaccard=0.5)
+    assert got.count() == naive.count() == 0
