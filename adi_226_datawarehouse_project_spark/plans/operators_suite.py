@@ -623,7 +623,9 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
-def _spark_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _spark_asof_join(
+    spark: SparkSession, sf_dir: str, ordered: bool = True
+) -> DataFrame:
     """As-of attribution: each click joined to the user's most recent
     prior (or simultaneous) view — `operators/asof.py`, one window
     shuffle, no UDF. Oracle is DuckDB's native ASOF LEFT JOIN."""
@@ -641,13 +643,18 @@ def _spark_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = asof_join(clicks, views, by=["user_id"], ts="ts",
                        right_value_cols=["view_id", "view_value"])
-    return joined.select(
+    out = joined.select(
         F.col("event_id").alias("click_id"),
         "user_id",
         F.col("asof_view_id").alias("view_id"),
         F.col("asof_view_value").alias("view_value"),
         (F.unix_micros("ts") - F.unix_micros("asof_ts")).alias("gap_us"),
-    ).orderBy("click_id")
+    )
+    # EliminateSorts does not strip a sort sitting under a Union, so
+    # the suite wrapper (which re-sorts on its own keys) asks for the
+    # unordered frame — a global sort is a full range-partition
+    # shuffle, pure waste below another sort.
+    return out.orderBy("click_id") if ordered else out
 
 
 _ASOF_ORACLE = """
@@ -661,7 +668,9 @@ ORDER BY click_id
 """
 
 
-def _spark_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _spark_range_join(
+    spark: SparkSession, sf_dir: str, ordered: bool = True
+) -> DataFrame:
     """Keyless interval-containment join: each user's first-hour window
     × ALL events (10-minute buckets) — `operators/rangejoin.py`. The
     naive BETWEEN formulation is a BroadcastNestedLoopJoin; the bucket
@@ -674,10 +683,11 @@ def _spark_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.unix_micros("ts")).alias("lo")
     ).withColumn("hi", F.col("lo") + F.lit(3_600_000_000))
     j = range_join(points, "p", intervals, "lo", "hi", bucket_width=600e6)
-    return j.groupBy("window_user").agg(
+    out = j.groupBy("window_user").agg(
         F.count("*").alias("n_events"),
         F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("value_cents"),
-    ).orderBy("window_user")
+    )
+    return out.orderBy("window_user") if ordered else out
 
 
 _RANGE_JOIN_ORACLE = """
@@ -1883,14 +1893,14 @@ def _events_time_suite_sql(d: str) -> str:
 # operators/rangejoin.py); the oracles are DuckDB's native ASOF JOIN
 # and a BETWEEN join. ---
 def _spark_asof_range_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    asof = _spark_asof_join(spark, sf_dir).select(
+    asof = _spark_asof_join(spark, sf_dir, ordered=False).select(
         F.lit("asof_click_view").alias("part"),
         F.col("click_id").cast("string").alias("k"),
         F.col("view_id").cast("bigint").alias("n"),
         F.col("gap_us").cast("bigint").alias("n2"),
         F.col("view_value").cast("double").alias("v"),
     )
-    rng = _spark_range_join(spark, sf_dir).select(
+    rng = _spark_range_join(spark, sf_dir, ordered=False).select(
         F.lit("range_first_hour").alias("part"),
         F.col("window_user").cast("string").alias("k"),
         F.col("n_events").cast("bigint").alias("n"),
@@ -1917,8 +1927,8 @@ _ASOF_RANGE_ORACLE = _suite_sql([
 # text_token_features / text_doc_features). Part tags are disjoint, so
 # both keep their independent value oracles. ---
 def _spark_text_features_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tok = _spark_text_token_features(spark, sf_dir)
-    doc = _spark_text_doc_features(spark, sf_dir).withColumn(
+    tok = _spark_text_token_features(spark, sf_dir, ordered=False)
+    doc = _spark_text_doc_features(spark, sf_dir, ordered=False).withColumn(
         "v", F.lit(None).cast("double")
     )
     return tok.unionByName(doc).orderBy("part", "k")
@@ -2144,7 +2154,9 @@ _IO_SUITE_ORACLE = "\nUNION ALL\n".join([
 _PASSAGE_N = 5  # word-gram width for the passage-scrub differential
 
 
-def _spark_text_token_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _spark_text_token_features(
+    spark: SparkSession, sf_dir: str, ordered: bool = True
+) -> DataFrame:
     stats = _spark_token_stats(spark, sf_dir).select(
         F.lit("token_stats").alias("part"), F.col("lang").alias("k"),
         F.col("n_docs").cast("bigint").alias("n"),
@@ -2187,13 +2199,13 @@ def _spark_text_token_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_tokens").cast("bigint") * 100000 + F.col("covered_tokens")).alias("n2"),
         F.lit(None).cast("double").alias("v"),
     )
-    return (
+    out = (
         stats.unionByName(top)
         .unionByName(split)
         .unionByName(roll)
         .unionByName(scrub)
-        .orderBy("part", "k")
     )
+    return out.orderBy("part", "k") if ordered else out
 
 
 def _text_token_features_oracle() -> str:
@@ -2728,7 +2740,9 @@ FROM surv GROUP BY dom
 
 # --- text_doc_features: language-ID + doc fingerprint + quality score
 # + the training-assembly family (mixture sample / packing / shuffle) ---
-def _spark_text_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _spark_text_doc_features(
+    spark: SparkSession, sf_dir: str, ordered: bool = True
+) -> DataFrame:
     lang = _spark_lang_id(spark, sf_dir).select(
         F.lit("lang_id").alias("part"), F.col("predicted_lang").alias("k"),
         F.col("n").cast("bigint").alias("n"), F.lit(None).cast("bigint").alias("n2"),
@@ -2795,7 +2809,7 @@ def _spark_text_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     urls = _spark_url_ops(spark, sf_dir).select(
         F.lit("url_ops").alias("part"), "k", "n", "n2"
     )
-    return (
+    out = (
         lang.unionByName(fp)
         .unionByName(qual)
         .unionByName(samp)
@@ -2810,8 +2824,8 @@ def _spark_text_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(lm)
         .unionByName(dsir)
         .unionByName(urls)
-        .orderBy("part", "k")
     )
+    return out.orderBy("part", "k") if ordered else out
 
 
 def _text_doc_features_oracle() -> str:
