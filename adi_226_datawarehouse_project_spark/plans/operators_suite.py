@@ -1179,8 +1179,17 @@ _NGRAM_MIN_J = 0.5
 
 
 def _spark_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The Spark side runs the PPJoin prefix-filtered mode (round 7);
+    # the DuckDB oracle below derives the same pairs from the naive
+    # first-principles self-join, so the per-round hash compare IS the
+    # proof that prefix filtering is exact on the live fixtures. bench
+    # keeps timing the naive plan via its own alias (series
+    # continuity); tests/test_dedup.py pins naive==prefix directly.
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=_NGRAM_N, min_jaccard=_NGRAM_MIN_J)
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=_NGRAM_N, min_jaccard=_NGRAM_MIN_J,
+        prefix_filter=True,
+    )
     return pairs.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     ).orderBy(F.desc("jaccard"), "id_a", "id_b").limit(50)
