@@ -2948,7 +2948,13 @@ def _spark_dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 #                 the fraction>=1 disabled branch — both must produce
 #                 EXACTLY the same rows as the plain form (the
 #                 prefix-dominates-ranking invariant, and the round-5
-#                 lpad-truncation regression, correctness-gated). ---
+#                 lpad-truncation regression, correctness-gated).
+#   strict      — the round-7 verify-and-repair mode over the same
+#                 prefiltered operating point: the shortfall probe
+#                 must find nothing at the production oversample and
+#                 return the identical rows (the repair branch itself
+#                 is exercised by the forced-shortfall pytest —
+#                 tests/test_training.py). ---
 _GS_K = 5
 _GS_SEED = "gs-oracle-v1"
 
@@ -2958,10 +2964,10 @@ def _spark_corpus_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
 
-    def _part(label: str, prefilter_over: int | None) -> DataFrame:
+    def _part(label: str, prefilter_over: int | None, **kw) -> DataFrame:
         return group_sample_k(
             docs, "lang", "doc_id", k=_GS_K, seed=_GS_SEED,
-            prefilter_over=prefilter_over,
+            prefilter_over=prefilter_over, **kw,
         ).select(
             F.lit(label).alias("part"),
             "lang",
@@ -2971,6 +2977,7 @@ def _spark_corpus_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _part("plain", None)
         .unionByName(_part("prefiltered", 60))
+        .unionByName(_part("strict", 60, strict=True))
         .orderBy("part", "lang", "doc_id")
     )
 
@@ -2989,6 +2996,9 @@ SELECT 'plain' AS part, lang, CAST(doc_id AS BIGINT) AS doc_id
 FROM ranked WHERE rn <= {_GS_K}
 UNION ALL
 SELECT 'prefiltered' AS part, lang, CAST(doc_id AS BIGINT) AS doc_id
+FROM ranked WHERE rn <= {_GS_K}
+UNION ALL
+SELECT 'strict' AS part, lang, CAST(doc_id AS BIGINT) AS doc_id
 FROM ranked WHERE rn <= {_GS_K}
 ORDER BY part, lang, doc_id
 """
