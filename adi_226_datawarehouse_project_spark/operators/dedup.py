@@ -325,8 +325,18 @@ def near_dup_clusters(
     The result is returned still checkpoint-backed — recomputing it
     from scratch would replay every round.
     """
+    # Edges touching ids ABSENT from `ids` are dropped (both-endpoint
+    # semi joins): the contract is "cluster_id = the minimum id of the
+    # node's component AMONG `ids`", and the survivor rule downstream
+    # (`cluster_id == id`) needs the minimum to be a member. This also
+    # keeps components connected only THROUGH a filtered-out node
+    # separate — the same semantics the previous label-propagation
+    # implementation had (unknown nodes never relayed labels).
+    known = ids.select(F.col(id_col).alias("__k"))
     edges = (
         pairs.filter(F.col("id_a") != F.col("id_b"))
+        .join(known, F.col("id_a") == F.col("__k"), "left_semi")
+        .join(known, F.col("id_b") == F.col("__k"), "left_semi")
         .select(
             F.greatest(F.col("id_a"), F.col("id_b")).alias("hi"),
             F.least(F.col("id_a"), F.col("id_b")).alias("lo"),
@@ -335,15 +345,18 @@ def near_dup_clusters(
         .localCheckpoint(eager=True)
     )
     rounds = 0
+    n_edges = edges.count()
     for _ in range(max_iter):
         nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         rounds += 1
-        # set-equality probe: counts match AND nothing is new
+        # set-equality probe: counts match AND nothing is new (the
+        # previous round's count is carried — no recount of edges)
+        n_nxt = nxt.count()
         changed = (
-            nxt.count() != edges.count()
+            n_nxt != n_edges
             or nxt.join(edges, ["hi", "lo"], "left_anti").count() > 0
         )
-        edges = nxt
+        edges, n_edges = nxt, n_nxt
         if not changed:
             break
     else:
@@ -367,6 +380,31 @@ def near_dup_clusters(
             F.coalesce(F.col("__lbl"), F.col("__id")).alias("cluster_id"),
         )
     )
+
+
+def _prefix_rows(sh: DataFrame, id_col: str, min_jaccard: float) -> DataFrame:
+    """PPJoin prefix rows of a (id, hashed-shingle) frame: per doc of
+    size s, the ``s - ceil(t·s) + 1`` RAREST shingles under the global
+    (document frequency, hash) total order — the only rows the
+    candidate join needs (Xiao et al., WWW 2008). The 1e-9 slack keeps
+    binary-float products like 0.8*5 = 4.0000000000000002 from
+    ceil-ing one too high, which would SHORTEN the prefix and silently
+    break exactness."""
+    from pyspark.sql import Window
+
+    freq = sh.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy(id_col).orderBy("__df", "__g")
+    ranked = (
+        sh.join(freq, "__g")
+        .withColumn("__rk", F.row_number().over(w))
+        .withColumn("__s", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+    )
+    return ranked.filter(
+        F.col("__rk")
+        <= F.col("__s")
+        - F.ceil(F.lit(float(min_jaccard)) * F.col("__s") - F.lit(1e-9))
+        + 1
+    ).select(id_col, "__g")
 
 
 def ngram_jaccard_pairs(
@@ -397,7 +435,13 @@ def ngram_jaccard_pairs(
     Candidates are then verified with the true intersection over the
     full shingle sets. Costs one extra frequency aggregation and one
     per-doc rank window (keyed by doc — no skew); wins whenever hot
-    shingles dominate the naive join's candidate volume.
+    shingles dominate the naive join's candidate volume. The shingle
+    frame feeds several plan branches un-persisted — deliberate: the
+    function returns a LAZY frame (nowhere safe to unpersist), the
+    rebuilt chain is narrow (tokenize/explode/hash), and the measured
+    hot-corpus win (α 1.07 → 0.21) already pays that recompute;
+    callers looping over many actions on one corpus should persist
+    their own shingle frame and inline the stages instead.
     """
     # array_distinct already guarantees per-doc shingle uniqueness, so
     # no dedup shuffle is needed. The inverted index carries an 8-byte
@@ -420,24 +464,7 @@ def ngram_jaccard_pairs(
     a = sh.select(F.col(id_col).alias("id_a"), "__g")
     b = sh.select(F.col(id_col).alias("id_b"), "__g")
     if prefix_filter:
-        from pyspark.sql import Window
-
-        freq = sh.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
-        w = Window.partitionBy(id_col).orderBy("__df", "__g")
-        ranked = (
-            sh.join(freq, "__g")
-            .withColumn("__rk", F.row_number().over(w))
-            .withColumn("__s", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
-        )
-        # the 1e-9 slack keeps binary-float products like 0.8*5 =
-        # 4.0000000000000002 from ceil-ing one too high, which would
-        # SHORTEN the prefix and silently break exactness
-        pref = ranked.filter(
-            F.col("__rk")
-            <= F.col("__s")
-            - F.ceil(F.lit(float(min_jaccard)) * F.col("__s") - F.lit(1e-9))
-            + 1
-        ).select(id_col, "__g")
+        pref = _prefix_rows(sh, id_col, min_jaccard)
         cand = (
             pref.select(F.col(id_col).alias("id_a"), "__g")
             .join(pref.select(F.col(id_col).alias("id_b"), "__g"), "__g")

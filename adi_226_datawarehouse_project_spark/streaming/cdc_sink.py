@@ -106,15 +106,6 @@ def _writer_lock(target_path: str):
             fcntl.flock(fd, fcntl.LOCK_UN)
 
 
-def _publish(merged: DataFrame, target_path: str) -> None:
-    """Standalone publish: take the writer lock, then write-and-flip.
-    Callers that already resolved the base under the lock (the fold
-    path) use :func:`_publish_locked` directly — flock is not
-    re-entrant across file descriptors, so nesting would deadlock."""
-    with _writer_lock(target_path):
-        _publish_locked(merged, target_path)
-
-
 def _publish_locked(merged: DataFrame, target_path: str) -> None:
     """Write ``merged`` as the next generation and atomically flip the
     pointer — REQUIRES the target's :func:`_writer_lock` to be held.

@@ -52,15 +52,25 @@ def _is_dir(spark: SparkSession, path: str) -> bool:
     layout branch below works for ANY configured filesystem (HDFS,
     S3A, ...), not just the driver's local disk — `os.path.isdir`
     returns False for every remote URI, which silently picked the
-    glob branch. Falls back to the local probe when no JVM gateway is
-    reachable (Spark Connect)."""
+    glob branch. Falls back to the local probe ONLY when no JVM
+    gateway is reachable (Spark Connect); a missing path is False,
+    and any other FS error (auth, network) propagates LOUDLY — a
+    silent local fallback on a remote URI would re-introduce the
+    zero-rows bug this probe exists to fix."""
     try:
         jvm = spark._jvm
         hpath = jvm.org.apache.hadoop.fs.Path(path)
         fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        return bool(fs.getFileStatus(hpath).isDirectory())
-    except Exception:  # noqa: BLE001 - missing path or no gateway
+    except Exception:  # noqa: BLE001 - no JVM gateway (Spark Connect)
         return os.path.isdir(path)
+    try:
+        return bool(fs.getFileStatus(hpath).isDirectory())
+    except Exception as e:  # noqa: BLE001 - inspect the Java class
+        j = getattr(e, "java_exception", None)
+        cls = j.getClass().getName() if j is not None else type(e).__name__
+        if "FileNotFoundException" in cls:
+            return False
+        raise
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str, **options: str) -> DataFrame:

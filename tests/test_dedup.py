@@ -432,9 +432,59 @@ def test_ngram_jaccard_prefix_filter_prunes_hot_candidates(spark):
     )
     assert naive_cand == 80 * 79 // 2  # every pair collides on the hot head
 
-    # prefix mode: at t=0.5 and ~11 shingles/doc the prefix is the 6
-    # RAREST shingles — the per-doc uniq tail — so candidates collapse
-    # to near zero while the output (no pair reaches J>=0.5) matches
-    got = _njp(sdf, "doc_id", "text", n=2, min_jaccard=0.5, prefix_filter=True)
-    naive = _njp(sdf, "doc_id", "text", n=2, min_jaccard=0.5)
+    # prefix mode at the measured t=0.8 operating point: each doc has
+    # 10 bigrams (5 hot + 1 bridge + 4 unique), so the prefix is the
+    # 10 - ceil(0.8*10) + 1 = 3 RAREST shingles — all per-doc-unique —
+    # and NO hot shingle enters the candidate join. (At t=0.5 the
+    # prefix is 6 > the 5-shingle unique tail, so one hot shingle
+    # necessarily leaks in — prefix filtering's win shrinks as the
+    # threshold drops; that regime is the naive join's.)
+    got = _njp(sdf, "doc_id", "text", n=2, min_jaccard=0.8, prefix_filter=True)
+    naive = _njp(sdf, "doc_id", "text", n=2, min_jaccard=0.8)
     assert got.count() == naive.count() == 0
+
+    # and the CANDIDATE volume really collapses (the point of the
+    # prefix): measured from the operator's own prefix derivation — a
+    # regression that let hot shingles into the prefix (e.g. ordering
+    # by descending df) would blow this back up toward C(80,2)
+    from adi_226_datawarehouse_project_spark.operators.dedup import _prefix_rows
+
+    sh_hashed = sdf.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_ngrams(F.col("text"), 2))).alias("g"),
+    ).select("doc_id", F.xxhash64("g").alias("__g"))
+    pref = _prefix_rows(sh_hashed, "doc_id", 0.8)
+    pref_cand = (
+        pref.select(F.col("doc_id").alias("a"), "__g")
+        .join(pref.select(F.col("doc_id").alias("b"), "__g"), "__g")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .count()
+    )
+    assert pref_cand < naive_cand / 20, (pref_cand, naive_cand)
+
+
+def test_near_dup_clusters_ignores_foreign_ids_in_pairs(spark):
+    """Pairs can reference ids absent from `ids` (e.g. edges computed
+    before a quality filter dropped docs). The contract: cluster_id is
+    the component minimum AMONG `ids`, foreign endpoints neither
+    become labels nor bridge components — so the downstream survivor
+    rule (cluster_id == id) always keeps exactly one member per
+    cluster, and components connected only through a filtered-out doc
+    stay separate."""
+    from adi_226_datawarehouse_project_spark.operators.dedup import near_dup_clusters
+
+    nodes = spark.createDataFrame([(4,), (5,), (8,), (9,)], ["doc_id"])
+    # 3 is foreign: 4-3, 5-3 would make 3 the component min AND bridge
+    # 4 with 5; 8-9 is an ordinary in-set pair
+    pairs = spark.createDataFrame(
+        [(4, 3), (5, 3), (8, 9)], ["id_a", "id_b"]
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in near_dup_clusters(nodes, "doc_id", pairs).collect()
+    }
+    assert got == {4: 4, 5: 5, 8: 8, 9: 8}
+    # every cluster has a survivor under the canonical rule
+    assert set(got.values()) <= set(got.keys())
