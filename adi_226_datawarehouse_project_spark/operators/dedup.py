@@ -281,6 +281,32 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return relinked.unionByName(self_links).dropDuplicates(["hi", "lo"])
 
 
+def _checkpoint_rdd(df: DataFrame):
+    """The JVM RDD backing a ``localCheckpoint``-ed DataFrame (its
+    analyzed plan is a ``LogicalRDD`` scan of the persisted RDD), or
+    None when introspection fails (Spark Connect, plan-shape change).
+    Used to free superseded contraction rounds eagerly — without it the
+    checkpoint blocks of EVERY round stay in the block manager until
+    Python GC + ContextCleaner get around to them, so peak storage on a
+    large graph is ~rounds × |edges| instead of 2 × |edges|."""
+    try:
+        return df._jdf.queryExecution().analyzed().rdd()
+    except Exception:  # noqa: BLE001 - best-effort; ContextCleaner fallback
+        return None
+
+
+def _unpersist_rdd(jrdd) -> None:
+    """Blocking=False unpersist of a JVM RDD; swallows failures (the
+    block-manager cleanup is an optimization, never a correctness
+    dependency)."""
+    if jrdd is None:
+        return
+    try:
+        jrdd.unpersist(False)
+    except Exception:  # noqa: BLE001
+        pass
+
+
 def near_dup_clusters(
     ids: DataFrame,
     id_col: str,
@@ -315,7 +341,10 @@ def near_dup_clusters(
     loop around iteration 8). The checkpoint materializes the round
     and replaces its plan with a flat scan — how GraphX/GraphFrames
     pace their iterative jobs; on a cluster with executor churn swap
-    in reliable ``checkpoint()`` against a checkpoint dir.
+    in reliable ``checkpoint()`` against a checkpoint dir. Each round's
+    checkpoint blocks are explicitly unpersisted once the next round is
+    materialized and probed, so block-manager storage stays at
+    ~2 × |edges| instead of rounds × |edges|.
 
     ``max_iter`` is a safety bound only (log-scale rounds make it
     generous for any real graph); exceeding it raises rather than
@@ -346,16 +375,35 @@ def near_dup_clusters(
     )
     rounds = 0
     n_edges = edges.count()
+    prev_ck = _checkpoint_rdd(edges)
     for _ in range(max_iter):
         nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         rounds += 1
-        # set-equality probe: counts match AND nothing is new (the
-        # previous round's count is carried — no recount of edges)
-        n_nxt = nxt.count()
-        changed = (
-            n_nxt != n_edges
-            or nxt.join(edges, ["hi", "lo"], "left_anti").count() > 0
+        # ONE-action set-equality probe: |nxt| and |nxt \ edges| from a
+        # single left-join aggregate (both sides are (hi, lo)-distinct,
+        # so the join is 1:≤1 and count(*) == |nxt|). Set equality then
+        # follows from |nxt| == |edges| (carried, no recount) plus
+        # nxt ⊆ edges. One Spark job per round instead of the previous
+        # count() + anti-join count() pair — at 64× the per-round
+        # job-scheduling overhead is measured in scripts/new_ops_scale.py.
+        probe = (
+            nxt.join(
+                edges.select("hi", "lo", F.lit(1).alias("__old")),
+                ["hi", "lo"],
+                "left",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count_if(F.col("__old").isNull()).alias("fresh"),
+            )
+            .collect()[0]
         )
+        n_nxt = int(probe["n"])
+        changed = n_nxt != n_edges or int(probe["fresh"]) > 0
+        # the superseded round's checkpoint blocks are dead the moment
+        # the probe has run — free them now instead of waiting for GC
+        _unpersist_rdd(prev_ck)
+        prev_ck = _checkpoint_rdd(nxt)
         edges, n_edges = nxt, n_nxt
         if not changed:
             break

@@ -3883,3 +3883,42 @@ def operator_queries() -> dict[str, OpQuery]:
         "op_asof_range_join_suite": OpQuery(_spark_asof_range_suite, _ASOF_RANGE_ORACLE),
         "op_scd2_dimension_apply": OpQuery(_spark_scd2_apply, _SCD2_ORACLE),
     }
+
+
+def _bench_ngram(prefix_filter: bool):
+    """Bench form of the n-gram Jaccard family at the registry's
+    operating point (n, min_jaccard), in either join strategy."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        pairs = ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=_NGRAM_N, min_jaccard=_NGRAM_MIN_J,
+            prefix_filter=prefix_filter,
+        )
+        return pairs.select(
+            "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+        ).orderBy(F.desc("jaccard"), "id_a", "id_b").limit(50)
+
+    return run
+
+
+def bench_retained_queries() -> dict[str, "OpQuery | object"]:
+    """PUBLIC export of the finer-grained plans ``bench.py`` keeps
+    timing after their registry entries were folded into tag-union
+    suites (the driver's 50-query CORRECTNESS cap): sessionization,
+    the events tumbling window, the token-feature scan, and the two
+    n-gram Jaccard join strategies (``dedup_ngram_jaccard`` = the
+    naive inverted-index plan the bench series has always measured;
+    ``dedup_ngram_prefix`` = the PPJoin prefix-filtered plan that is
+    the production default on stopword-hot corpora). bench.py imports
+    ONLY this function; scripts/smoke.py builds bench's full query
+    dict through it pre-commit, so a registry refactor that renames
+    the underlying privates fails the smoke gate instead of bench at
+    runtime."""
+    return {
+        "op_sessionize_events": _sql(_sessionize_sql(D.SPARK)),
+        "op_events_tumbling_window": _sql(_events_window_sql(D.SPARK)),
+        "text_token_features": _spark_text_token_features,
+        "dedup_ngram_jaccard": _bench_ngram(prefix_filter=False),
+        "dedup_ngram_prefix": _bench_ngram(prefix_filter=True),
+    }

@@ -54,15 +54,21 @@ def _is_dir(spark: SparkSession, path: str) -> bool:
     returns False for every remote URI, which silently picked the
     glob branch. Falls back to the local probe ONLY when no JVM
     gateway is reachable (Spark Connect); a missing path is False,
-    and any other FS error (auth, network) propagates LOUDLY — a
-    silent local fallback on a remote URI would re-introduce the
-    zero-rows bug this probe exists to fix."""
+    and any other FS error (auth, network, unknown scheme, missing
+    connector jar) propagates LOUDLY — a silent local fallback on a
+    remote URI would re-introduce the zero-rows bug this probe exists
+    to fix. Only the GATEWAY probe sits inside the try: Path and
+    FileSystem construction happen outside it, so "No FileSystem for
+    scheme"/config errors are never swallowed into the local branch."""
     try:
         jvm = spark._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(path)
-        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        jconf = spark._jsc.hadoopConfiguration()
     except Exception:  # noqa: BLE001 - no JVM gateway (Spark Connect)
         return os.path.isdir(path)
+    if jvm is None or jconf is None:  # Connect exposes the attrs as None
+        return os.path.isdir(path)
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(jconf)
     try:
         return bool(fs.getFileStatus(hpath).isDirectory())
     except Exception as e:  # noqa: BLE001 - inspect the Java class

@@ -34,6 +34,17 @@ def main() -> int:
     )
     print(f"registry OK: {len(qs)} queries, all oracled")
 
+    # bench coupling: every BENCH_QUERIES name must resolve through
+    # bench.build_queries() (entry registry + the public
+    # bench_retained_queries shim) — catches a registry refactor that
+    # would break bench at runtime instead of pre-commit.
+    import bench as benchmod
+
+    bqs = benchmod.build_queries()
+    missing = [n for n in benchmod.BENCH_QUERIES if not callable(bqs.get(n))]
+    assert not missing, f"bench queries unresolved: {missing}"
+    print(f"bench OK: {len(benchmod.BENCH_QUERIES)} benched queries resolve")
+
     rc = subprocess.run(
         [sys.executable, "-m", "pytest", "tests/", "--collect-only", "-q",
          "--no-header", "-p", "no:cacheprovider"],
