@@ -455,6 +455,44 @@ def _prefix_rows(sh: DataFrame, id_col: str, min_jaccard: float) -> DataFrame:
     ).select(id_col, "__g")
 
 
+# Auto-strategy threshold: expected naive-join candidate partners per
+# inverted-index row (Σdf² / Σdf). Measured shapes sit 1.5+ orders of
+# magnitude away on BOTH sides: the uniform documents corpus ≈ 1.1
+# (naive wins — sf0.1: naive 1.4s vs prefix 2.4s), the stopword-hot
+# corpus of scripts/ngram_prefix_scale.py ≈ 1000–4000 (prefix wins —
+# measured α 1.07 → 0.21). 32 ≈ the point where naive candidate volume
+# (Σdf² rows through the shuffle) stops being cheaper than prefix
+# mode's extra frequency aggregate + per-doc rank window.
+_AUTO_PREFIX_CAND_PER_ROW = 32.0
+
+
+def _should_prefix_filter(sh: DataFrame, _stats: dict | None = None) -> bool:
+    """ONE cheap aggregate over the shingle document-frequency
+    distribution decides the exact-Jaccard join strategy: Σdf²/Σdf is
+    the expected inverted-list length seen by a random (doc, shingle)
+    row — i.e. the naive self-join's candidate partners per row. A
+    stopword-hot corpus blows this up (every doc shares the hot head);
+    a uniform corpus keeps it near 1. The probe is an eager action
+    (two-level aggregate, map-side combined, kilobytes to the driver)
+    over one extra pass of the narrow tokenize/explode/hash chain."""
+    row = (
+        sh.groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .agg(
+            F.sum("__df").alias("n"),
+            # double, not bigint: Σdf² at corpus scale (df ~ 10⁹ for a
+            # true stopword shingle) overflows int64
+            F.sum(F.col("__df").cast("double") * F.col("__df")).alias("c2"),
+        )
+        .collect()[0]
+    )
+    n = int(row["n"] or 0)
+    cand_per_row = (float(row["c2"]) / n) if n else 0.0
+    if _stats is not None:
+        _stats["cand_per_row"] = cand_per_row
+    return cand_per_row > _AUTO_PREFIX_CAND_PER_ROW
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -462,13 +500,28 @@ def ngram_jaccard_pairs(
     n: int = 2,
     min_jaccard: float = 0.5,
     max_shingle_freq: int | None = None,
-    prefix_filter: bool = False,
+    prefix_filter: bool | None = None,
+    _stats: dict | None = None,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard similarity for every pair sharing at
     least one n-gram (inverted-index self-join). Returns (id_a, id_b,
     jaccard). `max_shingle_freq` drops ultra-common shingles before
     the join — the stop-shingle cap that keeps the self-join bounded
     at corpus scale, at the cost of APPROXIMATING the shingle sets.
+
+    ``prefix_filter`` picks the join strategy; BOTH strategies return
+    the identical exact pair set (pinned in tests, and the per-round
+    oracle gates the prefix mode), so the choice is pure plan tuning.
+    The default ``None`` is AUTO: one cheap aggregate measures the
+    shingle document-frequency skew (Σdf²/Σdf = the naive join's
+    expected candidate partners per row, see
+    :func:`_should_prefix_filter`) and turns prefix filtering on past
+    ``_AUTO_PREFIX_CAND_PER_ROW`` — so a stopword-hot corpus gets the
+    prefix plan without the caller knowing the literature, at the cost
+    of one eager probe action. Passing an explicit bool skips the
+    probe entirely (zero overhead) and forces that strategy.
+    ``_stats``, when a dict, receives ``{"prefix_filter": bool}`` and,
+    under auto, ``{"cand_per_row": float}`` — observability for tests.
 
     ``prefix_filter=True`` keeps the result EXACT while still taming
     stopword-hot corpora: PPJoin-style prefix filtering (Xiao et al.,
@@ -508,6 +561,13 @@ def ngram_jaccard_pairs(
         # at corpus scale. left_anti keeps exactly the capped set.
         stop = sh.groupBy("__g").count().filter(F.col("count") > max_shingle_freq)
         sh = sh.join(F.broadcast(stop.select("__g")), "__g", "left_anti")
+    if prefix_filter is None:
+        # auto: measured AFTER the stop-shingle cap (the cap already
+        # decapitates the frequency head, so the probe sees the
+        # distribution the join will actually face)
+        prefix_filter = _should_prefix_filter(sh, _stats)
+    if _stats is not None:
+        _stats["prefix_filter"] = bool(prefix_filter)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("__n"))
     a = sh.select(F.col(id_col).alias("id_a"), "__g")
     b = sh.select(F.col(id_col).alias("id_b"), "__g")

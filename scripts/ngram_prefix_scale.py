@@ -59,7 +59,10 @@ def main() -> None:
         docs = _corpus(spark, n).persist()
         docs.count()
         row = {}
-        for label, kw in [("naive", {}), ("prefix", {"prefix_filter": True})]:
+        for label, kw in [
+                ("naive", {"prefix_filter": False}),
+                ("prefix", {"prefix_filter": True}),
+            ]:
             best, pairs = float("inf"), 0
             for _ in range(2):
                 t0 = time.perf_counter()

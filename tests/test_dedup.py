@@ -365,7 +365,7 @@ def test_ngram_jaccard_prefix_filter_is_exact(spark):
         naive = {
             (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
             for r in ngram_jaccard_pairs(
-                docs, "doc_id", "text", n=3, min_jaccard=t
+                docs, "doc_id", "text", n=3, min_jaccard=t, prefix_filter=False
             ).collect()
         }
         pf = {
@@ -390,7 +390,9 @@ def test_ngram_jaccard_prefix_filter_is_exact(spark):
     for t in (0.5, 0.8):
         naive = {
             (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
-            for r in ngram_jaccard_pairs(sdf, "doc_id", "text", n=2, min_jaccard=t).collect()
+            for r in ngram_jaccard_pairs(
+                sdf, "doc_id", "text", n=2, min_jaccard=t, prefix_filter=False
+            ).collect()
         }
         pf = {
             (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
@@ -440,7 +442,7 @@ def test_ngram_jaccard_prefix_filter_prunes_hot_candidates(spark):
     # necessarily leaks in — prefix filtering's win shrinks as the
     # threshold drops; that regime is the naive join's.)
     got = _njp(sdf, "doc_id", "text", n=2, min_jaccard=0.8, prefix_filter=True)
-    naive = _njp(sdf, "doc_id", "text", n=2, min_jaccard=0.8)
+    naive = _njp(sdf, "doc_id", "text", n=2, min_jaccard=0.8, prefix_filter=False)
     assert got.count() == naive.count() == 0
 
     # and the CANDIDATE volume really collapses (the point of the
@@ -488,3 +490,56 @@ def test_near_dup_clusters_ignores_foreign_ids_in_pairs(spark):
     assert got == {4: 4, 5: 5, 8: 8, 9: 8}
     # every cluster has a survivor under the canonical rule
     assert set(got.values()) <= set(got.keys())
+
+
+def test_ngram_jaccard_auto_strategy_picks_by_df_skew(spark):
+    """``prefix_filter=None`` (the default) must choose the join
+    strategy from the measured shingle document-frequency skew: naive
+    on a uniform corpus (Σdf²/Σdf ≈ 1, where the prefix machinery is
+    pure overhead), prefix on a stopword-hot corpus (every doc shares
+    the hot head, so naive candidate volume is ~all-pairs) — and the
+    pair set must be the exact one in BOTH regimes."""
+    from conftest import SF_SMALL
+
+    from adi_226_datawarehouse_project_spark.sources.catalog import load_table
+
+    # uniform shape → naive (measured cand_per_row ≈ 1.1 at sf0.01/0.1)
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    stats: dict = {}
+    auto = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, min_jaccard=0.5, _stats=stats
+    )
+    got = {(r["id_a"], r["id_b"]): round(r["jaccard"], 9) for r in auto.collect()}
+    assert stats["prefix_filter"] is False, stats
+    assert stats["cand_per_row"] < 8, stats
+    want = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, min_jaccard=0.5, prefix_filter=False
+        ).collect()
+    }
+    assert got == want
+
+    # stopword-hot shape (scripts/ngram_prefix_scale.py's generator,
+    # measured cand_per_row ≈ 1000 at 2k docs) → prefix
+    hot = "the cat sat on the mat and the dog ran to the park"
+    rows = [
+        (i, hot + " " + " ".join(f"tok{i}x{j}" for j in range(12)))
+        for i in range(300)
+    ]
+    rows.append((9_000_000, rows[7][1]))  # planted near-dup
+    sdf = spark.createDataFrame(rows, "doc_id bigint, text string")
+    stats = {}
+    auto = ngram_jaccard_pairs(
+        sdf, "doc_id", "text", n=2, min_jaccard=0.8, _stats=stats
+    )
+    got = {(r["id_a"], r["id_b"]): round(r["jaccard"], 9) for r in auto.collect()}
+    assert stats["prefix_filter"] is True, stats
+    assert stats["cand_per_row"] > 32, stats
+    want = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in ngram_jaccard_pairs(
+            sdf, "doc_id", "text", n=2, min_jaccard=0.8, prefix_filter=False
+        ).collect()
+    }
+    assert got == want and (7, 9_000_000) in got
