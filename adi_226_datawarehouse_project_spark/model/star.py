@@ -223,9 +223,19 @@ FROM (SELECT DISTINCT trim(complaint_type) AS complaint_type_name
 
 
 def fact_311_complaint_sql(d: str) -> str:
+    # Repartition key: (geohash, unique_key), NOT geohash alone. The
+    # hint's job is only to keep the CACHED fact parallel (see
+    # dialect.repartition_hint); hash-partitioning a materialized fact
+    # by a low-cardinality skewable key pins a real corpus's hot cell
+    # (reference: ~25% of complaints in one borough) into ONE in-memory
+    # partition, and that straggler task then drags every downstream
+    # scan — measured 3× on g07 at the zipf-skewed 64× corpus. The
+    # high-cardinality second column spreads the hot cell across all
+    # partitions; the groupBy(geohash) shuffle this stops eliding is
+    # map-side-combined partial counts (kilobytes), a non-cost.
     guard = _regexp_like(d, "s.unique_key", "^[0-9]+$")
     return f"""
-SELECT {D.repartition_hint(d, "geohash")}CASE WHEN {guard} THEN CAST(s.unique_key AS BIGINT) END AS complaint_id,
+SELECT {D.repartition_hint(d, "geohash", "s.unique_key")}CASE WHEN {guard} THEN CAST(s.unique_key AS BIGINT) END AS complaint_id,
        s.geohash,
        CASE WHEN s.created_ts IS NOT NULL
             THEN {D.yyyymmdd_key(d, "CAST(s.created_ts AS DATE)")} END AS created_date_key,
@@ -281,7 +291,7 @@ FROM staging_airbnb
 
 def fact_airbnb_listings_sql(d: str) -> str:
     return f"""
-SELECT {D.repartition_hint(d, "geohash")}{D.hash_key(d, "CAST(id AS STRING)")} AS fact_id,
+SELECT {D.repartition_hint(d, "geohash", "id")}{D.hash_key(d, "CAST(id AS STRING)")} AS fact_id,
        id AS listing_id, geohash, property_type, room_type, price,
        minimum_nights, number_of_reviews, number_of_reviews_l30d,
        reviews_per_month, review_scores_rating, review_scores_location,

@@ -173,7 +173,16 @@ def main() -> None:
         ).collect()[0]
         return int(row["n"])
 
-    for name in BENCH_QUERIES:
+    # Optional subset (comma-separated names) for targeted scale runs —
+    # e.g. the skewed-corpus comparison times only the star queries the
+    # skew actually stresses. The headline series always runs the full
+    # list (the driver sets no subset).
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    bench_queries = (
+        [q for q in BENCH_QUERIES if q in set(only.split(","))] if only else BENCH_QUERIES
+    )
+
+    for name in bench_queries:
         ts, n = [], 0
         for _ in range(TRIALS):
             t0 = time.perf_counter()

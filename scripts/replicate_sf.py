@@ -28,10 +28,34 @@ Replication policy (the salting rationale is scale_sweep.py's):
   dims — fact references fan out K× per dim row, exactly what a
   bigger SF does to a small dimension).
 
+Skewed mode (``--zipf``): real 100 TB corpora have hot keys (the
+reference's NYC-311 data puts ~25% of complaints in one borough,
+README.md:170); the uniform replication above never creates one, so
+AQE skew handling and the aggregate-below-join plans were only ever
+*mechanism*-tested (tests/test_skew.py), never measured at scale.
+``--zipf`` keeps every table's TOTAL row count identical to the
+uniform K× corpus but concentrates mass:
+
+- ``lineitem``: (K - K/4) uniform copies + a HOT BLOCK of (K/4)·N
+  synthetic single-lineitem orders whose keys all satisfy
+  ``k = l_orderkey·10 + 1 ≡ s0 (mod 199·211)`` — the CRT residue that
+  pins the fixtures' derived complaint grid cell (fixtures.py lat/lon
+  hash) to ONE cell inside the 13×17 listings sub-grid. Result: ~25%
+  of complaints_raw in one geohash cell = one borough (and because
+  k % 10 == 1, the hot keys can never hit the ``%500==33`` dup-fold
+  or ``%1000==17`` bad-key dirt branches). Hot-block orderkeys sit
+  above the uniform key range and are NOT present in orders — the
+  skew corpus stresses the complaints/listings star (warehouse_build,
+  g01, g07, geohash rollup) and is not a lineitem⋈orders FK fixture.
+- ``orders``: K uniform copies, but the top K/4 copies' ``o_custkey``
+  all point at ONE customer — 25% of orders on a single hot key for
+  the per-customer window/join paths.
+- everything else: uniform, as above.
+
 Usage::
 
     python scripts/replicate_sf.py 64 [--sf /root/testdata/sf0.1] \
-        [--out /tmp/spark_graft_sf_x64]
+        [--out /tmp/spark_graft_sf_x64] [--zipf]
 """
 
 from __future__ import annotations
@@ -90,7 +114,47 @@ def _offsets(spark: SparkSession, sf: str) -> dict[str, int]:
     return out
 
 
-def replicate(spark: SparkSession, sf: str, mult: int, out: Path) -> None:
+_GRID_MOD = 199 * 211  # the fixtures' seed→cell CRT modulus
+
+
+def _hot_seed_residue(lat_idx: int = 5, lon_idx: int = 7) -> int:
+    """The residue s0 with (s0·7919) % 199 == lat_idx and
+    (s0·104729) % 211 == lon_idx — every seed ≡ s0 (mod 199·211) maps
+    to grid cell (lat_idx, lon_idx) in fixtures.complaints_raw_sql.
+    Defaults pick a cell inside the 13×17 listings sub-grid so the hot
+    cell participates in every geohash join."""
+    s_lat = (lat_idx * pow(7919, -1, 199)) % 199
+    s_lon = (lon_idx * pow(104729, -1, 211)) % 211
+    # CRT combine
+    return (s_lat + 199 * (((s_lon - s_lat) * pow(199, -1, 211)) % 211)) % _GRID_MOD
+
+
+def _hot_lineitem_block(spark: SparkSession, rows: int, key_base: int) -> DataFrame:
+    """``rows`` synthetic single-lineitem orders whose complaint seeds
+    (k = orderkey·10 + 1) all fall in the hot residue class. Orderkeys
+    step by the modulus from a base above the uniform range, so keys
+    stay distinct and the residue is preserved."""
+    s0 = _hot_seed_residue()
+    r0 = ((s0 - 1) * pow(10, -1, _GRID_MOD)) % _GRID_MOD
+    base_m = key_base // _GRID_MOD + 1
+    return spark.range(rows).select(
+        (F.lit(r0) + (F.col("id") + F.lit(base_m)) * F.lit(_GRID_MOD)).alias("l_orderkey"),
+        (F.col("id") % 2000 + 1).alias("l_partkey"),
+        (F.col("id") % 100 + 1).alias("l_suppkey"),
+        F.lit(1).cast("int").alias("l_linenumber"),
+        (F.col("id") % 50 + 1).cast("double").alias("l_quantity"),
+        ((F.col("id") % 90000) / 100.0 + 1000.0).alias("l_extendedprice"),
+        ((F.col("id") % 11) / 100.0).alias("l_discount"),
+        ((F.col("id") % 9) / 100.0).alias("l_tax"),
+        F.element_at(F.array(F.lit("A"), F.lit("N"), F.lit("R")), (F.col("id") % 3 + 1).cast("int")).alias("l_returnflag"),
+        F.element_at(F.array(F.lit("O"), F.lit("F")), (F.col("id") % 2 + 1).cast("int")).alias("l_linestatus"),
+        (F.lit("1995-01-10").cast("timestamp") + (F.col("id") % 2450).cast("int") * F.expr("INTERVAL 1 DAY")).alias("l_shipdate"),
+    )
+
+
+def replicate(
+    spark: SparkSession, sf: str, mult: int, out: Path, zipf: bool = False
+) -> None:
     out.mkdir(parents=True, exist_ok=True)
     for tbl in COPY_AS_IS:
         src = Path(sf) / f"{tbl}.parquet"
@@ -142,23 +206,40 @@ def replicate(spark: SparkSession, sf: str, mult: int, out: Path) -> None:
         ]
     ).write.mode("overwrite").parquet(str(out / "embeddings.parquet"))
 
+    hot_copies = mult // 4 if zipf else 0
+
     li = load_table(spark, sf, "lineitem")
-    _stack(
+    li_stacked = _stack(
         [
             li.select(
                 (F.col("l_orderkey") + F.lit(c * n["l_orderkey"])).alias("l_orderkey"),
                 *[col for col in li.columns if col != "l_orderkey"],
             )
-            for c in range(mult)
+            for c in range(mult - hot_copies)
         ]
-    ).write.mode("overwrite").parquet(str(out / "lineitem.parquet"))
+    )
+    if hot_copies:
+        n_li = li.count()
+        li_stacked = li_stacked.unionByName(
+            _hot_lineitem_block(spark, hot_copies * n_li, mult * n["l_orderkey"] * 10)
+        )
+    li_stacked.write.mode("overwrite").parquet(str(out / "lineitem.parquet"))
 
     orders = load_table(spark, sf, "orders")
+    hot_ck = (
+        load_table(spark, sf, "customer").agg(F.min("c_custkey")).collect()[0][0]
+        if hot_copies
+        else None
+    )
     _stack(
         [
             orders.select(
                 (F.col("o_orderkey") + F.lit(c * n["o_orderkey"])).alias("o_orderkey"),
-                (F.col("o_custkey") + F.lit(c * n["c_custkey"])).alias("o_custkey"),
+                (
+                    F.lit(hot_ck)
+                    if c >= mult - hot_copies
+                    else F.col("o_custkey") + F.lit(c * n["c_custkey"])
+                ).alias("o_custkey"),
                 *[col for col in orders.columns if col not in ("o_orderkey", "o_custkey")],
             )
             for c in range(mult)
@@ -182,12 +263,14 @@ def main() -> int:
     ap.add_argument("mult", type=int)
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--zipf", action="store_true", help="skewed mode (see module docstring)")
     args = ap.parse_args()
-    out = Path(args.out or f"/tmp/spark_graft_sf_x{args.mult}")
+    suffix = "zipf_" if args.zipf else ""
+    out = Path(args.out or f"/tmp/spark_graft_sf_{suffix}x{args.mult}")
     spark = get_spark("replicate_sf", shuffle_partitions=32)
     t0 = time.time()
-    replicate(spark, args.sf, args.mult, out)
-    print(f"# replicated {args.sf} x{args.mult} -> {out} in {time.time()-t0:.1f}s")
+    replicate(spark, args.sf, args.mult, out, zipf=args.zipf)
+    print(f"# replicated {args.sf} x{args.mult} zipf={args.zipf} -> {out} in {time.time()-t0:.1f}s")
     return 0
 
 
