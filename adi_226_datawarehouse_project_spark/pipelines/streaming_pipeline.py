@@ -1,0 +1,210 @@
+"""End-to-end EXACTLY-ONCE streaming pipeline: replayable source →
+watermarked session windows → idempotent CDC snapshot sink.
+
+Chains three individually-tested pieces (SURVEY §2.10) into the one
+topology a production event pipeline runs, and makes the exactly-once
+argument explicit. Exactly-once here is the standard Structured
+Streaming decomposition — none of the pieces is novel, the CONTRACT is:
+
+1. **Replayable source.** Either the SODA Python DataSource stream
+   (`sources/soda_datasource.py` — ``readBetweenOffsets`` refetches an
+   exact committed ``[start, end)`` slice, and refuses short replays)
+   or the parquet file source (files are immutable; the checkpoint
+   pins the per-batch file list). Either way a restarted query re-reads
+   EXACTLY the slice the failed epoch saw.
+2. **Deterministic, checkpointed transformation.** The session-window
+   aggregation's state store is versioned per epoch; a restart resumes
+   from the last committed state, so the replayed epoch emits the same
+   finalized sessions. Append mode + watermark means a session row is
+   emitted exactly once, when the watermark passes its close.
+3. **Idempotent sink.** ``apply_cdc_batch`` folds each batch into the
+   snapshot via ``latest_changes`` keyed on (user_id, session_start)
+   with seq = session close — re-folding the same rows is a no-op by
+   VALUE (pinned in tests/test_cdc_stream.py), so the crash window
+   between "sink published" and "checkpoint committed" (where Spark
+   re-runs foreachBatch for the same epoch) cannot double-apply.
+
+The kill-and-resume proof (tests/test_streaming_pipeline.py) injects a
+crash exactly inside that window — AFTER the CDC publish, BEFORE the
+epoch commits — restarts the query on the same checkpoint, and asserts
+the final snapshot equals the batch-mode oracle row-for-row: no loss
+(every finalized session present once) and no dup (the replayed epoch
+folded to the same value).
+
+Scale shape: the session aggregate shuffles once by user_id (skew =
+one hot user's events in one state partition — bounded by that user's
+traffic, the same bound any keyed-state system has); the CDC fold is
+one window + one write of the snapshot per epoch, so snapshot size —
+not stream length — bounds per-epoch sink cost; on a transactional
+table format the fold becomes MERGE INTO and nothing upstream changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..streaming.cdc_sink import apply_cdc_batch, read_cdc_snapshot
+from ..streaming.events_stream import read_events_stream
+
+SESSION_KEYS = ["user_id", "session_start"]
+SEQ_COL = "seq"
+
+
+def soda_events_stream(
+    spark: SparkSession, url_template: str, page_size: int
+) -> DataFrame:
+    """Event stream from a SODA endpoint (or recorded ``file://``
+    pages): one micro-batch per page, string payloads cast via the
+    engine's TRY_CAST cleaning path (P15 — SODA types everything as
+    string)."""
+    from ..sources.soda_datasource import SodaDataSource
+
+    spark.dataSource.register(SodaDataSource)
+    raw = (
+        spark.readStream.format("soda")
+        .schema("event_id string, user_id string, ts string")
+        .option("url_template", url_template)
+        .option("page_size", str(page_size))
+        .load()
+    )
+    return raw.select(
+        F.expr("try_cast(event_id AS BIGINT)").alias("event_id"),
+        F.expr("try_cast(user_id AS BIGINT)").alias("user_id"),
+        F.expr("try_cast(ts AS TIMESTAMP)").alias("event_time"),
+    ).filter(F.col("user_id").isNotNull() & F.col("event_time").isNotNull())
+
+
+def file_events_stream(
+    spark: SparkSession, sf_dir: str, files_per_trigger: int = 8
+) -> DataFrame:
+    """Event stream from the events parquet (the high-throughput path:
+    columnar batches, no driver paging)."""
+    return read_events_stream(
+        spark, sf_dir, maxFilesPerTrigger=str(files_per_trigger)
+    ).select("event_id", "user_id", F.col("ts").alias("event_time"))
+
+
+def session_rows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Finalized gap-based sessions: append-mode ``session_window``
+    aggregate — one output row per closed session, emitted exactly once
+    when the watermark passes its end."""
+    return (
+        events.withWatermark("event_time", watermark)
+        .groupBy("user_id", F.session_window("event_time", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def batch_session_oracle(
+    events: DataFrame, gap: str = "30 minutes"
+) -> DataFrame:
+    """The same sessionization in BATCH mode (``session_window`` works
+    identically over a static frame) — the ground truth the streaming
+    snapshot must equal."""
+    return (
+        events.groupBy("user_id", F.session_window("event_time", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def _as_changes(sessions: DataFrame) -> DataFrame:
+    # seq = session close (micros): a re-emitted identical row folds to
+    # itself; a genuinely extended session (possible only if the
+    # watermark were re-wound, which Spark never does) would win by seq
+    return sessions.withColumn("op", F.lit("I")).withColumn(
+        SEQ_COL, F.unix_micros(F.col("session_end"))
+    )
+
+
+def run_sessions_to_cdc(
+    spark: SparkSession,
+    events: DataFrame,
+    target_path: str,
+    checkpoint_path: str,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+    fault_after_publish_epoch: int | None = None,
+    processing_time: str | None = None,
+    idle_timeout: float = 120.0,
+) -> None:
+    """Drive the event stream through session windows into the CDC
+    snapshot at ``target_path``. Blocks until drained (file source:
+    availableNow; SODA source: processingTime trigger + stop-on-idle,
+    since the endpoint has no end-of-stream marker).
+
+    ``fault_after_publish_epoch`` is the kill-and-resume test hook: the
+    N-th foreachBatch call raises AFTER the CDC publish but BEFORE the
+    epoch commits — the exact window where exactly-once lives or dies.
+    """
+    calls = {"n": 0}
+
+    def fold(bdf: DataFrame, _epoch: int) -> None:
+        apply_cdc_batch(
+            spark, _as_changes(bdf), target_path, SESSION_KEYS, SEQ_COL
+        )
+        k = calls["n"]
+        calls["n"] += 1
+        if fault_after_publish_epoch is not None and k == fault_after_publish_epoch:
+            raise RuntimeError(
+                "injected crash: sink published, checkpoint NOT committed"
+            )
+
+    writer = (
+        session_rows(events, gap, watermark)
+        .writeStream.foreachBatch(fold)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if processing_time is not None:
+        # endpoint-style source (no end-of-stream marker): poll until
+        # the source offset stops advancing for a grace period, then
+        # stop. idle_timeout bounds the whole wait (a stuck endpoint
+        # must not hang the runner forever).
+        import json as _json
+        import time
+
+        grace = 4.0
+        q = writer.trigger(processingTime=processing_time).start()
+        try:
+            last_off, quiet_since = None, time.time()
+            deadline = time.time() + idle_timeout
+            while time.time() < deadline and time.time() - quiet_since < grace:
+                if q.exception() is not None:
+                    raise q.exception()
+                p = q.lastProgress
+                if not p or not p.get("sources"):
+                    # startup: no batch has completed yet — only the
+                    # hard deadline applies, never the grace window
+                    quiet_since = time.time()
+                    time.sleep(0.2)
+                    continue
+                off = _json.dumps(p["sources"][0].get("endOffset"), sort_keys=True)
+                if off != last_off:
+                    last_off, quiet_since = off, time.time()
+                time.sleep(0.2)
+        finally:
+            q.stop()
+    else:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+
+
+def read_sessions_snapshot(spark: SparkSession, target_path: str) -> DataFrame:
+    """The live session table (tombstones hidden, CDC plumbing columns
+    dropped)."""
+    return read_cdc_snapshot(spark, target_path).drop(SEQ_COL)

@@ -1,0 +1,136 @@
+"""Scale datapoint for the end-to-end exactly-once streaming pipeline
+(pipelines/streaming_pipeline.py): replay the 64×-replicated events
+table as a time-ordered stream (what a live feed looks like — append-
+mode watermarking is only meaningful over a roughly ordered arrival),
+through session windows into the CDC snapshot, WITH a kill-and-resume
+mid-run, and verify the final snapshot equals the batch oracle by
+count + full-row hash (no driver collect of a data-sized result).
+
+Usage::
+
+    python scripts/stream_e2e_scale.py [sf_dir] [n_files] [files_per_trigger]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from adi_226_datawarehouse_project_spark.pipelines.streaming_pipeline import (  # noqa: E402
+    batch_session_oracle,
+    read_sessions_snapshot,
+    run_sessions_to_cdc,
+)
+from adi_226_datawarehouse_project_spark.session import get_spark  # noqa: E402
+from adi_226_datawarehouse_project_spark.sources.catalog import load_table  # noqa: E402
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_sf_x64"
+N_FILES = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+PER_TRIGGER = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+BASE = "/tmp/spark_graft_stream_e2e"
+GAP, WM = "30 minutes", "10 minutes"
+SENTINEL_USER = 10_000_000_000
+
+
+def main() -> None:
+    spark = get_spark("stream_e2e_scale", shuffle_partitions=32)
+    shutil.rmtree(BASE, ignore_errors=True)
+    log_dir, target, ckpt = (
+        os.path.join(BASE, "log"),
+        os.path.join(BASE, "cdc"),
+        os.path.join(BASE, "ckpt"),
+    )
+
+    events = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", F.col("ts").alias("event_time")
+    )
+    n_events = events.count()
+
+    # ---- replay log: time-ordered files + 2 sentinel flush files ----
+    t0 = time.perf_counter()
+    (
+        events.repartitionByRange(N_FILES, "event_time")
+        .sortWithinPartitions("event_time")
+        .write.mode("overwrite")
+        .parquet(log_dir)
+    )
+    parts = sorted(p for p in os.listdir(log_dir) if p.endswith(".parquet"))
+    far = events.agg(F.max("event_time")).collect()[0][0]
+    for j in range(2):
+        spark.createDataFrame(
+            [(SENTINEL_USER + j, SENTINEL_USER + j)],
+            "event_id bigint, user_id bigint",
+        ).select(
+            "event_id",
+            "user_id",
+            (F.lit(far) + F.expr(f"INTERVAL {30 + j} DAYS")).alias("event_time"),
+        ).coalesce(1).write.mode("append").parquet(log_dir)
+    # ascending mtimes so maxFilesPerTrigger consumes in time order
+    # (range partitions are written part-00000..N in key order; the
+    # sentinel files land last)
+    all_parts = [p for p in os.listdir(log_dir) if p.endswith(".parquet")]
+    ordered = parts + sorted(p for p in all_parts if p not in parts)
+    now = time.time() - len(ordered)
+    for k, p in enumerate(ordered):
+        os.utime(os.path.join(log_dir, p), (now + k, now + k))
+    print(f"# replay log: {n_events} events, {len(ordered)} files "
+          f"({time.perf_counter()-t0:.1f}s)", file=sys.stderr)
+
+    def stream():
+        return (
+            spark.readStream.schema("event_id bigint, user_id bigint, event_time timestamp")
+            .option("maxFilesPerTrigger", str(PER_TRIGGER))
+            .parquet(log_dir)
+        )
+
+    # ---- run with an injected crash mid-run, then resume ----
+    t0 = time.perf_counter()
+    crashed = False
+    try:
+        run_sessions_to_cdc(
+            spark, stream(), target, ckpt, gap=GAP, watermark=WM,
+            fault_after_publish_epoch=3,
+        )
+    except Exception as e:  # noqa: BLE001
+        crashed = "injected crash" in str(e)
+    assert crashed, "fault injection did not fire"
+    t_crash = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    run_sessions_to_cdc(spark, stream(), target, ckpt, gap=GAP, watermark=WM)
+    t_resume = time.perf_counter() - t0
+
+    # ---- verify: count + order-insensitive full-row hash ----
+    def fingerprint(df):
+        row = df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("user_id", "session_start", "session_end", "n_events")).alias("h"),
+        ).collect()[0]
+        return int(row["n"]), int(row["h"] or 0)
+
+    snap = read_sessions_snapshot(spark, target).filter(
+        F.col("user_id") < SENTINEL_USER
+    )
+    t0 = time.perf_counter()
+    oracle = batch_session_oracle(events, GAP)
+    fp_snap, fp_oracle = fingerprint(snap), fingerprint(oracle)
+    t_oracle = time.perf_counter() - t0
+    ok = fp_snap == fp_oracle
+    print(
+        f"# events={n_events} sessions={fp_snap[0]} match={ok} "
+        f"crash_leg={t_crash:.1f}s resume_leg={t_resume:.1f}s "
+        f"stream_total={t_crash + t_resume:.1f}s batch_oracle={t_oracle:.1f}s",
+        file=sys.stderr,
+    )
+    assert ok, f"snapshot {fp_snap} != oracle {fp_oracle}"
+    print("OK")
+
+
+if __name__ == "__main__":
+    main()
