@@ -47,7 +47,13 @@ def run_duckdb(sql: str, sf_dir: str):
         "region nation customer supplier part orders lineitem events documents embeddings".split()
     ):
         p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
+        if os.path.isdir(p):
+            # Spark-written table = a DIRECTORY of part files (the
+            # replicated scale corpora); glob the parts for DuckDB
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')"
+            )
+        elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     cur = con.execute(sql)
     cols = [d[0] for d in cur.description]
