@@ -172,9 +172,14 @@ def run_sessions_to_cdc(
     )
     if processing_time is not None:
         # endpoint-style source (no end-of-stream marker): poll until
-        # the source offset stops advancing for a grace period, then
-        # stop. idle_timeout bounds the whole wait (a stuck endpoint
-        # must not hang the runner forever).
+        # the source offset stops advancing for a grace period AND no
+        # trigger is mid-flight. lastProgress only updates at batch
+        # COMPLETION, so a fold that runs longer than the grace window
+        # must not count as idleness — that was a silent-truncation
+        # bug (stop mid-batch, return success with pages unread).
+        # idle_timeout bounds the whole wait; hitting it with work
+        # still in flight raises instead of silently returning a
+        # truncated snapshot.
         import json as _json
         import time
 
@@ -183,19 +188,29 @@ def run_sessions_to_cdc(
         try:
             last_off, quiet_since = None, time.time()
             deadline = time.time() + idle_timeout
-            while time.time() < deadline and time.time() - quiet_since < grace:
+            while time.time() - quiet_since < grace:
                 if q.exception() is not None:
                     raise q.exception()
+                status = q.status or {}
+                busy = bool(
+                    status.get("isTriggerActive") or status.get("isDataAvailable")
+                )
                 p = q.lastProgress
                 if not p or not p.get("sources"):
-                    # startup: no batch has completed yet — only the
-                    # hard deadline applies, never the grace window
+                    # startup: no batch has completed yet
                     quiet_since = time.time()
-                    time.sleep(0.2)
-                    continue
-                off = _json.dumps(p["sources"][0].get("endOffset"), sort_keys=True)
-                if off != last_off:
-                    last_off, quiet_since = off, time.time()
+                else:
+                    off = _json.dumps(
+                        p["sources"][0].get("endOffset"), sort_keys=True
+                    )
+                    if off != last_off or busy:
+                        last_off, quiet_since = off, time.time()
+                if time.time() >= deadline:
+                    raise TimeoutError(
+                        f"stream did not quiesce within {idle_timeout}s "
+                        "(endpoint stuck or a fold still in flight); "
+                        "snapshot may be partial — NOT returning success"
+                    )
                 time.sleep(0.2)
         finally:
             q.stop()

@@ -108,6 +108,26 @@ def build_queries() -> dict:
 
 
 def main() -> None:
+    # Optional subset (comma-separated names) for targeted scale runs —
+    # e.g. the skewed-corpus comparison times only the star queries the
+    # skew actually stresses. The headline series always runs the full
+    # list (the driver sets no subset). Unknown names are a hard error
+    # (a typo'd subset silently timing nothing would emit a bogus
+    # datapoint), and a subset run is labeled with a DIFFERENT metric
+    # name so it can never be mistaken for a headline-series point.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    metric = "headline_suite_total_wall"
+    bench_queries = BENCH_QUERIES
+    if only:
+        wanted = [s.strip() for s in only.split(",") if s.strip()]
+        unknown = [s for s in wanted if s not in BENCH_QUERIES]
+        if unknown:
+            raise ValueError(
+                f"SPARK_GRAFT_BENCH_ONLY names not in BENCH_QUERIES: {unknown}"
+            )
+        bench_queries = [q for q in BENCH_QUERIES if q in set(wanted)]
+        metric = "bench_subset_total_wall"
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -173,15 +193,6 @@ def main() -> None:
         ).collect()[0]
         return int(row["n"])
 
-    # Optional subset (comma-separated names) for targeted scale runs —
-    # e.g. the skewed-corpus comparison times only the star queries the
-    # skew actually stresses. The headline series always runs the full
-    # list (the driver sets no subset).
-    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
-    bench_queries = (
-        [q for q in BENCH_QUERIES if q in set(only.split(","))] if only else BENCH_QUERIES
-    )
-
     for name in bench_queries:
         ts, n = [], 0
         for _ in range(TRIALS):
@@ -202,7 +213,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline_suite_total_wall",
+                "metric": metric,
                 "value": total,
                 "unit": "sec",
                 "queries": times,

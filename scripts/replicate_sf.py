@@ -206,6 +206,11 @@ def replicate(
         ]
     ).write.mode("overwrite").parquet(str(out / "embeddings.parquet"))
 
+    if zipf and mult < 4:
+        raise ValueError(
+            f"--zipf needs mult >= 4 (mult={mult} would yield zero hot "
+            "copies — a uniform corpus in a zipf-named directory)"
+        )
     hot_copies = mult // 4 if zipf else 0
 
     li = load_table(spark, sf, "lineitem")

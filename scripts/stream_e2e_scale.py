@@ -63,7 +63,8 @@ def main() -> None:
     )
     parts = sorted(p for p in os.listdir(log_dir) if p.endswith(".parquet"))
     far = events.agg(F.max("event_time")).collect()[0][0]
-    for j in range(2):
+
+    def _append_sentinel(j: int) -> None:
         spark.createDataFrame(
             [(SENTINEL_USER + j, SENTINEL_USER + j)],
             "event_id bigint, user_id bigint",
@@ -72,9 +73,17 @@ def main() -> None:
             "user_id",
             (F.lit(far) + F.expr(f"INTERVAL {30 + j} DAYS")).alias("event_time"),
         ).coalesce(1).write.mode("append").parquet(log_dir)
+
+    # Sentinel 1 rides with the main log: it advances the watermark
+    # past every real session. Sentinel 2 is appended only AFTER the
+    # main stream drains (below), so it is guaranteed its OWN
+    # micro-batch — batched together with sentinel 1 the final
+    # emission would silently depend on Spark's trailing no-data-batch
+    # behavior instead of the documented flush design.
+    _append_sentinel(0)
     # ascending mtimes so maxFilesPerTrigger consumes in time order
     # (range partitions are written part-00000..N in key order; the
-    # sentinel files land last)
+    # sentinel file lands last)
     all_parts = [p for p in os.listdir(log_dir) if p.endswith(".parquet")]
     ordered = parts + sorted(p for p in all_parts if p not in parts)
     now = time.time() - len(ordered)
@@ -105,6 +114,12 @@ def main() -> None:
     t0 = time.perf_counter()
     run_sessions_to_cdc(spark, stream(), target, ckpt, gap=GAP, watermark=WM)
     t_resume = time.perf_counter() - t0
+    # flush: sentinel 2 arrives as new data = its own micro-batch, in
+    # which every session the sentinel-1 watermark finalized emits
+    _append_sentinel(1)
+    t0 = time.perf_counter()
+    run_sessions_to_cdc(spark, stream(), target, ckpt, gap=GAP, watermark=WM)
+    t_resume += time.perf_counter() - t0
 
     # ---- verify: count + order-insensitive full-row hash ----
     def fingerprint(df):
