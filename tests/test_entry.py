@@ -59,3 +59,39 @@ def test_all_oracles_parse_in_duckdb(name):
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_SMALL}/{t}.parquet')"
         )
     con.execute(f"PREPARE __q AS {entrymod.oracle_sql()[name]}")
+
+
+def test_bench_subset_env_rejects_unknown_names(monkeypatch):
+    """SPARK_GRAFT_BENCH_ONLY with a typo'd name must fail FAST (before
+    any Spark session), not silently time nothing and emit a bogus
+    headline datapoint."""
+    import sys
+    from pathlib import Path
+
+    import pytest
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import bench
+
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_ONLY", "g01_typo, g07_also_wrong")
+    with pytest.raises(ValueError, match="g01_typo.*g07_also_wrong"):
+        bench.main()
+
+
+def test_bench_subset_env_accepts_known_names_and_strips(monkeypatch):
+    """Whitespace-padded valid names parse; validation passes and the
+    subset resolves (checked without running main's Spark phase by
+    reusing the same parse)."""
+    only = " g01_complaints_by_borough_pct , g07_airbnb_complaint_ratio "
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import bench
+
+    wanted = [s.strip() for s in only.split(",") if s.strip()]
+    assert all(w in bench.BENCH_QUERIES for w in wanted)
+    assert [q for q in bench.BENCH_QUERIES if q in set(wanted)] == [
+        "g01_complaints_by_borough_pct",
+        "g07_airbnb_complaint_ratio",
+    ]
