@@ -612,3 +612,73 @@ def group_sample_k(
             )
             out = out.filter(~cond | cond.isNull()).unionByName(redo)
     return out
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame | None = None,
+    clusters: DataFrame | None = None,
+    val_frac: float = 0.1,
+    test_frac: float = 0.1,
+    seed: str = "split-v1",
+) -> DataFrame:
+    """Train/val/test split keyed by NEAR-DUP CLUSTER, not by document:
+    every member of a near-duplicate component lands in the SAME split
+    by construction, so the eval sets can never contain a near-copy of
+    a training document. Splitting by doc hash — the naive approach —
+    leaks: any near-dup pair has ~2·f·(1-f) probability of straddling
+    the train/eval boundary, which inflates eval scores by exactly the
+    memorization the dedup pipeline exists to control. This is the
+    split you run when you keep near-dups for volume (bucketing them
+    together) instead of collapsing them; after a cluster collapse the
+    doc-level and cluster-level splits coincide.
+
+    Inputs: either ``pairs`` (a near-dup pair frame ``(id_a, id_b)``,
+    e.g. from :func:`..dedup.ngram_jaccard_pairs` or the minhash LSH
+    family — components are computed here) or a precomputed
+    ``clusters`` frame ``(id, cluster_id)`` from
+    :func:`..dedup.near_dup_clusters` (pass this when the pipeline
+    already ran the contraction — don't pay it twice). Exactly one
+    must be given.
+
+    The assignment is the engine's standard portable determinism
+    scheme (md5 of ``seed || ':' || cluster_id``, fixed-width-hex
+    threshold compare — bit-identical in DuckDB, stable under re-runs,
+    repartitioning, and corpus growth: an existing cluster never
+    changes split when new docs arrive, unless a new edge MERGES two
+    clusters — then the merged component follows its new minimum, the
+    correct behavior, since the alternative is a straddling pair).
+    Expected fractions are over CLUSTERS, not docs: a giant dup
+    cluster drags its whole mass into one split — that is the point.
+
+    Scale shape: one hash join of the corpus against the (id,
+    cluster_id) frame plus a narrow hash compare — no shuffle beyond
+    the join; the contraction (if computed here) is the O(log n)
+    star-contraction of :func:`..dedup.near_dup_clusters`.
+
+    Returns ``df`` plus ``cluster_id`` and ``split`` columns.
+    """
+    if (pairs is None) == (clusters is None):
+        raise ValueError("pass exactly one of pairs= or clusters=")
+    if val_frac < 0 or test_frac < 0 or val_frac + test_frac >= 1.0:
+        raise ValueError(
+            f"need val_frac, test_frac >= 0 and val+test < 1: {val_frac}, {test_frac}"
+        )
+    if clusters is None:
+        from .dedup import near_dup_clusters
+
+        clusters = near_dup_clusters(df.select(id_col), id_col, pairs)
+    comp = clusters.select(
+        F.col(clusters.columns[0]).alias(id_col),
+        F.col("cluster_id"),
+    )
+    t_test = fraction_threshold(test_frac)
+    t_val = fraction_threshold(test_frac + val_frac)
+    h = _hash_hex(F.col("cluster_id"), seed)
+    split = (
+        F.when(h < F.lit(t_test), F.lit("test"))
+        .when(h < F.lit(t_val), F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return df.join(comp, id_col).withColumn("split", split)

@@ -46,6 +46,7 @@ from ..operators.similarity import cosine, cosine_self_topk, ivf_topk, lsh_bucke
 from ..operators.training import (
     fraction_threshold,
     global_shuffle_rank,
+    leakage_safe_split,
     pack_chunk_stats,
     pack_sequences,
     stratified_sample,
@@ -1464,6 +1465,11 @@ FROM documents GROUP BY lang ORDER BY lang
 
 
 _DECON_MOD = 7  # benchmark stratum: raw docs with doc_id % 7 == 0
+# leakage-safe split operating point (funnel stages 6-8): cluster-keyed
+# 80/10/10 via the portable md5 scheme
+_SPLIT_SEED = "split-v1"
+_SPLIT_VAL_FRAC = 0.1
+_SPLIT_TEST_FRAC = 0.1
 _DECON_MIN_OVERLAP = 2  # contaminated = >= 2 distinct shared 5-grams
 
 
@@ -1508,6 +1514,16 @@ def _spark_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=_NGRAM_N,
         min_overlap=_DECON_MIN_OVERLAP,
     )
+    # leakage-safe split: cluster-keyed train/val/test over the
+    # EXACT-deduped population (near-dups still present — the regime
+    # where doc-keyed splits leak eval near-copies into train). Reuses
+    # the funnel's already-computed components; same md5 determinism
+    # scheme as the sampling ops, so the DuckDB oracle recomputes the
+    # identical assignment.
+    splits = leakage_safe_split(
+        s3, "doc_id", clusters=comp,
+        val_frac=_SPLIT_VAL_FRAC, test_frac=_SPLIT_TEST_FRAC, seed=_SPLIT_SEED,
+    )
 
     def _stage(df: DataFrame, idx: int, name: str) -> DataFrame:
         return df.agg(
@@ -1524,6 +1540,9 @@ def _spark_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_stage(s3, 3, "dedup"))
         .unionByName(_stage(s4, 4, "cluster_dedup"))
         .unionByName(_stage(s5, 5, "decontaminated"))
+        .unionByName(_stage(splits.filter(F.col("split") == "train"), 6, "split_train"))
+        .unionByName(_stage(splits.filter(F.col("split") == "val"), 7, "split_val"))
+        .unionByName(_stage(splits.filter(F.col("split") == "test"), 8, "split_test"))
         .orderBy("stage_idx")
     )
 
@@ -1617,13 +1636,31 @@ s5bad AS (
 s5 AS (
   SELECT doc_id, text FROM s4
   WHERE doc_id % {_DECON_MOD} <> 0 AND doc_id NOT IN (SELECT doc_id FROM s5bad)
-)
+),
+-- leakage-safe split: the same md5(seed || ':' || cluster_id)
+-- fixed-width-hex scheme operators.training._hash_hex computes —
+-- every near-dup component lands in one split in BOTH engines
+splitted AS (
+  SELECT s3.doc_id, s3.text,
+         CASE WHEN substr(md5('{_SPLIT_SEED}' || ':' || CAST(comp.cluster_id AS VARCHAR)), 1, 6)
+                   < '{fraction_threshold(_SPLIT_TEST_FRAC)}' THEN 'test'
+              WHEN substr(md5('{_SPLIT_SEED}' || ':' || CAST(comp.cluster_id AS VARCHAR)), 1, 6)
+                   < '{fraction_threshold(_SPLIT_TEST_FRAC + _SPLIT_VAL_FRAC)}' THEN 'val'
+              ELSE 'train' END AS split
+  FROM s3 JOIN comp USING (doc_id)
+),
+sp_train AS (SELECT doc_id, text FROM splitted WHERE split = 'train'),
+sp_val   AS (SELECT doc_id, text FROM splitted WHERE split = 'val'),
+sp_test  AS (SELECT doc_id, text FROM splitted WHERE split = 'test')
 {stage.format(i=0, nm="raw", src="documents")}
 UNION ALL {stage.format(i=1, nm="lang_en", src="s1")}
 UNION ALL {stage.format(i=2, nm="quality", src="s2")}
 UNION ALL {stage.format(i=3, nm="dedup", src="s3")}
 UNION ALL {stage.format(i=4, nm="cluster_dedup", src="s4")}
 UNION ALL {stage.format(i=5, nm="decontaminated", src="s5")}
+UNION ALL {stage.format(i=6, nm="split_train", src="sp_train")}
+UNION ALL {stage.format(i=7, nm="split_val", src="sp_val")}
+UNION ALL {stage.format(i=8, nm="split_test", src="sp_test")}
 ORDER BY stage_idx
 """
 

@@ -530,3 +530,78 @@ def test_chunk_documents_stride_wider_than_window(spark):
         "t5 t6",
     ]
     assert all(r["chunk_tokens"] == 2 for r in out)
+
+
+def _split_fixture(spark):
+    """500 docs, 80 near-dup edges forming chains of 3 (i, i+1, i+2 for
+    i in 0,10,20,...): enough clusters that all three splits populate,
+    enough edges that a doc-keyed split would certainly straddle."""
+    from adi_226_datawarehouse_project_spark.operators.training import (
+        leakage_safe_split,
+    )
+
+    docs = spark.range(500).select(F.col("id").alias("doc_id"))
+    edges = []
+    for i in range(0, 400, 10):
+        edges += [(i, i + 1), (i + 1, i + 2)]
+    pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    return leakage_safe_split, docs, pairs, edges
+
+
+def test_leakage_safe_split_no_edge_straddles(spark):
+    """The contract: every near-dup pair lands in ONE split — and the
+    naive doc-keyed hash split provably violates it on the same data."""
+    from adi_226_datawarehouse_project_spark.operators.training import (
+        _hash_hex,
+        fraction_threshold,
+    )
+
+    leakage_safe_split, docs, pairs, edges = _split_fixture(spark)
+    out = leakage_safe_split(docs, "doc_id", pairs=pairs, seed="t1")
+    split_of = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(split_of) == 500  # join keeps every doc
+    for a, b in edges:
+        assert split_of[a] == split_of[b], (a, b)
+    # all three splits populated at 500 docs / 80%-10%-10%
+    assert {"train", "val", "test"} <= set(split_of.values())
+
+    # contrast: doc-keyed split straddles (the leak this op prevents)
+    naive = {
+        r["doc_id"]: ("test" if r["h"] < fraction_threshold(0.1)
+                      else "val" if r["h"] < fraction_threshold(0.2) else "train")
+        for r in docs.select("doc_id", _hash_hex(F.col("doc_id"), "t1").alias("h")).collect()
+    }
+    assert any(naive[a] != naive[b] for a, b in edges)
+
+
+def test_leakage_safe_split_precomputed_clusters_and_determinism(spark):
+    from adi_226_datawarehouse_project_spark.operators.dedup import (
+        near_dup_clusters,
+    )
+
+    leakage_safe_split, docs, pairs, _ = _split_fixture(spark)
+    via_pairs = {
+        (r["doc_id"], r["cluster_id"], r["split"])
+        for r in leakage_safe_split(docs, "doc_id", pairs=pairs, seed="t2").collect()
+    }
+    comp = near_dup_clusters(docs, "doc_id", pairs)
+    via_clusters = {
+        (r["doc_id"], r["cluster_id"], r["split"])
+        for r in leakage_safe_split(docs, "doc_id", clusters=comp, seed="t2").collect()
+    }
+    assert via_pairs == via_clusters
+    again = {
+        (r["doc_id"], r["cluster_id"], r["split"])
+        for r in leakage_safe_split(docs, "doc_id", pairs=pairs, seed="t2").collect()
+    }
+    assert again == via_pairs
+
+
+def test_leakage_safe_split_validation(spark):
+    leakage_safe_split, docs, pairs, _ = _split_fixture(spark)
+    with pytest.raises(ValueError, match="exactly one"):
+        leakage_safe_split(docs, "doc_id")
+    with pytest.raises(ValueError, match="exactly one"):
+        leakage_safe_split(docs, "doc_id", pairs=pairs, clusters=pairs)
+    with pytest.raises(ValueError, match="val.*test"):
+        leakage_safe_split(docs, "doc_id", pairs=pairs, val_frac=0.5, test_frac=0.5)
