@@ -229,7 +229,8 @@ def fact_311_complaint_sql(d: str) -> str:
     # by a low-cardinality skewable key pins a real corpus's hot cell
     # (reference: ~25% of complaints in one borough) into ONE in-memory
     # partition, and that straggler task then drags every downstream
-    # scan — measured 3× on g07 at the zipf-skewed 64× corpus. The
+    # scan — measured 2.4× on g07 (12.6s skewed vs 5.2s uniform) at
+    # the zipf-skewed 64× corpus. The
     # high-cardinality second column spreads the hot cell across all
     # partitions; the groupBy(geohash) shuffle this stops eliding is
     # map-side-combined partial counts (kilobytes), a non-cost.

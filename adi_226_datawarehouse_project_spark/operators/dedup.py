@@ -384,8 +384,9 @@ def near_dup_clusters(
         # so the join is 1:≤1 and count(*) == |nxt|). Set equality then
         # follows from |nxt| == |edges| (carried, no recount) plus
         # nxt ⊆ edges. One Spark job per round instead of the previous
-        # count() + anti-join count() pair — at 64× the per-round
-        # job-scheduling overhead is measured in scripts/new_ops_scale.py.
+        # count() + anti-join count() pair — the 64× contraction
+        # datapoints (rounds × wall at 1×/64×) live in README
+        # §Measured, "Star-contraction connected components at 64×".
         probe = (
             nxt.join(
                 edges.select("hi", "lo", F.lit(1).alias("__old")),

@@ -657,7 +657,11 @@ def leakage_safe_split(
     the join; the contraction (if computed here) is the O(log n)
     star-contraction of :func:`..dedup.near_dup_clusters`.
 
-    Returns ``df`` plus ``cluster_id`` and ``split`` columns.
+    Returns ``df`` plus ``cluster_id`` and ``split`` columns — every
+    input row, always: a doc absent from a caller-supplied
+    ``clusters`` frame self-clusters (``cluster_id = id``), matching
+    the singleton label :func:`..dedup.near_dup_clusters` gives
+    isolated nodes.
     """
     if (pairs is None) == (clusters is None):
         raise ValueError("pass exactly one of pairs= or clusters=")
@@ -681,4 +685,15 @@ def leakage_safe_split(
         .when(h < F.lit(t_val), F.lit("val"))
         .otherwise(F.lit("train"))
     )
-    return df.join(comp, id_col).withColumn("split", split)
+    # LEFT join + self-cluster fallback: a caller-supplied clusters=
+    # frame that misses some df rows must not silently DROP them (an
+    # inner join would — no split at all beats a wrong split only when
+    # it's loud). Uncovered docs get cluster_id = their own id, the
+    # exact singleton semantics near_dup_clusters assigns to isolated
+    # nodes, so the pairs= and clusters= paths agree whenever coverage
+    # is complete.
+    return (
+        df.join(comp, id_col, "left")
+        .withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col)))
+        .withColumn("split", split)
+    )

@@ -50,6 +50,39 @@ from ..streaming.events_stream import read_events_stream
 SESSION_KEYS = ["user_id", "session_start"]
 SEQ_COL = "seq"
 
+_INTERVAL_UNIT_SECONDS = {
+    "microsecond": 1e-6,
+    "millisecond": 1e-3,
+    "second": 1.0,
+    "minute": 60.0,
+    "hour": 3600.0,
+    "ms": 1e-3,
+    "s": 1.0,
+    "min": 60.0,
+}
+
+
+def _interval_seconds(processing_time: str) -> float:
+    """Seconds in a Spark trigger interval string ('200 milliseconds',
+    '10 seconds', '1 minute'). Raises on anything unparseable — the
+    quiesce loop sizes its idleness grace from this, and guessing low
+    silently truncates snapshots."""
+    import re
+
+    m = re.fullmatch(
+        r"\s*(\d+(?:\.\d+)?)\s*([a-zA-Z]+?)s?\s*", processing_time or ""
+    )
+    unit = _INTERVAL_UNIT_SECONDS.get(m.group(2).lower()) if m else None
+    # 'ms'/'s' lose their trailing s to the optional-plural strip
+    if m and unit is None:
+        unit = _INTERVAL_UNIT_SECONDS.get(m.group(2).lower() + "s")
+    if unit is None:
+        raise ValueError(
+            f"unparseable trigger interval {processing_time!r}; "
+            "expected e.g. '200 milliseconds', '10 seconds'"
+        )
+    return float(m.group(1)) * unit
+
 
 def soda_events_stream(
     spark: SparkSession, url_template: str, page_size: int
@@ -183,7 +216,15 @@ def run_sessions_to_cdc(
         import json as _json
         import time
 
-        grace = 4.0
+        # The grace window is only a valid idleness test when it spans
+        # MULTIPLE trigger intervals: with processing_time='10 seconds'
+        # a fixed 4s grace can observe offset-stable + not-busy purely
+        # BETWEEN triggers with pages still unread, stop the stream
+        # mid-feed, and return success with a truncated snapshot — the
+        # precise bug this loop exists to exclude. So derive it:
+        # >= 3 trigger intervals, floor 4s (covers source-poll jitter
+        # at sub-second triggers).
+        grace = max(4.0, 3.0 * _interval_seconds(processing_time))
         q = writer.trigger(processingTime=processing_time).start()
         try:
             last_off, quiet_since = None, time.time()

@@ -120,6 +120,15 @@ def main() -> None:
     bench_queries = BENCH_QUERIES
     if only:
         wanted = [s.strip() for s in only.split(",") if s.strip()]
+        if not wanted:
+            # e.g. SPARK_GRAFT_BENCH_ONLY="," parses to nothing — that
+            # would time an empty query list and emit a bogus subset
+            # datapoint, the exact failure the unknown-name check exists
+            # to prevent.
+            raise ValueError(
+                "SPARK_GRAFT_BENCH_ONLY set but parsed to an empty list: "
+                f"{only!r}"
+            )
         unknown = [s for s in wanted if s not in BENCH_QUERIES]
         if unknown:
             raise ValueError(

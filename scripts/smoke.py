@@ -45,6 +45,28 @@ def main() -> int:
     assert not missing, f"bench queries unresolved: {missing}"
     print(f"bench OK: {len(benchmod.BENCH_QUERIES)} benched queries resolve")
 
+    # ADVICE hygiene (VERDICT r8 #5): an entry NOT annotated as fixed
+    # (not struck through) must cite a path:line that still resolves —
+    # two rounds running, ADVICE described already-fixed findings. A
+    # warning, not a gate: the fix-commit rule is process, this just
+    # makes the rot visible at commit time.
+    import re
+
+    advice = REPO / "ADVICE.md"
+    if advice.exists():
+        for ln in advice.read_text().splitlines():
+            if not ln.startswith("- **"):  # struck entries start "- ~~**"
+                continue
+            for path, lineno in re.findall(r"([\w./-]+\.(?:py|md|sql)):(\d+)", ln):
+                f = REPO / path
+                if not f.exists():
+                    print(f"WARNING: ADVICE cites missing file {path}")
+                elif int(lineno) > len(f.read_text().splitlines()):
+                    print(
+                        f"WARNING: ADVICE cites {path}:{lineno} past EOF "
+                        "— entry likely stale; fix or strike it"
+                    )
+
     rc = subprocess.run(
         [sys.executable, "-m", "pytest", "tests/", "--collect-only", "-q",
          "--no-header", "-p", "no:cacheprovider"],

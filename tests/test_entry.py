@@ -78,6 +78,23 @@ def test_bench_subset_env_rejects_unknown_names(monkeypatch):
         bench.main()
 
 
+def test_bench_subset_env_rejects_empty_parse(monkeypatch):
+    """SPARK_GRAFT_BENCH_ONLY that parses to NOTHING (separators/
+    whitespace only, e.g. ',') must fail fast — an empty subset would
+    time an empty query list and emit a bogus subset datapoint."""
+    import sys
+    from pathlib import Path
+
+    import pytest
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import bench
+
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_ONLY", " , ,")
+    with pytest.raises(ValueError, match="empty"):
+        bench.main()
+
+
 def test_bench_subset_env_accepts_known_names_and_strips(monkeypatch):
     """Whitespace-padded valid names parse; validation passes and the
     subset resolves (checked without running main's Spark phase by

@@ -186,3 +186,28 @@ def test_soda_source_end_to_end(spark):
         processing_time="200 milliseconds", idle_timeout=90.0,
     )
     assert _snapshot_set(spark, target) == _oracle(spark, rows)
+
+
+def test_interval_seconds_parser_and_grace_derivation():
+    """The quiesce grace must span multiple trigger intervals — a fixed
+    4s grace with processing_time='10 seconds' could observe idle
+    BETWEEN triggers and truncate the snapshot. Pin the parser and the
+    max(4, 3x) derivation."""
+    from adi_226_datawarehouse_project_spark.pipelines.streaming_pipeline import (
+        _interval_seconds,
+    )
+
+    assert _interval_seconds("200 milliseconds") == pytest.approx(0.2)
+    assert _interval_seconds("200 ms") == pytest.approx(0.2)
+    assert _interval_seconds("1 second") == 1.0
+    assert _interval_seconds("10 seconds") == 10.0
+    assert _interval_seconds("2 minutes") == 120.0
+    assert _interval_seconds("1 hour") == 3600.0
+    assert _interval_seconds("500 microseconds") == pytest.approx(5e-4)
+    with pytest.raises(ValueError, match="unparseable"):
+        _interval_seconds("10 fortnights")
+    with pytest.raises(ValueError, match="unparseable"):
+        _interval_seconds("")
+    # derived grace: floor 4s at sub-second triggers, 3x above it
+    assert max(4.0, 3.0 * _interval_seconds("200 milliseconds")) == 4.0
+    assert max(4.0, 3.0 * _interval_seconds("10 seconds")) == 30.0

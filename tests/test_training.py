@@ -597,6 +597,46 @@ def test_leakage_safe_split_precomputed_clusters_and_determinism(spark):
     assert again == via_pairs
 
 
+def test_leakage_safe_split_partial_clusters_self_cluster(spark):
+    """A caller-supplied clusters= frame that misses some docs must not
+    DROP them: uncovered docs self-cluster (cluster_id = own id) with
+    near_dup_clusters' singleton semantics, so a partial frame and a
+    full frame agree on every covered doc."""
+    leakage_safe_split, docs, pairs, _ = _split_fixture(spark)
+    # clusters frame covering ONLY docs < 100
+    partial = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") - F.col("id") % 10).alias("cluster_id"),
+    )
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["split"])
+        for r in leakage_safe_split(
+            docs, "doc_id", clusters=partial, seed="t3"
+        ).collect()
+    }
+    assert len(out) == 500  # nothing vanished
+    for i in range(100):
+        assert out[i][0] == i - i % 10  # covered docs use the frame
+    for i in range(100, 500):
+        assert out[i][0] == i  # uncovered docs self-cluster
+    # a self-clustered doc's split matches what a singleton cluster
+    # frame would assign — same md5(seed:cluster_id) scheme
+    singleton = spark.range(100, 500).select(
+        F.col("id").alias("doc_id"), F.col("id").alias("cluster_id")
+    )
+    explicit = {
+        r["doc_id"]: r["split"]
+        for r in leakage_safe_split(
+            docs.filter(F.col("doc_id") >= 100),
+            "doc_id",
+            clusters=singleton,
+            seed="t3",
+        ).collect()
+    }
+    for i in range(100, 500):
+        assert out[i][1] == explicit[i]
+
+
 def test_leakage_safe_split_validation(spark):
     leakage_safe_split, docs, pairs, _ = _split_fixture(spark)
     with pytest.raises(ValueError, match="exactly one"):
