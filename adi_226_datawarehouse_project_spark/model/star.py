@@ -51,6 +51,7 @@ parallel end to end.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import SparkSession
@@ -405,21 +406,122 @@ def register_star_views(spark: SparkSession, sf_dir: str, cache: bool = True) ->
 
 
 def materialize_warehouse(spark: SparkSession, sf_dir: str) -> None:
-    """Materialize the cached gold layer by driving one count through
-    each terminal table — the two fact chains and dim_date run as
-    CONCURRENT Spark jobs (threads), so the 311 and Airbnb pipelines
-    overlap on the executor pool instead of serializing (measured 16.6s
-    → 10.5s at sf0.1 on local[32]). Safe under concurrency: cached
-    RDD blocks are computed once behind BlockManager's per-block locks,
-    so shared upstreams (staging tables) are never built twice. On a
-    cluster this is the same pattern as submitting independent ETL
-    stages into one scheduler pool."""
+    """Materialize the derived warehouse. Policy is selected by
+    ``SPARK_GRAFT_WAREHOUSE_POLICY``:
+
+    - ``cache`` (default): in-memory columnar cache of the whole chain
+      (raw + staging + dims + facts), materialized by driving one count
+      through each terminal table — the two fact chains and dim_date
+      run as CONCURRENT Spark jobs (threads), so the 311 and Airbnb
+      pipelines overlap on the executor pool instead of serializing
+      (measured 16.6s → 10.5s at sf0.1 on local[32]). Safe under
+      concurrency: cached RDD blocks are computed once behind
+      BlockManager's per-block locks, so shared upstreams (staging
+      tables) are never built twice. On a cluster this is the same
+      pattern as submitting independent ETL stages into one scheduler
+      pool.
+
+    - ``parquet``: write-through medallion zone — staging, dims and
+      facts are written to local parquet
+      (``SPARK_GRAFT_WAREHOUSE_DIR``, default
+      ``/tmp/spark_graft_warehouse/<sf-basename>``) and the views are
+      repointed at the files; nothing stays in the JVM cache. This is
+      the literal analog of the reference's S3 raw/staging/gold zones
+      and the operating point for corpora whose cache-fill saturates a
+      single JVM's memory bandwidth (the 256× warehouse_build wall —
+      see README §Measured): parquet-snappy encode is cheaper than the
+      in-memory columnar dict/RLE encode on string-heavy rows, the
+      zone doesn't compete with execution memory, and re-reads are
+      column-pruned scans through the OS page cache.
+
+    - ``hybrid``: parquet staging zone + in-memory gold (dims + facts
+      cached): pays the parquet write for the string-heavy staging
+      level only, keeps query-facing tables in columnar cache.
+
+    The raw level is cached TRANSIENTLY during the staging build in
+    the parquet/hybrid policies and unpersisted as soon as staging is
+    materialized — raw must be materialized while staging derives from
+    it (Catalyst's alias substitution otherwise re-derives the
+    lat/lon string-construction chain per filter conjunct, measured
+    6×), but nothing downstream of staging ever reads it again."""
+    policy = os.environ.get("SPARK_GRAFT_WAREHOUSE_POLICY", "cache")
+    if policy in ("parquet", "hybrid"):
+        _materialize_zone(spark, sf_dir, cache_gold=(policy == "hybrid"))
+        return
+    if policy != "cache":
+        raise ValueError(
+            f"SPARK_GRAFT_WAREHOUSE_POLICY={policy!r}: expected "
+            "cache | parquet | hybrid"
+        )
     from concurrent.futures import ThreadPoolExecutor
 
     register_star_views(spark, sf_dir)
     terminals = ("fact_311_complaint", "fact_airbnb_listings", "dim_date")
     with ThreadPoolExecutor(len(terminals)) as ex:
         list(ex.map(lambda t: spark.table(t).count(), terminals))
+
+
+_RAW_TABLES = ("complaints_raw", "listings_raw")
+_STAGING_TABLES = ("staging_311", "staging_airbnb")
+
+
+def _materialize_zone(
+    spark: SparkSession, sf_dir: str, cache_gold: bool
+) -> None:
+    """Write-through parquet materialization (see materialize_warehouse
+    docstring). Sequencing matters: temp views capture their ANALYZED
+    plan at CREATE time, so after each zone level is written the
+    DOWNSTREAM views must be re-created to resolve against the
+    repointed level — repointing staging alone would leave the dim/fact
+    views still bound to the original staging plan."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    key = id(spark)
+    if _REGISTERED.get(key) == sf_dir:
+        return
+    if key in _REGISTERED:
+        spark.catalog.clearCache()
+        _REGISTERED.pop(key, None)
+    zone = os.environ.get(
+        "SPARK_GRAFT_WAREHOUSE_DIR",
+        f"/tmp/spark_graft_warehouse/{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    register_base_views(spark, sf_dir)
+
+    def _create(name: str) -> None:
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {STAR_TABLES[name](D.SPARK)}"
+        )
+
+    def _write_and_repoint(name: str) -> None:
+        spark.table(name).write.mode("overwrite").parquet(f"{zone}/{name}")
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY VIEW {name} AS "
+            f"SELECT * FROM parquet.`{zone}/{name}`"
+        )
+
+    for t in _RAW_TABLES + _STAGING_TABLES:
+        _create(t)
+    for t in _RAW_TABLES:
+        spark.catalog.cacheTable(t)
+    with ThreadPoolExecutor(len(_STAGING_TABLES)) as ex:
+        list(ex.map(_write_and_repoint, _STAGING_TABLES))
+    for t in _RAW_TABLES:
+        spark.catalog.uncacheTable(t)
+
+    gold = [t for t in STAR_TABLES if t not in _RAW_TABLES + _STAGING_TABLES]
+    for t in gold:  # re-resolve against the parquet staging level
+        _create(t)
+    if cache_gold:
+        for t in gold:
+            spark.catalog.cacheTable(t)
+        terminals = ("fact_311_complaint", "fact_airbnb_listings", "dim_date")
+        with ThreadPoolExecutor(len(terminals)) as ex:
+            list(ex.map(lambda t: spark.table(t).count(), terminals))
+    else:
+        with ThreadPoolExecutor(8) as ex:
+            list(ex.map(_write_and_repoint, gold))
+    _REGISTERED[key] = sf_dir
 
 
 def oracle_with_chain(query_sql: str) -> str:
