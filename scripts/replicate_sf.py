@@ -52,10 +52,30 @@ uniform K× corpus but concentrates mass:
   the per-customer window/join paths.
 - everything else: uniform, as above.
 
+Stopword-hot text mode (``--zipf-text``): the key-skew mode above
+leaves the DOCUMENT corpus uniform — every copy's shingles are salted
+(near-)disjoint, so the shingle document-frequency distribution stays
+flat and the n-gram join auto-selector
+(``operators/dedup.py::_should_prefix_filter``) always sees a naive-
+friendly corpus. Real web text is stopword-hot: a Zipf head of shared
+tokens appears in nearly every document. ``--zipf-text`` appends to
+each salted copy a per-language rotated stopword block (4 rotations of
+the language's stopword list; ``zh`` gets a synthetic pinyin-ish list
+since it has no Latin stopword set) — ~11 extra tokens on a ~50-token
+doc, UNSALTED and shared across copies, so:
+
+- hot-bigram document frequency ≈ N_lang/4 (tens of thousands at 64×)
+  → Σdf²/Σdf blows past the auto threshold and the prefix plan must
+  engage, while
+- pairwise Jaccard between UNRELATED docs sharing a block stays
+  ≈ 11/(2·60) ≈ 0.1, far under every operating threshold, so pair
+  outputs still scale linearly with K (no quadratic blow-up, and the
+  oracle comparison stays tractable).
+
 Usage::
 
     python scripts/replicate_sf.py 64 [--sf /root/testdata/sf0.1] \
-        [--out /tmp/spark_graft_sf_x64] [--zipf]
+        [--out /tmp/spark_graft_sf_x64] [--zipf] [--zipf-text]
 """
 
 from __future__ import annotations
@@ -90,6 +110,31 @@ def _salted_text(c: int):
     return F.regexp_replace(
         salted, rf"(^|\s)c{c}((?i:{'|'.join(sw)}))(?=\s|$)", "$1$2"
     )
+
+
+_ZH_HOT = ["zhi", "de", "shi", "bu", "liao", "zai", "you", "wo", "ta", "men"]
+_HOT_ROTATIONS = 4
+
+
+def _hot_block(c: int):
+    """Per-language rotated stopword block for --zipf-text (see module
+    docstring). Rotation = (doc_id + copy) % R so the hot head is a
+    small FAMILY of blocks per language (df varies across the head —
+    Zipf-ish, not one degenerate shingle), and consecutive copies of
+    the same doc get different rotations."""
+    from adi_226_datawarehouse_project_spark.functions.text import LANG_STOPWORDS
+
+    rot = (F.col("doc_id") + F.lit(c)) % _HOT_ROTATIONS
+    expr = F.lit("")
+    for lang, sw in list(LANG_STOPWORDS.items()) + [("zh", _ZH_HOT)]:
+        blocks = F.array(
+            *[
+                F.lit(" " + " ".join(sw[r:] + sw[:r]))
+                for r in range(_HOT_ROTATIONS)
+            ]
+        )
+        expr = F.when(F.col("lang") == lang, F.element_at(blocks, rot.cast("int") + 1)).otherwise(expr)
+    return expr
 
 
 def _stack(copies: list[DataFrame]) -> DataFrame:
@@ -153,7 +198,12 @@ def _hot_lineitem_block(spark: SparkSession, rows: int, key_base: int) -> DataFr
 
 
 def replicate(
-    spark: SparkSession, sf: str, mult: int, out: Path, zipf: bool = False
+    spark: SparkSession,
+    sf: str,
+    mult: int,
+    out: Path,
+    zipf: bool = False,
+    zipf_text: bool = False,
 ) -> None:
     out.mkdir(parents=True, exist_ok=True)
     for tbl in COPY_AS_IS:
@@ -170,7 +220,11 @@ def replicate(
         [
             docs.select(
                 (F.col("doc_id") + F.lit(c * n["doc_id"])).alias("doc_id"),
-                _salted_text(c).alias("text"),
+                (
+                    F.concat(_salted_text(c), _hot_block(c))
+                    if zipf_text
+                    else _salted_text(c)
+                ).alias("text"),
                 "lang",
                 "source",
                 "n_chars",
@@ -269,13 +323,20 @@ def main() -> int:
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default=None)
     ap.add_argument("--zipf", action="store_true", help="skewed mode (see module docstring)")
+    ap.add_argument(
+        "--zipf-text", action="store_true",
+        help="stopword-hot documents (see module docstring)",
+    )
     args = ap.parse_args()
-    suffix = "zipf_" if args.zipf else ""
+    suffix = ("zipf_" if args.zipf else "") + ("zipftext_" if args.zipf_text else "")
     out = Path(args.out or f"/tmp/spark_graft_sf_{suffix}x{args.mult}")
     spark = get_spark("replicate_sf", shuffle_partitions=32)
     t0 = time.time()
-    replicate(spark, args.sf, args.mult, out, zipf=args.zipf)
-    print(f"# replicated {args.sf} x{args.mult} zipf={args.zipf} -> {out} in {time.time()-t0:.1f}s")
+    replicate(spark, args.sf, args.mult, out, zipf=args.zipf, zipf_text=args.zipf_text)
+    print(
+        f"# replicated {args.sf} x{args.mult} zipf={args.zipf} "
+        f"zipf_text={args.zipf_text} -> {out} in {time.time()-t0:.1f}s"
+    )
     return 0
 
 

@@ -9,6 +9,17 @@ count + full-row hash (no driver collect of a data-sized result).
 Usage::
 
     python scripts/stream_e2e_scale.py [sf_dir] [n_files] [files_per_trigger]
+    python scripts/stream_e2e_scale.py [...] --hot-user
+
+``--hot-user`` (VERDICT r8 #3): remaps ~25% of all events onto ONE
+user before building the replay log — a ~2000×-hot key at 64× —
+to MEASURE the pipeline's documented skew bound ("one hot user's
+events land in one state partition, bounded by that user's traffic").
+A StreamingQueryListener records per-batch state rows, watermark and
+input rows for both runs; the bound holds if the hot run's state-row
+ceiling matches the uniform run's (the hot user's dense events MERGE
+into few session-window state rows — state size tracks open sessions
+per key, not events per key) and the watermark advances every batch.
 """
 
 from __future__ import annotations
@@ -31,12 +42,55 @@ from adi_226_datawarehouse_project_spark.pipelines.streaming_pipeline import (  
 from adi_226_datawarehouse_project_spark.session import get_spark  # noqa: E402
 from adi_226_datawarehouse_project_spark.sources.catalog import load_table  # noqa: E402
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_sf_x64"
-N_FILES = int(sys.argv[2]) if len(sys.argv) > 2 else 32
-PER_TRIGGER = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+_pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+HOT_USER = "--hot-user" in sys.argv
+SF_DIR = _pos[0] if len(_pos) > 0 else "/tmp/spark_graft_sf_x64"
+N_FILES = int(_pos[1]) if len(_pos) > 1 else 32
+PER_TRIGGER = int(_pos[2]) if len(_pos) > 2 else 4
 BASE = "/tmp/spark_graft_stream_e2e"
 GAP, WM = "30 minutes", "10 minutes"
 SENTINEL_USER = 10_000_000_000
+HOT_USER_ID = 7
+
+
+class _ProgressLog:
+    """StreamingQueryListener capturing per-batch state size and
+    watermark — the observability for the skew-bound claim."""
+
+    def __init__(self) -> None:
+        self.rows: list[dict] = []
+
+    def attach(self, spark) -> None:
+        import json as _json
+
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        log = self.rows
+
+        class _L(StreamingQueryListener):
+            def onQueryStarted(self, event):  # noqa: N802
+                pass
+
+            def onQueryProgress(self, event):  # noqa: N802
+                p = _json.loads(event.progress.json)
+                ops = p.get("stateOperators") or []
+                log.append(
+                    {
+                        "batch": p.get("batchId"),
+                        "input_rows": p.get("numInputRows"),
+                        "state_rows": ops[0].get("numRowsTotal") if ops else None,
+                        "watermark": (p.get("eventTime") or {}).get("watermark"),
+                    }
+                )
+
+            def onQueryIdle(self, event):  # noqa: N802
+                pass
+
+            def onQueryTerminated(self, event):  # noqa: N802
+                pass
+
+        self._listener = _L()
+        spark.streams.addListener(self._listener)
 
 
 def main() -> None:
@@ -51,7 +105,16 @@ def main() -> None:
     events = load_table(spark, SF_DIR, "events").select(
         "event_id", "user_id", F.col("ts").alias("event_time")
     )
+    if HOT_USER:
+        events = events.withColumn(
+            "user_id",
+            F.when(F.col("user_id") % 4 == 0, F.lit(HOT_USER_ID)).otherwise(
+                F.col("user_id")
+            ),
+        )
     n_events = events.count()
+    prog = _ProgressLog()
+    prog.attach(spark)
 
     # ---- replay log: time-ordered files + 2 sentinel flush files ----
     t0 = time.perf_counter()
@@ -144,6 +207,23 @@ def main() -> None:
         file=sys.stderr,
     )
     assert ok, f"snapshot {fp_snap} != oracle {fp_oracle}"
+    time.sleep(1.0)  # listener thread drain
+    batches = [r for r in prog.rows if r.get("state_rows") is not None]
+    if batches:
+        wms = [r["watermark"] for r in batches if r["watermark"]]
+        hot_share = (
+            events.filter(F.col("user_id") == HOT_USER_ID).count() / n_events
+            if HOT_USER
+            else 0.0
+        )
+        print(
+            f"# mode={'hot-user' if HOT_USER else 'uniform'} "
+            f"hot_share={hot_share:.2f} batches={len(batches)} "
+            f"state_rows_max={max(r['state_rows'] for r in batches)} "
+            f"state_rows_final={batches[-1]['state_rows']} "
+            f"watermark_advances={len(set(wms))}/{len(wms)}",
+            file=sys.stderr,
+        )
     print("OK")
 
 
