@@ -225,6 +225,12 @@ def run_sessions_to_cdc(
         # >= 3 trigger intervals, floor 4s (covers source-poll jitter
         # at sub-second triggers).
         grace = max(4.0, 3.0 * _interval_seconds(processing_time))
+        if grace >= idle_timeout:
+            raise ValueError(
+                f"idle_timeout={idle_timeout}s must exceed the idleness "
+                f"grace ({grace}s = 3× the {processing_time!r} trigger): "
+                "the quiesce wait would always hit the deadline"
+            )
         q = writer.trigger(processingTime=processing_time).start()
         try:
             last_off, quiet_since = None, time.time()

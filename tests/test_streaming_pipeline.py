@@ -211,3 +211,24 @@ def test_interval_seconds_parser_and_grace_derivation():
     # derived grace: floor 4s at sub-second triggers, 3x above it
     assert max(4.0, 3.0 * _interval_seconds("200 milliseconds")) == 4.0
     assert max(4.0, 3.0 * _interval_seconds("10 seconds")) == 30.0
+
+
+def test_grace_exceeding_idle_timeout_is_a_loud_config_error(spark, tmp_path):
+    """grace = 3x trigger; if that already exceeds idle_timeout the
+    quiesce wait could only ever end in TimeoutError — reject the
+    configuration up front instead."""
+    src = str(tmp_path / "src")
+    spark.sql(
+        "SELECT CAST(1 AS bigint) event_id, CAST(1 AS bigint) user_id, "
+        "TIMESTAMP '2024-01-01' event_time"
+    ).write.parquet(src)
+    events = (
+        spark.readStream.schema("event_id bigint, user_id bigint, event_time timestamp")
+        .parquet(src)
+    )
+    with pytest.raises(ValueError, match="idle_timeout"):
+        run_sessions_to_cdc(
+            spark, events, str(tmp_path / "t"), str(tmp_path / "c"),
+            gap=GAP, watermark=WM,
+            processing_time="10 minutes", idle_timeout=60.0,
+        )
