@@ -2,7 +2,12 @@
 engine's tuned session — replicates the external driver's config),
 every queries() entry vs its oracle_sql() on the given sf dir.
 
-Usage: python scripts/run_diff.py [/root/testdata/sf0.01]
+Usage: python scripts/run_diff.py [/root/testdata/sf0.01] [prefix,...]
+
+The optional second arg restricts the sweep to queries whose name
+starts with one of the comma-separated prefixes (e.g. "dedup_,sim_"
+for the near-dup/similarity families on a replicated skew corpus —
+oracle-ing all 50 queries at 64× would take hours in DuckDB).
 """
 import os
 import sys
@@ -29,6 +34,12 @@ from oracle_harness import compare_query
 
 qs = E.queries()
 oracles = E.oracle_sql()
+if len(sys.argv) > 2:
+    prefixes = tuple(p for p in sys.argv[2].split(",") if p)
+    qs = {n: f for n, f in qs.items() if n.startswith(prefixes)}
+    if not qs:
+        print(f"no queries match prefixes {prefixes}")
+        sys.exit(1)
 passed = failed = 0
 for name, fn in qs.items():
     t0 = time.time()
