@@ -464,6 +464,20 @@ def _prefix_rows(sh: DataFrame, id_col: str, min_jaccard: float) -> DataFrame:
 # measured α 1.07 → 0.21). 32 ≈ the point where naive candidate volume
 # (Σdf² rows through the shuffle) stops being cheaper than prefix
 # mode's extra frequency aggregate + per-doc rank window.
+# A SAFETY threshold, deliberately below the measured break-even — the
+# losses are asymmetric. The round-9 crossover sweep
+# (scripts/ngram_prefix_scale.py --crossover; raw data in
+# measurements/ngram_crossover_8k.json) drove a corpus family through
+# this constant at 8k docs: empirical break-even sits at cand_per_row
+# ≈ 500–1200, so in the 32–500 mid-band auto picks prefix where naive
+# is still cheaper — a BOUNDED penalty (measured ≤ 2.2×, the prefix
+# plan's flat rank-window overhead; 2.3–2.7× on the 64×/256× uniform
+# corpora). Above the break-even the naive join's candidate volume is
+# Σdf² — UNBOUNDED in the hot head (measured cand_per_row 6,487 on the
+# stopword-hot 64× corpus = ~10¹¹ candidate rows, hours vs the prefix
+# plan's 43s). Flipping one order of magnitude early caps the
+# worst case at ~2×; flipping late has no cap. Callers who know their
+# corpus shape pass prefix_filter= explicitly and skip the probe.
 _AUTO_PREFIX_CAND_PER_ROW = 32.0
 
 
