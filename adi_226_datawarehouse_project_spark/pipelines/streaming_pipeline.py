@@ -84,6 +84,15 @@ def _interval_seconds(processing_time: str) -> float:
     return float(m.group(1)) * unit
 
 
+def _default_idle_timeout(processing_time: str) -> float:
+    """Default quiesce deadline, SCALED with the trigger: 12× the
+    interval (= 4× the 3-interval idleness grace), floored at the
+    long-standing 120s. A fixed default tripped the grace-vs-deadline
+    guard for any trigger ≥ 40s; deriving both from the same interval
+    means the guard can never fire on defaults."""
+    return max(120.0, 12.0 * _interval_seconds(processing_time))
+
+
 def soda_events_stream(
     spark: SparkSession, url_template: str, page_size: int
 ) -> DataFrame:
@@ -173,12 +182,19 @@ def run_sessions_to_cdc(
     watermark: str = "10 minutes",
     fault_after_publish_epoch: int | None = None,
     processing_time: str | None = None,
-    idle_timeout: float = 120.0,
+    idle_timeout: float | None = None,
 ) -> None:
     """Drive the event stream through session windows into the CDC
     snapshot at ``target_path``. Blocks until drained (file source:
     availableNow; SODA source: processingTime trigger + stop-on-idle,
     since the endpoint has no end-of-stream marker).
+
+    ``idle_timeout`` bounds the whole quiesce wait and must exceed the
+    idleness grace (3× the trigger interval). The default SCALES with
+    the trigger — ``max(120, 12 × interval)`` — so coarse triggers
+    (e.g. '1 minute') work out of the box; an explicit value that
+    doesn't clear the grace still raises up front rather than risking
+    a truncated snapshot.
 
     ``fault_after_publish_epoch`` is the kill-and-resume test hook: the
     N-th foreachBatch call raises AFTER the CDC publish but BEFORE the
@@ -225,6 +241,8 @@ def run_sessions_to_cdc(
         # >= 3 trigger intervals, floor 4s (covers source-poll jitter
         # at sub-second triggers).
         grace = max(4.0, 3.0 * _interval_seconds(processing_time))
+        if idle_timeout is None:
+            idle_timeout = _default_idle_timeout(processing_time)
         if grace >= idle_timeout:
             raise ValueError(
                 f"idle_timeout={idle_timeout}s must exceed the idleness "

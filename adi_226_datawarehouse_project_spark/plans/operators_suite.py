@@ -579,15 +579,6 @@ def _spark_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PIVOT_STATUS_ORACLE = """
-SELECT CAST(extract(year FROM o_orderdate) AS INT) AS year,
-       CAST(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS F,
-       CAST(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS O,
-       CAST(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT) AS P
-FROM orders GROUP BY 1 ORDER BY year
-"""
-
-
 def _spark_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingest through the foreachBatch left-anti upsert sink
     (streaming/upsert_sink.py), run TWICE — the second pass replays the
@@ -1811,9 +1802,13 @@ _JOIN_FILTERS_SQL = _suite_sql([
     _part_sql("left_null_probe", _LEFT_JOIN_NULLS, k="nationkey", n="customers_without_orders"),
 ])
 
-# --- op_grouping_variants: ROLLUP / CUBE+GROUPING() / GROUPING SETS
-# (natively aligned schema; shared SQL) ---
-_GROUPING_VARIANTS_SQL = f"""
+# --- op_groupby_shapes_suite: ROLLUP / CUBE+GROUPING() / GROUPING
+# SETS / PIVOT — the round-10 registry fold (COVERAGE.md headroom
+# policy, fold #1): the formerly-standalone op_pivot_status_by_year
+# lands as a part of the grouping-shapes family, freeing one registry
+# slot under the driver's 50-query cap. Every part keeps its own
+# independent derivation and oracle. ---
+_GROUPBY_SHAPES_BODY = f"""
 SELECT 'rollup' AS part, region, nation,
        CAST(NULL AS INT) AS g_region, CAST(NULL AS INT) AS g_nation, n_customers
 FROM ({_ROLLUP}) __r
@@ -1825,8 +1820,62 @@ SELECT 'grouping_sets' AS part, coalesce(r_name, 'ALL') AS region,
        coalesce(n_name, 'ALL') AS nation,
        CAST(NULL AS INT) AS g_region, CAST(NULL AS INT) AS g_nation, n_customers
 FROM ({_GROUPING_SETS_SQL}) __g
-ORDER BY part, region, nation, g_region, g_nation
 """
+
+_GROUPBY_SHAPES_ORDER = "\nORDER BY part, region, nation, g_region, g_nation"
+
+# Oracle form of the pivot_status part: the Spark side runs the REAL
+# wide-format pivot (groupBy().pivot(values).count() + na.fill) and
+# unpivots to the suite schema, so the oracle must reproduce the
+# zero-filled year × status grid (a bare GROUP BY would miss the
+# combinations the pivot materializes as 0).
+_PIVOT_PART_ORACLE = """
+SELECT 'pivot_status' AS part,
+       CAST(y.year AS STRING) AS region,
+       s.status AS nation,
+       CAST(NULL AS INT) AS g_region, CAST(NULL AS INT) AS g_nation,
+       CAST(coalesce(c.cnt, 0) AS BIGINT) AS n_customers
+FROM (SELECT DISTINCT CAST(extract(year FROM o_orderdate) AS INT) AS year
+      FROM orders) y
+CROSS JOIN (SELECT 'F' AS status UNION ALL SELECT 'O' UNION ALL SELECT 'P') s
+LEFT JOIN (SELECT CAST(extract(year FROM o_orderdate) AS INT) AS year,
+                  o_orderstatus AS status, count(*) AS cnt
+           FROM orders GROUP BY 1, 2) c
+       ON c.year = y.year AND c.status = s.status
+"""
+
+_GROUPBY_SHAPES_ORACLE = (
+    _GROUPBY_SHAPES_BODY
+    + "UNION ALL\n"
+    + _PIVOT_PART_ORACLE
+    + _GROUPBY_SHAPES_ORDER
+)
+
+
+def _spark_groupby_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP/CUBE/GROUPING SETS run as shared SQL; the pivot_status
+    part executes the real DataFrame pivot (_spark_pivot_status) and
+    unpivots via stack() into the suite schema — the operator under
+    test stays the wide-format pivot, only the compare shape is
+    shared."""
+    register_base_views(spark, sf_dir)
+    variants = spark.sql(_GROUPBY_SHAPES_BODY)
+    pivot = _spark_pivot_status(spark, sf_dir)
+    unpivoted = pivot.selectExpr(
+        "'pivot_status' AS part",
+        "CAST(year AS STRING) AS region",
+        "stack(3, 'F', F, 'O', O, 'P', P) AS (nation, cnt)",
+    ).selectExpr(
+        "part",
+        "region",
+        "nation",
+        "CAST(NULL AS INT) AS g_region",
+        "CAST(NULL AS INT) AS g_nation",
+        "CAST(cnt AS BIGINT) AS n_customers",
+    )
+    return variants.unionAll(unpivoted).orderBy(
+        "part", "region", "nation", "g_region", "g_nation"
+    )
 
 # --- op_window_functions: the full window family in one tag-union
 # suite — %-of-total empty frame + window-over-agg (W1/W2 direct
@@ -3935,8 +3984,7 @@ def operator_queries() -> dict[str, OpQuery]:
         ),
         "op_set_operators": OpQuery(_spark_set_operators, _SET_OPERATORS_SQL),
         "op_join_filters": OpQuery(_sql(_JOIN_FILTERS_SQL), _JOIN_FILTERS_SQL),
-        "op_grouping_variants": OpQuery(_sql(_GROUPING_VARIANTS_SQL), _GROUPING_VARIANTS_SQL),
-        "op_pivot_status_by_year": OpQuery(_spark_pivot_status, _PIVOT_STATUS_ORACLE),
+        "op_groupby_shapes_suite": OpQuery(_spark_groupby_shapes, _GROUPBY_SHAPES_ORACLE),
         "op_events_time_suite": OpQuery(
             _sql(_events_time_suite_sql(D.SPARK)), _events_time_suite_sql(D.DUCKDB)
         ),

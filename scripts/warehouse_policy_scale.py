@@ -46,7 +46,7 @@ CONFIGS = {
     "hybrid": {"SPARK_GRAFT_WAREHOUSE_POLICY": "hybrid", "SPARK_GRAFT_CACHE_COMPRESS": "true"},
 }
 QUERIES = ("g01_complaints_by_borough_pct", "g07_airbnb_complaint_ratio",
-           "g09_quarterly_trend")
+           "g09_quarterly_trend", "op_topk_orders_per_customer")
 TRIALS = 3
 
 
@@ -59,6 +59,9 @@ def run_config(sf_dir: str, name: str) -> None:
     import __spark_entry__ as entry
 
     zone = f"/tmp/spark_graft_warehouse/{os.path.basename(os.path.normpath(sf_dir))}"
+    # Pin the zone explicitly: the round-10 default is (path-hash, pid)
+    # suffixed, so the teardown rmtree below would otherwise miss it.
+    os.environ["SPARK_GRAFT_WAREHOUSE_DIR"] = zone
     spark = get_spark(f"wh-policy-{name}")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm-up
 

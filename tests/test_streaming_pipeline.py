@@ -232,3 +232,24 @@ def test_grace_exceeding_idle_timeout_is_a_loud_config_error(spark, tmp_path):
             gap=GAP, watermark=WM,
             processing_time="10 minutes", idle_timeout=60.0,
         )
+
+
+def test_default_idle_timeout_scales_with_trigger():
+    """The DEFAULT idle_timeout derives from the trigger (max(120,
+    12×interval)) so coarse triggers don't trip the grace guard out of
+    the box; only an EXPLICIT too-small value raises (previous test)."""
+    from adi_226_datawarehouse_project_spark.pipelines.streaming_pipeline import (
+        _default_idle_timeout,
+        _interval_seconds,
+    )
+
+    for trigger, want in [
+        ("200 milliseconds", 120.0),  # floor holds at fine triggers
+        ("10 seconds", 120.0),
+        ("1 minute", 720.0),  # 12× scales past the floor
+        ("10 minutes", 7200.0),
+    ]:
+        derived = _default_idle_timeout(trigger)
+        grace = max(4.0, 3.0 * _interval_seconds(trigger))
+        assert derived == want
+        assert grace < derived  # the guard can never fire on defaults
