@@ -542,6 +542,17 @@ def materialize_warehouse(spark: SparkSession, sf_dir: str) -> None:
         return
     from concurrent.futures import ThreadPoolExecutor
 
+    # Auto cache-compression (same probe as the policy): the engine
+    # session defaults compression OFF (encode CPU loses to space saved
+    # while the warehouse fits — session.py). If the policy was FORCED
+    # to cache on a corpus the probe says won't fit uncompressed,
+    # flip compression on before caching — the measured 256× operating
+    # point for the cache policy — unless the env var pins it.
+    if os.environ.get("SPARK_GRAFT_CACHE_COMPRESS") is None:
+        n = _probe_input_bytes(sf_dir)
+        if n is not None and n * _CACHE_EXPANSION > _heap_bytes(spark):
+            spark.conf.set("spark.sql.inMemoryColumnarStorage.compressed", "true")
+
     key = id(spark)
     memo = _REGISTERED.get(key)
     if memo is not None and not (memo[0] == sf_dir and memo[1] in ("views", "cache")):

@@ -103,6 +103,31 @@ def test_auto_policy_matches_measured_operating_points(spark, monkeypatch):
     assert star.resolve_warehouse_policy(spark, SF) == "hybrid"
 
 
+def test_forced_cache_policy_auto_enables_compression(spark, monkeypatch):
+    """Forcing policy=cache on a corpus the probe says won't fit
+    uncompressed must flip in-memory cache compression ON (the measured
+    256× cache-policy operating point) — unless SPARK_GRAFT_CACHE_COMPRESS
+    pins it explicitly."""
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE_POLICY", "cache")
+    monkeypatch.delenv("SPARK_GRAFT_CACHE_COMPRESS", raising=False)
+    gb = 1 << 30
+    monkeypatch.setattr(star, "_probe_input_bytes", lambda _sf: 3 * gb)
+    monkeypatch.setattr(star, "_heap_bytes", lambda _s: 16 * gb)
+    key = "spark.sql.inMemoryColumnarStorage.compressed"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "false")
+        star.materialize_warehouse(spark, SF)
+        assert spark.conf.get(key) == "true"
+        # explicit env pin wins: no silent flip
+        spark.conf.set(key, "false")
+        monkeypatch.setenv("SPARK_GRAFT_CACHE_COMPRESS", "false")
+        star.materialize_warehouse(spark, SF)
+        assert spark.conf.get(key) == "false"
+    finally:
+        spark.conf.set(key, prev)
+
+
 def test_probe_reads_real_input_sizes(spark):
     n = star._probe_input_bytes(SF)
     assert n is not None and n > 0
