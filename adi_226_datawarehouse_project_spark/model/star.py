@@ -684,25 +684,14 @@ def _materialize_zone(
         # reordered-to-last), so project the original column list with
         # casts — Catalyst removes the no-op casts, and the partition
         # column stays prunable (DPP joins see it through the trivial
-        # projection). Lift the parallel-discovery threshold for this
-        # one read: below it the driver lists the partition directories
-        # sequentially (sub-second on a local fs) instead of scheduling
-        # a one-task-per-directory Spark job (measured 2,027 tasks /
-        # ~15s of pure task overhead at daily grain). On an object
-        # store a distributed listing wins again — this tunes only the
-        # build-time read; the restored default governs user reads.
-        threshold_key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
-        prev = spark.conf.get(threshold_key)
-        spark.conf.set(threshold_key, "100000")
-        try:
-            spark.read.parquet(f"{zone}/{name}").selectExpr(
-                *[
-                    f"CAST({f.name} AS {f.dataType.simpleString()}) AS {f.name}"
-                    for f in schema.fields
-                ]
-            ).createOrReplaceTempView(name)
-        finally:
-            spark.conf.set(threshold_key, prev)
+        # projection). The caller lifts the parallel-discovery
+        # threshold around this read (see the gold loop below).
+        spark.read.parquet(f"{zone}/{name}").selectExpr(
+            *[
+                f"CAST({f.name} AS {f.dataType.simpleString()}) AS {f.name}"
+                for f in schema.fields
+            ]
+        ).createOrReplaceTempView(name)
 
     for t in _RAW_TABLES + _STAGING_TABLES:
         _create(t)
@@ -723,8 +712,24 @@ def _materialize_zone(
         with ThreadPoolExecutor(len(terminals)) as ex:
             list(ex.map(lambda t: spark.table(t).count(), terminals))
     else:
-        with ThreadPoolExecutor(8) as ex:
-            list(ex.map(_write_and_repoint, gold))
+        # Lift the parallel-discovery threshold around the partitioned
+        # fact re-reads: below it the driver schedules a one-task-per-
+        # directory Spark job to list partition dirs (measured 2,027
+        # tasks / ~15s of pure task overhead at daily grain) where a
+        # sequential local-fs listing is sub-second. Set/restore ONCE
+        # around the pool — the conf is session-global, and doing it
+        # per-thread let one writer capture another's lifted value as
+        # "prev" and restore 100000 permanently. This tunes only the
+        # build-time read; the restored default governs user reads (on
+        # an object store the distributed listing wins again).
+        threshold_key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+        prev = spark.conf.get(threshold_key)
+        spark.conf.set(threshold_key, "100000")
+        try:
+            with ThreadPoolExecutor(8) as ex:
+                list(ex.map(_write_and_repoint, gold))
+        finally:
+            spark.conf.set(threshold_key, prev)
     _REGISTERED[key] = want
 
 

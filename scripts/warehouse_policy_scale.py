@@ -44,6 +44,9 @@ CONFIGS = {
     "nocomp": {"SPARK_GRAFT_WAREHOUSE_POLICY": "cache", "SPARK_GRAFT_CACHE_COMPRESS": "false"},
     "parquet": {"SPARK_GRAFT_WAREHOUSE_POLICY": "parquet", "SPARK_GRAFT_CACHE_COMPRESS": "true"},
     "hybrid": {"SPARK_GRAFT_WAREHOUSE_POLICY": "hybrid", "SPARK_GRAFT_CACHE_COMPRESS": "true"},
+    # Probe-selected policy + probe-selected compression (round-10 auto
+    # path) — the child records which policy the probe actually picked.
+    "auto": {"SPARK_GRAFT_WAREHOUSE_POLICY": "auto"},
 }
 QUERIES = ("g01_complaints_by_borough_pct", "g07_airbnb_complaint_ratio",
            "g09_quarterly_trend", "op_topk_orders_per_customer")
@@ -89,6 +92,7 @@ def run_config(sf_dir: str, name: str) -> None:
         "config": name,
         "sf_dir": sf_dir,
         "env": CONFIGS[name],
+        "resolved_policy": star.resolve_warehouse_policy(spark, sf_dir),
         "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
         "build_trials": builds,
         "build_median": round(statistics.median(builds), 2),

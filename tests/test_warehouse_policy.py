@@ -51,7 +51,13 @@ def test_policy_flip_lifecycle(spark, monkeypatch, tmp_path):
     want = _fingerprints(spark)
 
     monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE_POLICY", "parquet")
+    threshold_key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    threshold_before = spark.conf.get(threshold_key)
     star.materialize_warehouse(spark, SF)
+    # The build-time listing lift must be restored exactly once: the old
+    # per-thread set/restore let one concurrent fact writer capture the
+    # other's lifted value as "prev" and leave 100000 behind.
+    assert spark.conf.get(threshold_key) == threshold_before
     assert star._REGISTERED[id(spark)] == (SF, "parquet", zone)
     # Facts are hive-partitioned: fact_311 by its DATE KEY (daily —
     # the join key of every dim_date golden, so DPP can prune), the
