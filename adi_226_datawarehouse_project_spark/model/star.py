@@ -427,32 +427,72 @@ def register_star_views(spark: SparkSession, sf_dir: str, cache: bool = True) ->
 _POLICY_PROBE_INPUTS = ("lineitem.parquet", "customer.parquet")
 
 # Projected in-memory footprint of the derived warehouse per byte of
-# snappy-parquet input. Calibrated against the round-9 policy matrix
-# (measurements/wh_policy_x{128,256}.jsonl): at 128× (~1.4 GB inputs,
-# 48g heap) the uncompressed cache still wins (median 103s vs 256s), at
-# 256× (~2.8 GB inputs, 64g heap) cache blocks evict under pressure
-# (one measured 102s g07 recompute) and the parquet zone wins. 28×
-# splits those operating points: 1.4 GB·28 ≈ 39 GB ≤ 48 GB → cache;
-# 2.8 GB·28 ≈ 78 GB > 64 GB → parquet.
-_CACHE_EXPANSION = 28
+# UNCOMPRESSED parquet input (footer `total_byte_size`, not file size —
+# file size bakes the corpus's compression ratio into the estimate, so
+# a wide/low-entropy-string corpus that compresses 10× would read 10×
+# too small and flip to parquet 10× too late; the uncompressed figure
+# is what the in-memory columnar cache actually expands FROM, invariant
+# to codec luck). Calibrated against the round-9 policy matrix
+# (measurements/wh_policy_x{128,256}.jsonl; measured uncompressed/disk
+# ≈ 1.35 on the probe inputs, so this is the old 28×-of-disk split
+# re-based): at 128× (~1.9 GB uncompressed, 48g heap) the uncompressed
+# cache still wins (median 103s vs 256s), at 256× (~3.8 GB, 64g heap)
+# cache blocks evict under pressure (one measured 102s g07 recompute)
+# and the parquet zone wins. 21× splits those operating points:
+# 1.9 GB·21 ≈ 40 GB ≤ 48 GB → cache; 3.8 GB·21 ≈ 80 GB > 64 GB →
+# parquet — and keeps the borderline zipf-256× corpus (3.18 GB
+# uncompressed, ×21 ≈ 67 GB > 64) on the bounded-memory parquet side
+# its round-10 measured run used.
+_CACHE_EXPANSION = 21
+
+# Parquet part files to footer-read per directory table before scaling
+# by disk bytes — bounds driver time on many-part tables.
+_PROBE_SAMPLE_PARTS = 8
+
+
+def _uncompressed_parquet_bytes(path: str) -> int:
+    """Uncompressed data bytes of one parquet file, from the footer
+    (driver-side metadata read, no Spark job, no data pages touched).
+    Falls back to 2× the file size if the footer is unreadable — the
+    conservative direction (over-predicting flips to the bounded-memory
+    parquet zone early, never evicts late)."""
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        return sum(
+            md.row_group(i).total_byte_size for i in range(md.num_row_groups)
+        )
+    except Exception:
+        return 2 * os.path.getsize(path)
 
 
 def _probe_input_bytes(sf_dir: str) -> int | None:
-    """On-disk bytes of the warehouse's fixture inputs — a pure
-    filesystem stat, no Spark job. Returns None when the inputs aren't
-    local stat-able paths (object stores): callers fall back to the
-    conservative default for that case."""
+    """UNCOMPRESSED bytes of the warehouse's fixture inputs, from
+    parquet footers — a driver-side metadata stat, no Spark job. For
+    multi-part directories, footers of the first ``_PROBE_SAMPLE_PARTS``
+    parts are read and scaled by total disk bytes (replicated parts are
+    homogeneous). Returns None when the inputs aren't local stat-able
+    paths (object stores): callers fall back to the conservative
+    default for that case."""
     total = 0
     for name in _POLICY_PROBE_INPUTS:
         p = os.path.join(sf_dir, name)
         if os.path.isdir(p):  # multi-part parquet directory
-            total += sum(
-                os.path.getsize(os.path.join(p, f))
+            parts = sorted(
+                os.path.join(p, f)
                 for f in os.listdir(p)
                 if not f.startswith((".", "_"))
             )
+            if not parts:
+                return None
+            sample = parts[:_PROBE_SAMPLE_PARTS]
+            unc = sum(_uncompressed_parquet_bytes(f) for f in sample)
+            disk_sample = sum(os.path.getsize(f) for f in sample)
+            disk_all = sum(os.path.getsize(f) for f in parts)
+            total += int(unc * disk_all / disk_sample) if disk_sample else 0
         elif os.path.isfile(p):
-            total += os.path.getsize(p)
+            total += _uncompressed_parquet_bytes(p)
         else:
             return None
     return total
@@ -471,7 +511,8 @@ def resolve_warehouse_policy(spark: SparkSession, sf_dir: str) -> str:
     """Pick the materialization policy. ``SPARK_GRAFT_WAREHOUSE_POLICY``
     is an explicit override (cache | parquet | hybrid); the default
     ``auto`` mirrors the n-gram dedup auto-selector: one cheap probe
-    (input parquet bytes × measured expansion vs the JVM heap) picks
+    (UNCOMPRESSED input bytes from parquet footers × measured
+    expansion vs the JVM heap) picks
     cache while the derived warehouse fits comfortably, parquet once
     the projected cache would contend with execution memory. Unknown
     input size (non-local paths) → cache, the long-standing default."""

@@ -92,10 +92,12 @@ def test_auto_policy_matches_measured_operating_points(spark, monkeypatch):
     with the prescribed heaps, parquet at 256×."""
     monkeypatch.delenv("SPARK_GRAFT_WAREHOUSE_POLICY", raising=False)
     gb = 1 << 30
+    # Probe values are UNCOMPRESSED input bytes (round-10: parquet
+    # footers, ≈1.35× the disk bytes the round-9 matrix was keyed on).
     cases = [
-        (int(0.011 * gb), 1 * gb, "cache"),  # sf0.1 inputs, default heap
-        (int(1.4 * gb), 48 * gb, "cache"),  # 128× @ 48g: cache wins
-        (int(2.8 * gb), 64 * gb, "parquet"),  # 256× @ 64g: zone wins
+        (int(0.015 * gb), 1 * gb, "cache"),  # sf0.1 inputs, default heap
+        (int(1.9 * gb), 48 * gb, "cache"),  # 128× @ 48g: cache wins
+        (int(3.8 * gb), 64 * gb, "parquet"),  # 256× @ 64g: zone wins
     ]
     for n, heap, expect in cases:
         monkeypatch.setattr(star, "_probe_input_bytes", lambda _sf, n=n: n)
@@ -137,12 +139,62 @@ def test_forced_cache_policy_auto_enables_compression(spark, monkeypatch):
 def test_probe_reads_real_input_sizes(spark):
     n = star._probe_input_bytes(SF)
     assert n is not None and n > 0
+    # The probe reads UNCOMPRESSED footer bytes, so it must exceed the
+    # snappy on-disk size of the same inputs.
+    import os
+
+    disk = sum(
+        os.path.getsize(os.path.join(SF, t)) for t in star._POLICY_PROBE_INPUTS
+    )
+    assert n > disk
     assert star._probe_input_bytes("/nonexistent/sf") is None
     assert star.resolve_warehouse_policy(spark, SF) in (
         "cache",
         "parquet",
         "hybrid",
     )
+
+
+def test_probe_is_compression_invariant(tmp_path):
+    """The ADVICE-note scenario: a wide, highly-compressible string
+    corpus. A file-size probe under-predicts the cache footprint by the
+    compression ratio and flips to parquet too LATE (the unsafe,
+    evict-under-pressure direction); the footer probe must report the
+    uncompressed bytes regardless of how well the data compressed."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # 2,000 rows × ~2 kB of UNIQUE low-entropy text (the realistic web
+    # corpus shape): every value is distinct, so parquet's dictionary
+    # encoding can't collapse it and the footer's total_byte_size stays
+    # ≈ the logical size — while snappy compresses the pages ~50×,
+    # which is exactly the gap a file-size probe gets wrong. (A fully
+    # CONSTANT column would be dictionary-collapsed before the codec
+    # runs and under-read by this probe too — but then the cache's own
+    # dictionary encoding shrinks it identically, so the prediction
+    # error cancels where it matters.)
+    wide = pa.table(
+        {"s": ["x" * 2000 + str(i) for i in range(2000)], "k": list(range(2000))}
+    )
+    for name in star._POLICY_PROBE_INPUTS:
+        pq.write_table(wide, tmp_path / name, compression="snappy")
+    import os
+
+    disk = sum(
+        os.path.getsize(tmp_path / name) for name in star._POLICY_PROBE_INPUTS
+    )
+    unc = star._probe_input_bytes(str(tmp_path))
+    assert unc is not None and unc >= 5 * disk, (unc, disk)
+    # Directory-table form: split the same data into parts; the sampled
+    # footer estimate must land within 2× of the single-file figure.
+    part_dir = tmp_path / "dir_case"
+    for name in star._POLICY_PROBE_INPUTS:
+        d = part_dir / name
+        d.mkdir(parents=True)
+        for i in range(4):
+            pq.write_table(wide.slice(i * 500, 500), d / f"part-{i}.parquet")
+    unc_dir = star._probe_input_bytes(str(part_dir))
+    assert unc_dir is not None and unc / 2 <= unc_dir <= unc * 2, (unc, unc_dir)
 
 
 def test_unknown_policy_raises(spark, monkeypatch):
