@@ -396,7 +396,16 @@ def register_star_views(spark: SparkSession, sf_dir: str, cache: bool = True) ->
     identical results, so a query-path call must never downgrade a
     materialized parquet/hybrid zone back to plain views. The only
     in-place transition is views→cache (lazy cacheTable, no rebuild).
-    Policy-changing rebuilds go through ``materialize_warehouse``."""
+    Policy-changing rebuilds go through ``materialize_warehouse``.
+
+    The FIRST caching registration per (session, sf_dir) consults
+    ``resolve_warehouse_policy``: on a corpus the probe routes to the
+    parquet/hybrid zone (or when the env var forces one), the query
+    path builds that zone instead of unconditionally cacheTable-ing a
+    warehouse the heap can't hold — the driver's 50 registry queries
+    never call ``materialize_warehouse`` themselves, so policy
+    awareness must live here to take effect on the primary path. At
+    probe-says-cache scales (every test sf) this is a no-op."""
     key = id(spark)
     memo = _REGISTERED.get(key)
     if memo is not None and memo[0] == sf_dir:
@@ -405,6 +414,11 @@ def register_star_views(spark: SparkSession, sf_dir: str, cache: bool = True) ->
                 spark.catalog.cacheTable(t)
             _REGISTERED[key] = (sf_dir, "cache", None)
         return
+    if cache:
+        policy = resolve_warehouse_policy(spark, sf_dir)
+        if policy in ("parquet", "hybrid"):
+            _materialize_zone(spark, sf_dir, cache_gold=(policy == "hybrid"))
+            return
     if memo is not None:
         spark.catalog.clearCache()
     register_base_views(spark, sf_dir)
@@ -467,6 +481,9 @@ def _uncompressed_parquet_bytes(path: str) -> int:
         return 2 * os.path.getsize(path)
 
 
+_PROBE_CACHE: dict[str, int | None] = {}
+
+
 def _probe_input_bytes(sf_dir: str) -> int | None:
     """UNCOMPRESSED bytes of the warehouse's fixture inputs, from
     parquet footers — a driver-side metadata stat, no Spark job. For
@@ -474,7 +491,15 @@ def _probe_input_bytes(sf_dir: str) -> int | None:
     parts are read and scaled by total disk bytes (replicated parts are
     homogeneous). Returns None when the inputs aren't local stat-able
     paths (object stores): callers fall back to the conservative
-    default for that case."""
+    default for that case. Memoized per sf_dir — the policy and the
+    compression decision both probe, and a query-path registration must
+    not pay repeated footer reads."""
+    if sf_dir not in _PROBE_CACHE:
+        _PROBE_CACHE[sf_dir] = _probe_input_bytes_uncached(sf_dir)
+    return _PROBE_CACHE[sf_dir]
+
+
+def _probe_input_bytes_uncached(sf_dir: str) -> int | None:
     total = 0
     for name in _POLICY_PROBE_INPUTS:
         p = os.path.join(sf_dir, name)
@@ -592,7 +617,18 @@ def materialize_warehouse(spark: SparkSession, sf_dir: str) -> None:
     if os.environ.get("SPARK_GRAFT_CACHE_COMPRESS") is None:
         n = _probe_input_bytes(sf_dir)
         if n is not None and n * _CACHE_EXPANSION > _heap_bytes(spark):
-            spark.conf.set("spark.sql.inMemoryColumnarStorage.compressed", "true")
+            ckey = "spark.sql.inMemoryColumnarStorage.compressed"
+            if spark.conf.get(ckey, "true") != "true":
+                spark.conf.set(ckey, "true")
+                # cacheTable bakes the compression flag into the built
+                # InMemoryRelation at CREATE time: if a query-path call
+                # already cached the warehouse uncompressed, setting the
+                # conf alone is a silent no-op — drop that cache so the
+                # re-registration below caches compressed.
+                memo0 = _REGISTERED.get(id(spark))
+                if memo0 is not None and memo0[1] == "cache":
+                    spark.catalog.clearCache()
+                    _REGISTERED.pop(id(spark), None)
 
     key = id(spark)
     memo = _REGISTERED.get(key)
@@ -649,30 +685,19 @@ def _zone_dir(sf_dir: str) -> str:
     default keyed by (abs-path hash, pid) — basename alone let two
     different corpora with the same leaf name, or two concurrent
     processes on the same corpus, interleave overwrite-writes with each
-    other's reads. The pid-suffixed default is removed at interpreter
-    exit (it can reach GBs at 256×)."""
+    other's reads. Lifecycle (atexit removal + dead-pid orphan sweep —
+    zones reach GBs at 256× and atexit never runs on an OOM kill)
+    lives in ``scratch``."""
     env = os.environ.get("SPARK_GRAFT_WAREHOUSE_DIR")
     if env:
         return env
-    import atexit
     import hashlib
+
+    from ..scratch import process_scratch_dir
 
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
     base = os.path.basename(os.path.normpath(sf_dir))
-    path = f"/tmp/spark_graft_warehouse/{base}_{tag}_pid{os.getpid()}"
-    if path not in _ZONE_DIRS_CREATED:
-        _ZONE_DIRS_CREATED.add(path)
-
-        def _rm(p: str = path) -> None:
-            import shutil
-
-            shutil.rmtree(p, ignore_errors=True)
-
-        atexit.register(_rm)
-    return path
-
-
-_ZONE_DIRS_CREATED: set = set()
+    return process_scratch_dir("/tmp/spark_graft_warehouse", f"{base}_{tag}")
 
 
 def _materialize_zone(

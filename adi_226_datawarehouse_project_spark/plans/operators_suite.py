@@ -911,27 +911,16 @@ def _io_dir(sf_dir: str) -> str:
     Keyed by (sf basename, pid): multiple pytest workers execute the whole
     registry concurrently (tests/test_entry.py and tests/test_plans.py both
     do), and a dir keyed by sf alone makes them race on the same
-    run_manifest/csv paths (observed at 4 workers, round 9). The pid suffix
-    isolates each worker; the dir is removed at interpreter exit so repeated
-    runs don't accumulate scratch.
+    run_manifest/csv paths (observed at 4 workers, round 9). Lifecycle
+    (atexit removal + dead-pid orphan sweep) lives in ``scratch``.
     """
-    import atexit
     import os
 
-    path = f"/tmp/spark_graft_io/{os.path.basename(sf_dir.rstrip('/'))}_pid{os.getpid()}"
-    if path not in _IO_DIRS_CREATED:
-        _IO_DIRS_CREATED.add(path)
-        atexit.register(_cleanup_io_dir, path)
-    return path
+    from ..scratch import process_scratch_dir
 
-
-_IO_DIRS_CREATED: set = set()
-
-
-def _cleanup_io_dir(path: str) -> None:
-    import shutil
-
-    shutil.rmtree(path, ignore_errors=True)
+    return process_scratch_dir(
+        "/tmp/spark_graft_io", os.path.basename(sf_dir.rstrip("/"))
+    )
 
 
 def _spark_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1841,7 +1830,7 @@ CROSS JOIN (SELECT 'F' AS status UNION ALL SELECT 'O' UNION ALL SELECT 'P') s
 LEFT JOIN (SELECT CAST(extract(year FROM o_orderdate) AS INT) AS year,
                   o_orderstatus AS status, count(*) AS cnt
            FROM orders GROUP BY 1, 2) c
-       ON c.year = y.year AND c.status = s.status
+       ON c.year IS NOT DISTINCT FROM y.year AND c.status = s.status
 """
 
 _GROUPBY_SHAPES_ORACLE = (

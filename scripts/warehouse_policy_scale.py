@@ -79,13 +79,26 @@ def run_config(sf_dir: str, name: str) -> None:
         builds.append(round(time.perf_counter() - t0, 2))
         print(f"# {name} build trial {attempt}: {builds[-1]}s", file=sys.stderr)
 
+    # Hash-reduce consumption (bench.py's methodology): every column of
+    # every row is evaluated executor-side, but only one row crosses
+    # py4j — full collect() measured the driver transfer tax, not the
+    # policy's query-side impact (topk returns millions of rows at
+    # 128×+, bench.py:188 documents the 83s-transfer-vs-10s-query gap).
+    from pyspark.sql import functions as F
+
+    def _consume(df) -> None:
+        df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64(*[F.col(c) for c in df.columns])).alias("h"),
+        ).collect()
+
     qtimes = {}
     qs = entry.queries()
     for q in QUERIES:
         ts = []
         for _ in range(TRIALS):
             t0 = time.perf_counter()
-            qs[q](spark, sf_dir).collect()
+            _consume(qs[q](spark, sf_dir))
             ts.append(round(time.perf_counter() - t0, 3))
         qtimes[q] = ts
     print(json.dumps({

@@ -201,3 +201,63 @@ def test_unknown_policy_raises(spark, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE_POLICY", "mystery")
     with pytest.raises(ValueError, match="mystery"):
         star.materialize_warehouse(spark, SF)
+
+
+def test_forced_cache_compression_flip_rebuilds_existing_cache(spark, monkeypatch):
+    """Setting the compression conf AFTER an uncompressed cache exists
+    is a no-op for the already-built InMemoryRelations (cacheTable bakes
+    the flag in at CREATE time) — the auto flip must drop that cache and
+    re-cache, or the 256× forced-cache operating point silently runs
+    uncompressed (round-10 review finding)."""
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE_POLICY", "cache")
+    monkeypatch.delenv("SPARK_GRAFT_CACHE_COMPRESS", raising=False)
+    key = "spark.sql.inMemoryColumnarStorage.compressed"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "false")
+        # Seed the query-path registration: an uncompressed cache memo.
+        star._REGISTERED.pop(id(spark), None)
+        spark.catalog.clearCache()
+        star.register_star_views(spark, SF)
+        assert star._REGISTERED[id(spark)][1] == "cache"
+        gb = 1 << 30
+        monkeypatch.setattr(star, "_probe_input_bytes", lambda _sf: 3 * gb)
+        monkeypatch.setattr(star, "_heap_bytes", lambda _s: 16 * gb)
+        recached = []
+        orig = spark.catalog.cacheTable
+        monkeypatch.setattr(
+            spark.catalog,
+            "cacheTable",
+            lambda t: (recached.append(t), orig(t))[1],
+        )
+        star.materialize_warehouse(spark, SF)
+        assert spark.conf.get(key) == "true"
+        assert recached, "existing uncompressed cache was not rebuilt"
+    finally:
+        spark.conf.set(key, prev)
+        spark.catalog.clearCache()
+        star._REGISTERED.pop(id(spark), None)
+
+
+def test_query_path_consults_policy(spark, monkeypatch, tmp_path):
+    """The driver's registry queries never call materialize_warehouse —
+    register_star_views itself must route a parquet-resolved corpus to
+    the zone build instead of unconditionally cacheTable-ing a warehouse
+    the heap can't hold (round-10 review finding)."""
+    zone = str(tmp_path / "qzone")
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE_DIR", zone)
+    monkeypatch.delenv("SPARK_GRAFT_WAREHOUSE_POLICY", raising=False)
+    gb = 1 << 30
+    monkeypatch.setattr(star, "_probe_input_bytes", lambda _sf: 4 * gb)
+    monkeypatch.setattr(star, "_heap_bytes", lambda _s: 16 * gb)
+    star._REGISTERED.pop(id(spark), None)
+    spark.catalog.clearCache()
+    try:
+        star.register_star_views(spark, SF)  # the query path
+        assert star._REGISTERED[id(spark)] == (SF, "parquet", zone)
+        import glob as _glob
+
+        assert _glob.glob(f"{zone}/fact_311_complaint/created_date_key=*")
+    finally:
+        spark.catalog.clearCache()
+        star._REGISTERED.pop(id(spark), None)
