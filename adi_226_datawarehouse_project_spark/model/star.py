@@ -410,6 +410,15 @@ def register_star_views(spark: SparkSession, sf_dir: str, cache: bool = True) ->
     memo = _REGISTERED.get(key)
     if memo is not None and memo[0] == sf_dir:
         if cache and memo[1] == "views":
+            # The in-place views→cache upgrade is a CACHING registration
+            # too: it must consult the policy (an over-heap corpus routes
+            # to the zone, not cacheTable) and apply the compression
+            # flip, same as the cold path below.
+            policy = resolve_warehouse_policy(spark, sf_dir)
+            if policy in ("parquet", "hybrid"):
+                _materialize_zone(spark, sf_dir, cache_gold=(policy == "hybrid"))
+                return
+            _maybe_flip_cache_compression(spark, sf_dir)
             for t in _CACHE_TABLES:
                 spark.catalog.cacheTable(t)
             _REGISTERED[key] = (sf_dir, "cache", None)
@@ -419,6 +428,10 @@ def register_star_views(spark: SparkSession, sf_dir: str, cache: bool = True) ->
         if policy in ("parquet", "hybrid"):
             _materialize_zone(spark, sf_dir, cache_gold=(policy == "hybrid"))
             return
+        # Forced-cache on an over-heap corpus: cache compressed (the
+        # measured 256× operating point), on THIS path too — the
+        # driver's registry queries never call materialize_warehouse.
+        _maybe_flip_cache_compression(spark, sf_dir)
     if memo is not None:
         spark.catalog.clearCache()
     register_base_views(spark, sf_dir)
@@ -481,7 +494,31 @@ def _uncompressed_parquet_bytes(path: str) -> int:
         return 2 * os.path.getsize(path)
 
 
-_PROBE_CACHE: dict[str, int | None] = {}
+_PROBE_CACHE: dict[str, tuple[tuple, int | None]] = {}
+
+
+def _probe_fingerprint(sf_dir: str) -> tuple:
+    """(name, size, mtime_ns) of every probe-input part — an os.stat
+    sweep, far cheaper than the footer reads it guards. Keys the probe
+    memo so a corpus replaced or still being written at the SAME path
+    (e.g. an in-place replication) re-probes instead of serving a
+    stale byte count into the policy/compression decisions."""
+    fp: list[tuple] = []
+    for name in _POLICY_PROBE_INPUTS:
+        p = os.path.join(sf_dir, name)
+        try:
+            if os.path.isdir(p):
+                for f in sorted(os.listdir(p)):
+                    if f.startswith((".", "_")):
+                        continue
+                    st = os.stat(os.path.join(p, f))
+                    fp.append((f, st.st_size, st.st_mtime_ns))
+            else:
+                st = os.stat(p)
+                fp.append((name, st.st_size, st.st_mtime_ns))
+        except OSError:
+            fp.append((name, -1, -1))
+    return tuple(fp)
 
 
 def _probe_input_bytes(sf_dir: str) -> int | None:
@@ -491,12 +528,16 @@ def _probe_input_bytes(sf_dir: str) -> int | None:
     parts are read and scaled by total disk bytes (replicated parts are
     homogeneous). Returns None when the inputs aren't local stat-able
     paths (object stores): callers fall back to the conservative
-    default for that case. Memoized per sf_dir — the policy and the
-    compression decision both probe, and a query-path registration must
-    not pay repeated footer reads."""
-    if sf_dir not in _PROBE_CACHE:
-        _PROBE_CACHE[sf_dir] = _probe_input_bytes_uncached(sf_dir)
-    return _PROBE_CACHE[sf_dir]
+    default for that case. Memoized per sf_dir under a (size, mtime)
+    fingerprint of the input files — the policy and the compression
+    decision both probe, and a query-path registration must not pay
+    repeated footer reads, but a corpus rewritten in place must not be
+    served a stale figure."""
+    fp = _probe_fingerprint(sf_dir)
+    hit = _PROBE_CACHE.get(sf_dir)
+    if hit is None or hit[0] != fp:
+        _PROBE_CACHE[sf_dir] = (fp, _probe_input_bytes_uncached(sf_dir))
+    return _PROBE_CACHE[sf_dir][1]
 
 
 def _probe_input_bytes_uncached(sf_dir: str) -> int | None:
@@ -530,6 +571,32 @@ def _heap_bytes(spark: SparkSession) -> int:
         return int(spark.sparkContext._jvm.java.lang.Runtime.getRuntime().maxMemory())
     except Exception:  # pragma: no cover - py4j unavailable
         return 1 << 30
+
+
+def _maybe_flip_cache_compression(spark: SparkSession, sf_dir: str) -> None:
+    """Auto cache-compression (same probe as the policy): the engine
+    session defaults compression OFF (encode CPU loses to space saved
+    while the warehouse fits — session.py). When the cache policy is
+    about to cache a corpus the probe says won't fit uncompressed,
+    flip compression on first — the measured 256× operating point for
+    the cache policy — unless ``SPARK_GRAFT_CACHE_COMPRESS`` pins it.
+    Shared by every caching route (register_star_views cold path,
+    views→cache upgrade, materialize_warehouse): cacheTable bakes the
+    compression flag into the InMemoryRelation at CREATE time, so if a
+    prior call already cached uncompressed, the existing cache is
+    dropped so the caller's re-registration caches compressed."""
+    if os.environ.get("SPARK_GRAFT_CACHE_COMPRESS") is not None:
+        return
+    n = _probe_input_bytes(sf_dir)
+    if n is None or n * _CACHE_EXPANSION <= _heap_bytes(spark):
+        return
+    ckey = "spark.sql.inMemoryColumnarStorage.compressed"
+    if spark.conf.get(ckey, "true") != "true":
+        spark.conf.set(ckey, "true")
+        memo = _REGISTERED.get(id(spark))
+        if memo is not None and memo[1] == "cache":
+            spark.catalog.clearCache()
+            _REGISTERED.pop(id(spark), None)
 
 
 def resolve_warehouse_policy(spark: SparkSession, sf_dir: str) -> str:
@@ -608,27 +675,7 @@ def materialize_warehouse(spark: SparkSession, sf_dir: str) -> None:
         return
     from concurrent.futures import ThreadPoolExecutor
 
-    # Auto cache-compression (same probe as the policy): the engine
-    # session defaults compression OFF (encode CPU loses to space saved
-    # while the warehouse fits — session.py). If the policy was FORCED
-    # to cache on a corpus the probe says won't fit uncompressed,
-    # flip compression on before caching — the measured 256× operating
-    # point for the cache policy — unless the env var pins it.
-    if os.environ.get("SPARK_GRAFT_CACHE_COMPRESS") is None:
-        n = _probe_input_bytes(sf_dir)
-        if n is not None and n * _CACHE_EXPANSION > _heap_bytes(spark):
-            ckey = "spark.sql.inMemoryColumnarStorage.compressed"
-            if spark.conf.get(ckey, "true") != "true":
-                spark.conf.set(ckey, "true")
-                # cacheTable bakes the compression flag into the built
-                # InMemoryRelation at CREATE time: if a query-path call
-                # already cached the warehouse uncompressed, setting the
-                # conf alone is a silent no-op — drop that cache so the
-                # re-registration below caches compressed.
-                memo0 = _REGISTERED.get(id(spark))
-                if memo0 is not None and memo0[1] == "cache":
-                    spark.catalog.clearCache()
-                    _REGISTERED.pop(id(spark), None)
+    _maybe_flip_cache_compression(spark, sf_dir)
 
     key = id(spark)
     memo = _REGISTERED.get(key)

@@ -185,22 +185,13 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    # Row-per-doc suites are consumed via a hash-reduce: every column
-    # of every row is evaluated (xxhash64 forces the projections a
-    # bare count() would let Catalyst prune), but only ONE row crosses
-    # py4j — collect()ing the full result measured the driver transfer
-    # tax, not the plan (83s of a 1.28M-row collect at a 128×-
-    # replicated corpus, vs 10s for the actual query work).
+    # Row-per-doc suites are consumed via a hash-reduce (methodology
+    # documented at adi_226_datawarehouse_project_spark/measure.py —
+    # the single shared implementation): full evaluation executor-side,
+    # one row across py4j.
     _HASH_CONSUME = {"text_token_features", "op_topk_orders_per_customer"}
 
-    def _consume(df):
-        from pyspark.sql import functions as F
-
-        row = df.select(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64(*[F.col(c) for c in df.columns])).alias("h"),
-        ).collect()[0]
-        return int(row["n"])
+    from adi_226_datawarehouse_project_spark.measure import hash_consume as _consume
 
     for name in bench_queries:
         ts, n = [], 0

@@ -41,17 +41,12 @@ QUERIES = {
 
 
 def _consume(df) -> int:
-    """Hash-reduce per bench.py: xxhash64 over every column defeats
-    Catalyst's count()-driven join/projection pruning (a bare count()
-    on the classifier's 1:1 left join measured docs.count() only),
-    while a single row crosses py4j."""
-    from pyspark.sql import functions as F
+    """Hash-reduce (shared implementation: measure.hash_consume) —
+    defeats Catalyst's count()-driven join/projection pruning while a
+    single row crosses py4j."""
+    from adi_226_datawarehouse_project_spark.measure import hash_consume
 
-    row = df.select(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.xxhash64(*[F.col(c) for c in df.columns])).alias("h"),
-    ).collect()[0]
-    return int(row["n"])
+    return hash_consume(df)
 
 
 def main() -> None:

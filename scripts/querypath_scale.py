@@ -51,11 +51,7 @@ def child(sf_dir: str) -> None:
     spark = get_spark("querypath-scale")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm-up
 
-    def consume(df) -> None:
-        df.select(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64(*[F.col(c) for c in df.columns])).alias("h"),
-        ).collect()
+    from adi_226_datawarehouse_project_spark.measure import hash_consume as consume
 
     qs = entry.queries()
     resolved = star.resolve_warehouse_policy(spark, sf_dir)

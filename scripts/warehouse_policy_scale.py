@@ -79,18 +79,12 @@ def run_config(sf_dir: str, name: str) -> None:
         builds.append(round(time.perf_counter() - t0, 2))
         print(f"# {name} build trial {attempt}: {builds[-1]}s", file=sys.stderr)
 
-    # Hash-reduce consumption (bench.py's methodology): every column of
-    # every row is evaluated executor-side, but only one row crosses
-    # py4j — full collect() measured the driver transfer tax, not the
-    # policy's query-side impact (topk returns millions of rows at
-    # 128×+, bench.py:188 documents the 83s-transfer-vs-10s-query gap).
-    from pyspark.sql import functions as F
-
-    def _consume(df) -> None:
-        df.select(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64(*[F.col(c) for c in df.columns])).alias("h"),
-        ).collect()
+    # Hash-reduce consumption (shared implementation with bench.py:
+    # measure.hash_consume): every column of every row is evaluated
+    # executor-side, but only one row crosses py4j — full collect()
+    # measured the driver transfer tax, not the policy's query-side
+    # impact (topk returns millions of rows at 128×+).
+    from adi_226_datawarehouse_project_spark.measure import hash_consume as _consume
 
     qtimes = {}
     qs = entry.queries()

@@ -261,3 +261,76 @@ def test_query_path_consults_policy(spark, monkeypatch, tmp_path):
     finally:
         spark.catalog.clearCache()
         star._REGISTERED.pop(id(spark), None)
+
+
+def test_query_path_forced_cache_flips_compression(spark, monkeypatch):
+    """The compression flip must act on the QUERY PATH too: a forced
+    cache policy on an over-heap corpus reaching the warehouse through
+    register_star_views (the driver's route — materialize_warehouse is
+    never called there) must cache compressed, not uncompressed
+    (round-10 second-review finding)."""
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE_POLICY", "cache")
+    monkeypatch.delenv("SPARK_GRAFT_CACHE_COMPRESS", raising=False)
+    gb = 1 << 30
+    monkeypatch.setattr(star, "_probe_input_bytes", lambda _sf: 3 * gb)
+    monkeypatch.setattr(star, "_heap_bytes", lambda _s: 16 * gb)
+    key = "spark.sql.inMemoryColumnarStorage.compressed"
+    prev = spark.conf.get(key)
+    star._REGISTERED.pop(id(spark), None)
+    spark.catalog.clearCache()
+    try:
+        spark.conf.set(key, "false")
+        star.register_star_views(spark, SF)  # cold query-path caching
+        assert spark.conf.get(key) == "true"
+        assert star._REGISTERED[id(spark)][1] == "cache"
+    finally:
+        spark.conf.set(key, prev)
+        spark.catalog.clearCache()
+        star._REGISTERED.pop(id(spark), None)
+
+
+def test_views_to_cache_upgrade_consults_policy(spark, monkeypatch, tmp_path):
+    """register_star_views(cache=False) → register_star_views(cache=True)
+    is the FIRST caching registration for the session: the in-place
+    upgrade branch must consult the policy like the cold path does, so
+    a parquet-resolved corpus routes to the zone instead of cacheTable
+    (round-10 second-review finding)."""
+    zone = str(tmp_path / "uzone")
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE_DIR", zone)
+    monkeypatch.delenv("SPARK_GRAFT_WAREHOUSE_POLICY", raising=False)
+    gb = 1 << 30
+    monkeypatch.setattr(star, "_probe_input_bytes", lambda _sf: 4 * gb)
+    monkeypatch.setattr(star, "_heap_bytes", lambda _s: 16 * gb)
+    star._REGISTERED.pop(id(spark), None)
+    spark.catalog.clearCache()
+    try:
+        star.register_star_views(spark, SF, cache=False)
+        assert star._REGISTERED[id(spark)] == (SF, "views", None)
+        star.register_star_views(spark, SF, cache=True)  # upgrade
+        assert star._REGISTERED[id(spark)] == (SF, "parquet", zone)
+    finally:
+        spark.catalog.clearCache()
+        star._REGISTERED.pop(id(spark), None)
+
+
+def test_probe_refreshes_when_inputs_change(tmp_path):
+    """The probe memo is fingerprinted on the input files' (size,
+    mtime): a corpus rewritten IN PLACE (e.g. an in-progress
+    replication at the same path) must re-probe instead of serving the
+    stale byte count into the policy decision (round-10 tail-review
+    finding)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    small = pa.table({"s": ["a" * 100 + str(i) for i in range(50)]})
+    big = pa.table({"s": ["b" * 4000 + str(i) for i in range(5000)]})
+    for name in star._POLICY_PROBE_INPUTS:
+        pq.write_table(small, tmp_path / name)
+    n_small = star._probe_input_bytes(str(tmp_path))
+    assert n_small is not None and n_small > 0
+    # Same result from the memo while the files are untouched.
+    assert star._probe_input_bytes(str(tmp_path)) == n_small
+    for name in star._POLICY_PROBE_INPUTS:
+        pq.write_table(big, tmp_path / name)
+    n_big = star._probe_input_bytes(str(tmp_path))
+    assert n_big is not None and n_big > 10 * n_small, (n_small, n_big)
