@@ -41,8 +41,6 @@ TRIALS = 3
 
 def child(sf_dir: str) -> None:
     sys.path.insert(0, str(REPO))
-    from pyspark.sql import functions as F
-
     from adi_226_datawarehouse_project_spark.model import star
     from adi_226_datawarehouse_project_spark.session import get_spark
 
@@ -72,7 +70,15 @@ def child(sf_dir: str) -> None:
         steady[q] = ts
     print(json.dumps({
         "sf_dir": sf_dir,
+        "policy_env": os.environ.get("SPARK_GRAFT_WAREHOUSE_POLICY", "auto"),
         "resolved_policy": resolved,
+        # The auto compression flip is part of the query path too
+        # (round-10 tail fix): a forced cache policy on an over-heap
+        # corpus must show "true" here, or the cache is running
+        # uncompressed into the eviction wall.
+        "cache_compressed": spark.conf.get(
+            "spark.sql.inMemoryColumnarStorage.compressed", "true"
+        ),
         "memo_layout": memo and [memo[0], memo[1], bool(memo[2])],
         "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
         "first_query_incl_build_s": first,
