@@ -45,41 +45,42 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..streaming.cdc_sink import apply_cdc_batch, read_cdc_snapshot
-from ..streaming.events_stream import read_events_stream
+from ..streaming.events_stream import read_events_stream, session_window_counts
 
 SESSION_KEYS = ["user_id", "session_start"]
 SEQ_COL = "seq"
 
+# Only the unit names Spark's own trigger parser accepts (full words,
+# singular or plural — Trigger.ProcessingTime rejects 'ms'/'s'/'min'/'m'
+# with INVALID_INTERVAL_FORMAT, verified against PySpark 4.1.2).
+# Accepting abbreviations here would parse strings that can never start
+# a query — and '2 m' would silently read as milliseconds.
 _INTERVAL_UNIT_SECONDS = {
     "microsecond": 1e-6,
     "millisecond": 1e-3,
     "second": 1.0,
     "minute": 60.0,
     "hour": 3600.0,
-    "ms": 1e-3,
-    "s": 1.0,
-    "min": 60.0,
 }
 
 
 def _interval_seconds(processing_time: str) -> float:
     """Seconds in a Spark trigger interval string ('200 milliseconds',
-    '10 seconds', '1 minute'). Raises on anything unparseable — the
-    quiesce loop sizes its idleness grace from this, and guessing low
-    silently truncates snapshots."""
+    '10 seconds', '1 minute'). Accepts exactly the unit grammar
+    Spark's trigger accepts; raises on anything else — the quiesce
+    loop sizes its idleness grace from this, and guessing low silently
+    truncates snapshots."""
     import re
 
     m = re.fullmatch(
         r"\s*(\d+(?:\.\d+)?)\s*([a-zA-Z]+?)s?\s*", processing_time or ""
     )
     unit = _INTERVAL_UNIT_SECONDS.get(m.group(2).lower()) if m else None
-    # 'ms'/'s' lose their trailing s to the optional-plural strip
-    if m and unit is None:
-        unit = _INTERVAL_UNIT_SECONDS.get(m.group(2).lower() + "s")
     if unit is None:
         raise ValueError(
             f"unparseable trigger interval {processing_time!r}; "
-            "expected e.g. '200 milliseconds', '10 seconds'"
+            "expected a Spark-accepted form, e.g. '200 milliseconds', "
+            "'10 seconds', '1 minute'"
         )
     return float(m.group(1)) * unit
 
@@ -132,17 +133,13 @@ def session_rows(
 ) -> DataFrame:
     """Finalized gap-based sessions: append-mode ``session_window``
     aggregate — one output row per closed session, emitted exactly once
-    when the watermark passes its end."""
-    return (
-        events.withWatermark("event_time", watermark)
-        .groupBy("user_id", F.session_window("event_time", gap).alias("w"))
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(
-            "user_id",
-            F.col("w.start").alias("session_start"),
-            F.col("w.end").alias("session_end"),
-            "n_events",
-        )
+    when the watermark passes its end. The aggregation itself is the
+    shared ``session_window_counts`` builder — the batch oracle runs
+    the SAME declared shape, so the differential test pins the stream
+    EXECUTION (watermark, incremental folds, crash replay), and an
+    edit to the aggregation can never diverge the two sides."""
+    return session_window_counts(
+        events.withWatermark("event_time", watermark), gap
     )
 
 
@@ -152,16 +149,7 @@ def batch_session_oracle(
     """The same sessionization in BATCH mode (``session_window`` works
     identically over a static frame) — the ground truth the streaming
     snapshot must equal."""
-    return (
-        events.groupBy("user_id", F.session_window("event_time", gap).alias("w"))
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(
-            "user_id",
-            F.col("w.start").alias("session_start"),
-            F.col("w.end").alias("session_end"),
-            "n_events",
-        )
-    )
+    return session_window_counts(events, gap)
 
 
 def _as_changes(sessions: DataFrame) -> DataFrame:
@@ -203,6 +191,15 @@ def run_sessions_to_cdc(
     calls = {"n": 0}
 
     def fold(bdf: DataFrame, _epoch: int) -> None:
+        # Empty micro-batches are routine (append mode emits nothing
+        # until the watermark closes a session; watermark-advance
+        # batches carry no rows) — folding them would read + rewrite
+        # the ENTIRE snapshot and flip a generation for zero changes,
+        # burning the _KEEP_GENERATIONS reader-protection window. Skip
+        # before the fault counter too, so the counter indexes actual
+        # PUBLISHES (the crash hook's contract is publish-then-crash).
+        if bdf.isEmpty():
+            return
         apply_cdc_batch(
             spark, _as_changes(bdf), target_path, SESSION_KEYS, SEQ_COL
         )
@@ -268,15 +265,36 @@ def run_sessions_to_cdc(
                     off = _json.dumps(
                         p["sources"][0].get("endOffset"), sort_keys=True
                     )
+                    if off != last_off:
+                        # Offsets ADVANCED — the drain is making real
+                        # progress, so idle_timeout (an IDLENESS bound,
+                        # per its name) restarts from here: a healthy
+                        # endpoint with > idle_timeout of total pages
+                        # must not be declared stuck. A hung fold keeps
+                        # busy=true with offsets frozen, so it still
+                        # hits the deadline.
+                        deadline = time.time() + idle_timeout
                     if off != last_off or busy:
                         last_off, quiet_since = off, time.time()
                 if time.time() >= deadline:
                     raise TimeoutError(
-                        f"stream did not quiesce within {idle_timeout}s "
+                        f"stream made no offset progress for {idle_timeout}s "
                         "(endpoint stuck or a fold still in flight); "
                         "snapshot may be partial — NOT returning success"
                     )
                 time.sleep(0.2)
+            # A failure can land in the FINAL polling gap: the while
+            # condition exits on quiet >= grace before the next
+            # iteration's exception check runs — without a re-check, a
+            # fold that raised during the last 0.2s sleep would be
+            # silently swallowed and this function would return success
+            # over an uncommitted epoch. Stop FIRST (idempotent; the
+            # finally's stop becomes a no-op) so the check races with
+            # nothing: stop() waits for termination, and any error that
+            # terminated the query is still visible in q.exception().
+            q.stop()
+            if q.exception() is not None:
+                raise q.exception()
         finally:
             q.stop()
     else:

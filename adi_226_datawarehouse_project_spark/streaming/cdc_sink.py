@@ -129,10 +129,6 @@ def _publish_locked(merged: DataFrame, target_path: str) -> None:
             shutil.rmtree(os.path.join(target_path, d), ignore_errors=True)
 
 
-def _snapshot_exists(path: str) -> bool:
-    return _current_gen(path) is not None
-
-
 def read_cdc_stored(spark: SparkSession, target_path: str) -> DataFrame:
     """The RAW stored snapshot — bookkeeping columns and tombstones
     included (operational inspection / tests). Same pointer-resolution
@@ -235,10 +231,23 @@ def compact_tombstones(
         if live is None:
             return 0
         snap = spark.read.parquet(live)
-        keep = snap.filter(
-            (F.col(op_col) != "D") | (F.col(seq_col) > F.lit(retention_seq))
+        # One aggregation scan for the removed count (two full counts
+        # held the writer lock for ~2× the necessary I/O on a large
+        # snapshot), then one more scan only when publishing.
+        removed = int(
+            snap.agg(
+                F.sum(
+                    (
+                        (F.col(op_col) == "D")
+                        & (F.col(seq_col) <= F.lit(retention_seq))
+                    ).cast("long")
+                )
+            ).collect()[0][0]
+            or 0
         )
-        removed = snap.count() - keep.count()
         if removed:
+            keep = snap.filter(
+                (F.col(op_col) != "D") | (F.col(seq_col) > F.lit(retention_seq))
+            )
             _publish_locked(keep, target_path)
         return removed

@@ -35,6 +35,40 @@ def _summarize(pairs: DataFrame) -> DataFrame:
     )
 
 
+def _attribution_pairs(events: DataFrame) -> DataFrame:
+    """The click→purchase attribution join, built ONCE and shared by
+    the batch oracle and the streaming run: the differential test pins
+    the stream EXECUTION (state, watermark eviction), so the declared
+    join shape must be provably identical on both sides — a copy-pasted
+    condition edited on one side would make the oracle pin stale
+    semantics instead of catching drift. ``events`` must carry
+    ``user_id``, ``event_type`` and a TIMESTAMP ``event_time`` (with
+    watermarks already applied upstream for the streaming caller — a
+    watermark set on the shared frame before the filters would apply
+    to both sides identically, which the streaming form does per-side
+    for clarity of the two retention windows)."""
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_time").alias("click_time")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("user_id2"),
+        F.col("event_time").alias("purchase_time"),
+    )
+    return _join_pairs(clicks, purchases)
+
+
+def _join_pairs(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    return clicks.join(
+        purchases,
+        (clicks.user_id == F.col("user_id2"))
+        & (F.col("purchase_time") >= F.col("click_time"))
+        & (
+            F.col("purchase_time")
+            <= F.col("click_time") + F.expr(f"INTERVAL {RANGE_SECONDS} SECONDS")
+        ),
+    ).select("user_id", "click_time", "purchase_time")
+
+
 def clicks_purchases_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch form (oracle-checked); identical join shape."""
     from ..sources.catalog import load_table
@@ -42,19 +76,7 @@ def clicks_purchases_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").withColumn(
         "event_time", F.col("ts").cast("timestamp")
     )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", F.col("event_time").alias("click_time")
-    )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("user_id2"), F.col("event_time").alias("purchase_time")
-    )
-    pairs = clicks.join(
-        purchases,
-        (clicks.user_id == F.col("user_id2"))
-        & (F.col("purchase_time") >= F.col("click_time"))
-        & (F.col("purchase_time") <= F.col("click_time") + F.expr(f"INTERVAL {RANGE_SECONDS} SECONDS")),
-    ).select("user_id", "click_time", "purchase_time")
-    return _summarize(pairs)
+    return _summarize(_attribution_pairs(ev))
 
 
 def run_stream_stream_join_once(
@@ -81,12 +103,9 @@ def run_stream_stream_join_once(
         .select(F.col("user_id").alias("user_id2"), F.col("event_time").alias("purchase_time"))
         .withWatermark("purchase_time", watermark)
     )
-    pairs = clicks.join(
-        purchases,
-        (clicks.user_id == F.col("user_id2"))
-        & (F.col("purchase_time") >= F.col("click_time"))
-        & (F.col("purchase_time") <= F.col("click_time") + F.expr(f"INTERVAL {RANGE_SECONDS} SECONDS")),
-    ).select("user_id", "click_time", "purchase_time")
+    # Same declared join as the batch oracle (shared builder): only the
+    # per-side watermarks above are stream-specific.
+    pairs = _join_pairs(clicks, purchases)
 
     # A stream-stream join keeps one state store per shuffle partition
     # on EACH side; the partition count is fixed at query start (it is

@@ -198,7 +198,6 @@ def test_interval_seconds_parser_and_grace_derivation():
     )
 
     assert _interval_seconds("200 milliseconds") == pytest.approx(0.2)
-    assert _interval_seconds("200 ms") == pytest.approx(0.2)
     assert _interval_seconds("1 second") == 1.0
     assert _interval_seconds("10 seconds") == 10.0
     assert _interval_seconds("2 minutes") == 120.0
@@ -208,6 +207,13 @@ def test_interval_seconds_parser_and_grace_derivation():
         _interval_seconds("10 fortnights")
     with pytest.raises(ValueError, match="unparseable"):
         _interval_seconds("")
+    # Abbreviations Spark's trigger itself REJECTS must raise here too
+    # (Trigger.ProcessingTime throws INVALID_INTERVAL_FORMAT on all of
+    # these in PySpark 4.1.2); the old table quietly accepted them —
+    # and parsed '2 m' as milliseconds.
+    for bad in ("200 ms", "30 s", "5 min", "2 m"):
+        with pytest.raises(ValueError, match="unparseable"):
+            _interval_seconds(bad)
     # derived grace: floor 4s at sub-second triggers, 3x above it
     assert max(4.0, 3.0 * _interval_seconds("200 milliseconds")) == 4.0
     assert max(4.0, 3.0 * _interval_seconds("10 seconds")) == 30.0
@@ -253,3 +259,39 @@ def test_default_idle_timeout_scales_with_trigger():
         grace = max(4.0, 3.0 * _interval_seconds(trigger))
         assert derived == want
         assert grace < derived  # the guard can never fire on defaults
+
+
+def test_empty_batches_do_not_publish_generations(spark, tmp_path):
+    """Append-mode session windows emit nothing until the watermark
+    closes a session, so most early micro-batches are EMPTY — each one
+    previously read + rewrote the whole snapshot and flipped a
+    generation for zero changes (burning the reader-protection window
+    and publishing an empty gen-000000 before any real data). The fold
+    must skip them: a run whose batches finalize nothing publishes NO
+    generations at all."""
+    src = str(tmp_path / "src")
+    # One tight burst, no sentinel: the watermark never passes the
+    # session end, so every micro-batch output is empty.
+    spark.createDataFrame(
+        [(i, 1, _ts(1_700_000_000 + i * 60)) for i in range(10)],
+        "event_id bigint, user_id bigint, ts string",
+    ).select(
+        "event_id", "user_id", F.to_timestamp("ts").alias("event_time")
+    ).write.parquet(src)
+    events = (
+        spark.readStream.schema(
+            "event_id bigint, user_id bigint, event_time timestamp"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    target = str(tmp_path / "t")
+    run_sessions_to_cdc(
+        spark, events, target, str(tmp_path / "c"), gap=GAP, watermark=WM
+    )
+    published = (
+        [d for d in os.listdir(target) if d.startswith("gen-")]
+        if os.path.isdir(target)
+        else []
+    )
+    assert published == [], published
