@@ -132,17 +132,19 @@ def _run_one(
 ) -> TaskResult:
     if task.skip_if is not None and task.skip_if():
         return TaskResult(state="SKIPPED", attempts=0)
-    last: BaseException | None = None
-    for attempt in range(task.retries + 1):
-        if attempt:
-            sleep(task.retry_delay_s * task.backoff ** (attempt - 1))
-        try:
-            return TaskResult(
-                state="SUCCESS", value=task.fn(upstream_results), attempts=attempt + 1
-            )
-        except Exception as e:  # noqa: BLE001 — task boundary
-            last = e
-    return TaskResult(state="FAILED", error=last, attempts=task.retries + 1)
+    from ..retry import call_with_retries
+
+    try:
+        value, attempts = call_with_retries(
+            lambda: task.fn(upstream_results),
+            task.retries,
+            task.retry_delay_s,
+            task.backoff,
+            sleep,
+        )
+        return TaskResult(state="SUCCESS", value=value, attempts=attempts)
+    except Exception as e:  # noqa: BLE001 — task boundary
+        return TaskResult(state="FAILED", error=e, attempts=task.retries + 1)
 
 
 def run_dag(

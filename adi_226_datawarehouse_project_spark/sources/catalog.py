@@ -41,17 +41,37 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # No-op at scale: production tables are many files × many row groups,
 # where row-group count >= core count and no exchange is added.
 _MIN_ROWS_TO_REPARTITION = 1_000
-_rowgroup_memo: dict[str, tuple[int, int]] = {}
+# Footer-probe memos are keyed on (size, mtime_ns) of the probed file so
+# a fixture rewritten IN PLACE (regenerated at a larger scale, compacted
+# to different row groups) re-probes instead of serving a stale figure —
+# same contract as model/star.py's policy-probe fingerprint.
+_rowgroup_memo: dict[str, tuple[tuple, tuple[int, int]]] = {}
+_ts_layout_memo: dict[str, tuple[tuple, str]] = {}
+
+# Serializes the nanosAsLong set/read/restore in load_table — see the
+# comment there. A module-level lock (not per-session) is fine: the
+# window is one driver-side schema resolution.
+import threading as _threading
+
+_NANOS_CONF_LOCK = _threading.Lock()
+
+
+def _stat_key(path: str) -> tuple:
+    st = os.stat(path)
+    return (st.st_size, st.st_mtime_ns)
 
 
 def _scan_parallelism(path: str) -> tuple[int, int]:
-    """(row_groups, rows) of a local parquet file, memoized per path."""
-    if path not in _rowgroup_memo:
+    """(row_groups, rows) of a local parquet file, memoized per
+    (path, size, mtime)."""
+    key = _stat_key(path)
+    hit = _rowgroup_memo.get(path)
+    if hit is None or hit[0] != key:
         import pyarrow.parquet as pq
 
         f = pq.ParquetFile(path)
-        _rowgroup_memo[path] = (f.num_row_groups, f.metadata.num_rows)
-    return _rowgroup_memo[path]
+        _rowgroup_memo[path] = (key, (f.num_row_groups, f.metadata.num_rows))
+    return _rowgroup_memo[path][1]
 
 
 def _parallelize_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
@@ -76,7 +96,10 @@ def events_ts_storage(path: str) -> str:
     pinned UTC so values are unchanged), ``"timestamp"`` when it is a
     tz-adjusted micro/milli timestamp Spark reads natively. The
     driver's generator has produced all three layouts across rounds, so
-    the loader adapts per file instead of assuming one."""
+    the loader adapts per file instead of assuming one. The probe is
+    memoized per (resolved part, size, mtime) — load_table calls this
+    on every events read, and the two pyarrow footer opens are blocking
+    driver I/O on the hot query-entry path."""
     import glob
 
     import pyarrow as pa
@@ -85,10 +108,27 @@ def events_ts_storage(path: str) -> str:
     if os.path.isdir(path):
         # Spark-written tables are directories of part files; every part
         # shares one schema, so probe the first (sorted for determinism).
+        # Hive-partitioned layouts (writers.py's partition_by gold zone)
+        # keep their parts under key=value subdirectories — recurse
+        # before declaring the directory empty.
         parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            parts = sorted(
+                glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+            )
         if not parts:
             raise FileNotFoundError(f"no parquet part files under {path}")
         path = parts[0]
+    key = _stat_key(path)
+    hit = _ts_layout_memo.get(path)
+    if hit is not None and hit[0] == key:
+        return hit[1]
+    layout = _events_ts_storage_uncached(path, pa, pq)
+    _ts_layout_memo[path] = (key, layout)
+    return layout
+
+
+def _events_ts_storage_uncached(path: str, pa, pq) -> str:
     # INT96 (legacy Spark/Hive timestamps — what Spark itself writes
     # under the default outputTimestampType) surfaces as timestamp[ns]
     # in the ARROW schema, indistinguishable from a real
@@ -130,15 +170,25 @@ def load_table(
         # session is unaffected. The streaming reader cannot scope it
         # this way (the conf must hold for the stream's lifetime) —
         # see streaming.events_stream.read_events_stream.
-        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        try:
-            df = spark.read.parquet(path)
-        finally:
-            if prev is None:
-                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-            else:
-                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+        #
+        # The set/read/restore is serialized under a module lock: the
+        # session conf is GLOBAL, and orchestration/dag.py runs tasks
+        # concurrently on driver threads sharing one session — two
+        # unsynchronized events loads could capture each other's "true"
+        # as the saved previous value and leave the conf flipped for
+        # the rest of the session (or unset it under the other's read).
+        # Reads of OTHER tables during the held window are unaffected:
+        # the conf only changes how int64-nanos columns resolve.
+        with _NANOS_CONF_LOCK:
+            prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            try:
+                df = spark.read.parquet(path)
+            finally:
+                if prev is None:
+                    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+                else:
+                    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
@@ -169,18 +219,33 @@ def load_table(
 # this, and re-running 10 parquet schema reads per query is pure
 # overhead. Registering a DIFFERENT sf_dir invalidates the memo (and
 # star-view caching layers above handle their own invalidation).
+#
+# The memo key is id(spark) — but CPython reuses addresses, so a NEW
+# session allocated where a garbage-collected one lived would silently
+# skip registration and fail every query with TABLE_OR_VIEW_NOT_FOUND.
+# A weakref to the memoized session guards against that: a hit only
+# counts when the stored ref still points at THIS session object (the
+# weakref also keeps the memo from pinning dead sessions alive).
 _BASE_REGISTERED: dict[int, tuple[str, tuple[str, ...]]] = {}
+_BASE_REGISTERED_REFS: dict[int, "weakref.ref"] = {}
 
 
 def register_base_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
     """Register every base table as a temp view so both the DataFrame
     and ``spark.sql`` surfaces see the same catalog."""
+    import weakref
+
     key = id(spark)
-    if _BASE_REGISTERED.get(key) == (sf_dir, names):
+    ref = _BASE_REGISTERED_REFS.get(key)
+    if _BASE_REGISTERED.get(key) == (sf_dir, names) and ref is not None and ref() is spark:
         return
     for name in names:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
     _BASE_REGISTERED[key] = (sf_dir, names)
+    try:
+        _BASE_REGISTERED_REFS[key] = weakref.ref(spark)
+    except TypeError:  # pragma: no cover - session not weakref-able
+        _BASE_REGISTERED_REFS.pop(key, None)
 
 
 def table_exists(spark: SparkSession, name: str) -> bool:

@@ -56,21 +56,19 @@ def fetch_with_retries(
     where the engine owns the call. ``retries`` counts re-attempts
     AFTER the first try; delays are ``retry_delay_s * backoff**i``
     (backoff=1.0 reproduces Airflow's fixed delay). ``sleep`` is
-    injectable for tests. Raises the LAST error once exhausted."""
+    injectable for tests. Raises the LAST error once exhausted.
+    The loop itself is the shared :func:`retry.call_with_retries`
+    (same policy as the DAG runner's per-task retries)."""
     import time as _time
+
+    from ..retry import call_with_retries
 
     do_sleep = _time.sleep if sleep is None else sleep
 
     def wrapped(url: str):
-        last: Exception | None = None
-        for attempt in range(retries + 1):
-            if attempt:
-                do_sleep(retry_delay_s * backoff ** (attempt - 1))
-            try:
-                return fetch(url)
-            except Exception as e:  # noqa: BLE001 - re-raised when exhausted
-                last = e
-        raise last  # type: ignore[misc]
+        return call_with_retries(
+            lambda: fetch(url), retries, retry_delay_s, backoff, do_sleep
+        )[0]
 
     return wrapped
 

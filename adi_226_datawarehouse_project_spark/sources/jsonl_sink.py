@@ -79,7 +79,15 @@ class JsonlManifestWriter(DataSourceWriter):
             pass
 
     def abort(self, messages: list[ShardCommit]) -> None:
+        # Failed tasks contribute None to messages (DataSourceWriter
+        # contract: "If a write task fails, the commit message will be
+        # None") — and abort only runs when at least one task failed,
+        # so a None is ALWAYS present. Skipping it is what lets the
+        # successful tasks' tmp shards actually get cleaned up; crashing
+        # here would both leak them and shadow the real task error.
         for m in messages:
+            if m is None:
+                continue
             try:
                 os.remove(os.path.join(self.path, m.tmp_name))
             except FileNotFoundError:

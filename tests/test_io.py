@@ -175,3 +175,56 @@ def test_events_load_from_directory_table(spark, tmp_path):
     df = load_table(spark, str(out), "events")
     assert isinstance(df.schema["ts"].dataType, T.TimestampType)
     assert df.count() == src.count()
+
+
+def test_events_probe_handles_hive_partitioned_directory(spark, tmp_path):
+    """A hive-partitioned events table (writers.py's partition_by gold
+    layout) keeps its part files under key=value subdirectories — the
+    ts-layout probe must recurse instead of raising FileNotFoundError
+    on a directory Spark reads fine."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from adi_226_datawarehouse_project_spark.sources.catalog import (
+        events_ts_storage,
+        load_table,
+    )
+    from tests.conftest import SF_SMALL
+
+    src = load_table(spark, SF_SMALL, "events").withColumn(
+        "y", F.year("ts")
+    )
+    out = tmp_path / "events.parquet"
+    src.write.partitionBy("y").parquet(str(out))
+    assert events_ts_storage(str(out)) in ("nanos", "ntz", "timestamp")
+    df = load_table(spark, str(tmp_path), "events")
+    assert isinstance(df.schema["ts"].dataType, T.TimestampType)
+    assert df.count() == src.count()
+
+
+def test_base_view_memo_survives_session_id_reuse(spark):
+    """_BASE_REGISTERED keys on id(spark); CPython reuses addresses, so
+    a stale entry from a garbage-collected session must NOT satisfy a
+    new session at the same address — the weakref identity check forces
+    re-registration (a false hit fails every query with
+    TABLE_OR_VIEW_NOT_FOUND)."""
+    from adi_226_datawarehouse_project_spark.sources import catalog
+    from tests.conftest import SF_SMALL
+
+    key = id(spark)
+    saved = (catalog._BASE_REGISTERED.get(key), catalog._BASE_REGISTERED_REFS.get(key))
+    try:
+        spark.catalog.dropTempView("nation")
+        # Simulate id reuse: memo matches, but the ref points elsewhere
+        # (a dead session object would give ref() is None — same miss).
+        catalog._BASE_REGISTERED[key] = (SF_SMALL, catalog.TABLES)
+        other = type("NotThisSession", (), {})()
+        catalog._BASE_REGISTERED_REFS[key] = __import__("weakref").ref(other)
+        catalog.register_base_views(spark, SF_SMALL)
+        assert spark.catalog.tableExists("nation")
+        assert catalog._BASE_REGISTERED_REFS[key]() is spark
+    finally:
+        if saved[0] is not None:
+            catalog._BASE_REGISTERED[key] = saved[0]
+        if saved[1] is not None:
+            catalog._BASE_REGISTERED_REFS[key] = saved[1]

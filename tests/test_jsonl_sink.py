@@ -70,3 +70,29 @@ def test_task_failure_aborts_without_publishing(spark):
     files = os.listdir(f"{BASE}/fail") if os.path.isdir(f"{BASE}/fail") else []
     assert "_MANIFEST.json" not in files and "_SUCCESS" not in files
     assert not any(f.endswith(".jsonl") for f in files)
+
+
+def test_abort_tolerates_none_messages_and_cleans_tmp_shards(tmp_path):
+    """DataSourceWriter contract: a FAILED task contributes None to the
+    abort messages — and abort only runs when at least one task failed,
+    so a None is always present. The old loop crashed on it
+    (AttributeError on None.tmp_name), leaking every successful task's
+    tmp shard and shadowing the real error; abort must skip Nones and
+    still remove the committed tasks' tmp files."""
+    from adi_226_datawarehouse_project_spark.sources.jsonl_sink import (
+        JsonlManifestWriter,
+        ShardCommit,
+    )
+
+    w = JsonlManifestWriter({"path": str(tmp_path)})
+    (tmp_path / "part-aa.jsonl.tmp").write_text("{}\n")
+    (tmp_path / "part-bb.jsonl.tmp").write_text("{}\n")
+    w.abort(
+        [
+            ShardCommit(tmp_name="part-aa.jsonl.tmp", final_name="part-aa.jsonl", n_rows=1),
+            None,  # the failed task
+            ShardCommit(tmp_name="part-bb.jsonl.tmp", final_name="part-bb.jsonl", n_rows=1),
+        ]
+    )
+    left = [p.name for p in tmp_path.iterdir()]
+    assert left == [], left
