@@ -353,6 +353,36 @@ def star_sql(d: str, name: str) -> str:
 # columnar cache), "parquet"/"hybrid" (write-through zone).
 _REGISTERED: dict[int, tuple[str, str, str | None]] = {}
 
+# id(spark) can be REUSED after a session is garbage-collected (CPython
+# address reuse) — a stale memo would then skip registration on a brand
+# new session and every query would fail TABLE_OR_VIEW_NOT_FOUND. Reads
+# go through _memo_get, which only honors an entry whose recorded
+# weakref still points at THIS session (same guard as
+# sources/catalog._BASE_REGISTERED). Tests that inject/pop _REGISTERED
+# entries directly keep working: a missing ref is trusted.
+_REGISTERED_REFS: dict[int, object] = {}
+
+
+def _memo_get(spark: SparkSession) -> tuple[str, str, str | None] | None:
+    key = id(spark)
+    ref = _REGISTERED_REFS.get(key)
+    if ref is not None and ref() is not spark:  # type: ignore[operator]
+        _REGISTERED.pop(key, None)
+        _REGISTERED_REFS.pop(key, None)
+        return None
+    return _REGISTERED.get(key)
+
+
+def _memo_set(spark: SparkSession, value: tuple[str, str, str | None]) -> None:
+    import weakref
+
+    _REGISTERED[id(spark)] = value
+    try:
+        _REGISTERED_REFS[id(spark)] = weakref.ref(spark)
+    except TypeError:  # pragma: no cover - session not weakref-able
+        _REGISTERED_REFS.pop(id(spark), None)
+
+
 # Cache the whole derived warehouse (raw + staging + dims + facts) once
 # per session: cacheTable is LAZY, so unused tables cost nothing, while
 # the 10-query golden suite reuses the materialized gold layer instead
@@ -407,7 +437,7 @@ def register_star_views(spark: SparkSession, sf_dir: str, cache: bool = True) ->
     awareness must live here to take effect on the primary path. At
     probe-says-cache scales (every test sf) this is a no-op."""
     key = id(spark)
-    memo = _REGISTERED.get(key)
+    memo = _memo_get(spark)
     if memo is not None and memo[0] == sf_dir:
         if cache and memo[1] == "views":
             # The in-place views→cache upgrade is a CACHING registration
@@ -421,7 +451,7 @@ def register_star_views(spark: SparkSession, sf_dir: str, cache: bool = True) ->
             _maybe_flip_cache_compression(spark, sf_dir)
             for t in _CACHE_TABLES:
                 spark.catalog.cacheTable(t)
-            _REGISTERED[key] = (sf_dir, "cache", None)
+            _memo_set(spark, (sf_dir, "cache", None))
         return
     if cache:
         policy = resolve_warehouse_policy(spark, sf_dir)
@@ -446,7 +476,7 @@ def register_star_views(spark: SparkSession, sf_dir: str, cache: bool = True) ->
     if cache:
         for t in _CACHE_TABLES:
             spark.catalog.cacheTable(t)
-    _REGISTERED[key] = (sf_dir, "cache" if cache else "views", None)
+    _memo_set(spark, (sf_dir, "cache" if cache else "views", None))
 
 
 # Warehouse inputs for the auto-policy size probe: complaints_raw
@@ -593,7 +623,7 @@ def _maybe_flip_cache_compression(spark: SparkSession, sf_dir: str) -> None:
     ckey = "spark.sql.inMemoryColumnarStorage.compressed"
     if spark.conf.get(ckey, "true") != "true":
         spark.conf.set(ckey, "true")
-        memo = _REGISTERED.get(id(spark))
+        memo = _memo_get(spark)
         if memo is not None and memo[1] == "cache":
             spark.catalog.clearCache()
             _REGISTERED.pop(id(spark), None)
@@ -678,7 +708,7 @@ def materialize_warehouse(spark: SparkSession, sf_dir: str) -> None:
     _maybe_flip_cache_compression(spark, sf_dir)
 
     key = id(spark)
-    memo = _REGISTERED.get(key)
+    memo = _memo_get(spark)
     if memo is not None and not (memo[0] == sf_dir and memo[1] in ("views", "cache")):
         spark.catalog.clearCache()  # zone layout or other sf_dir → rebuild
         _REGISTERED.pop(key, None)
@@ -761,9 +791,10 @@ def _materialize_zone(
     key = id(spark)
     zone = _zone_dir(sf_dir)
     want = (sf_dir, "hybrid" if cache_gold else "parquet", zone)
-    if _REGISTERED.get(key) == want:
+    memo = _memo_get(spark)
+    if memo == want:
         return
-    if key in _REGISTERED:
+    if memo is not None:
         spark.catalog.clearCache()
         _REGISTERED.pop(key, None)
     register_base_views(spark, sf_dir)
@@ -843,7 +874,7 @@ def _materialize_zone(
                 list(ex.map(_write_and_repoint, gold))
         finally:
             spark.conf.set(threshold_key, prev)
-    _REGISTERED[key] = want
+    _memo_set(spark, want)
 
 
 def oracle_with_chain(query_sql: str) -> str:

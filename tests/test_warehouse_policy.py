@@ -334,3 +334,32 @@ def test_probe_refreshes_when_inputs_change(tmp_path):
         pq.write_table(big, tmp_path / name)
     n_big = star._probe_input_bytes(str(tmp_path))
     assert n_big is not None and n_big > 10 * n_small, (n_small, n_big)
+
+
+def test_star_memo_survives_session_id_reuse(spark):
+    """_REGISTERED keys on id(spark); a stale entry left by a
+    garbage-collected session at a reused address must NOT satisfy a
+    new session (it would skip registration and fail every query) —
+    the weakref identity check in _memo_get invalidates it."""
+    import weakref
+
+    key = id(spark)
+    saved = (star._REGISTERED.get(key), star._REGISTERED_REFS.get(key))
+    try:
+        star._REGISTERED[key] = (SF, "cache", None)
+        other = type("NotThisSession", (), {})()
+        star._REGISTERED_REFS[key] = weakref.ref(other)
+        assert star._memo_get(spark) is None  # stale entry invalidated
+        assert key not in star._REGISTERED
+        # A fresh registration records a ref to THIS session.
+        star.register_star_views(spark, SF, cache=False)
+        assert star._memo_get(spark) == (SF, "views", None)
+        assert star._REGISTERED_REFS[key]() is spark
+    finally:
+        star._REGISTERED.pop(key, None)
+        star._REGISTERED_REFS.pop(key, None)
+        if saved[0] is not None:
+            star._REGISTERED[key] = saved[0]
+        if saved[1] is not None:
+            star._REGISTERED_REFS[key] = saved[1]
+        spark.catalog.clearCache()
