@@ -15,6 +15,25 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+_BOOL_STRINGS = {
+    "1": "true", "true": "true", "yes": "true", "on": "true",
+    "0": "false", "false": "false", "no": "false", "off": "false",
+}
+
+
+def _env_bool(name: str, default: str) -> str:
+    """Normalize a boolean env var to the 'true'/'false' Spark's conf
+    parser accepts — SPARK_GRAFT_UI=1 passed through raw crashes
+    session creation with an IllegalArgumentException that never
+    mentions the env var."""
+    v = os.environ.get(name)
+    if v is None:
+        return default
+    norm = _BOOL_STRINGS.get(v.strip().lower())
+    if norm is None:
+        raise ValueError(f"{name}={v!r}: expected a boolean (true/false)")
+    return norm
+
 
 def get_spark(
     app_name: str = "adi_226_datawarehouse_project_spark",
@@ -26,7 +45,21 @@ def get_spark(
     Scale posture: on a real cluster only ``master`` and memory sizing
     change; the SQL configs below are scale-independent (AQE re-plans
     shuffle parallelism at runtime from actual map-output sizes).
-    """
+
+    If a session already exists in this process it is returned
+    UNCHANGED: builder.getOrCreate APPLIES every .config to the session
+    it reuses, so a second get_spark() call would silently flip shuffle
+    partitions / ANSI mode / cache compression mid-run on a shared
+    session (e.g. the harness driver's ansi=true session) — the same
+    conf-mutation bug class fixed twice elsewhere in this repo. The
+    check covers both the thread-local active session and the
+    process-wide default (getActiveSession() alone is None on worker
+    threads, and this codebase runs tasks on a ThreadPool)."""
+    existing = SparkSession.getActiveSession() or getattr(
+        SparkSession, "_instantiatedSession", None
+    )
+    if existing is not None:
+        return existing
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
         SparkSession.builder.appName(app_name)
@@ -48,7 +81,7 @@ def get_spark(
         # operating point.
         .config(
             "spark.sql.inMemoryColumnarStorage.compressed",
-            os.environ.get("SPARK_GRAFT_CACHE_COMPRESS", "false"),
+            _env_bool("SPARK_GRAFT_CACHE_COMPRESS", "false"),
         )
         # ANSI off: the engine's cleaning layer relies on null-on-error
         # cast semantics (reference TRY_CAST behavior); explicit
@@ -69,11 +102,10 @@ def get_spark(
             "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
             "true",
         )
-        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+        .config("spark.ui.enabled", _env_bool("SPARK_GRAFT_UI", "false"))
     )
-    if SparkSession.getActiveSession() is None:
-        builder = builder.master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]"))
-        builder = builder.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    builder = builder.master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]"))
+    builder = builder.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -37,6 +37,15 @@ def write_parquet(
     keys per row group). Costs ~1.2 bytes/distinct value of file size
     (size-delta pinned in tests); size ``bloom_ndv`` to the expected
     per-row-group distinct count."""
+    if single_file and partition_by:
+        # The combination is the worst of both knobs: ONE file per
+        # partition directory (not the single object the caller asked
+        # for) written through a single task with zero parallelism.
+        raise ValueError(
+            "single_file=True cannot combine with partition_by: a "
+            "partitioned layout is one file PER directory, and the "
+            "coalesce(1) would serialize the whole write through one task"
+        )
     out = df.coalesce(1) if single_file else df
     writer = out.write.mode(mode)
     for c in bloom_filter_cols or []:
@@ -114,10 +123,11 @@ def write_run_manifest(
     Airbnb.py:154-162`). Typed as STRUCTs (not maps) with sorted field
     names so readers get named-field access and a deterministic
     schema; ``stats`` carries numeric run metrics (row counts etc.).
-    An omitted/empty ``stats`` dict omits the field ENTIRELY — an
-    empty struct serializes as ``"stats":{}``, which JSON schema
-    inference on read-back drops or mistypes, breaking consumers that
-    probe ``stats.*``; absent-field semantics are well-defined instead.
+    An omitted/empty ``stats`` dict — and likewise an empty ``inputs``
+    or ``outputs`` — omits the field ENTIRELY: an empty struct
+    serializes as ``{}``, which JSON schema inference on read-back
+    drops or mistypes, breaking consumers that probe ``field.*``;
+    absent-field semantics are well-defined instead.
     One row → single_file semantics are inherent (coalesce(1))."""
     from pyspark.sql import types as T
 
@@ -129,15 +139,12 @@ def write_run_manifest(
     fields = [
         T.StructField("job_name", T.StringType()),
         T.StructField("run_utc", T.StringType()),
-        T.StructField("inputs", _str_struct(inputs)),
-        T.StructField("outputs", _str_struct(outputs)),
     ]
-    row = [
-        job_name,
-        run_utc,
-        tuple(inputs[k] for k in sorted(inputs)),
-        tuple(outputs[k] for k in sorted(outputs)),
-    ]
+    row: list = [job_name, run_utc]
+    for fname, d in (("inputs", inputs), ("outputs", outputs)):
+        if d:
+            fields.append(T.StructField(fname, _str_struct(d)))
+            row.append(tuple(d[k] for k in sorted(d)))
     if stats:
         fields.append(
             T.StructField(
@@ -157,10 +164,12 @@ def read_run_manifest(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.json(path)
 
 
-def overwrite_table(spark: SparkSession, df: DataFrame, name: str) -> None:
+def overwrite_table(df: DataFrame, name: str) -> None:
     """Truncate-and-reload staging semantics (K6/K7: TRUNCATE + COPY →
     overwrite). With a real catalog this is saveAsTable(overwrite); in
-    the session-local engine it replaces the temp view."""
+    the session-local engine it replaces the temp view. (The unused
+    SparkSession parameter is gone — the view registers on the frame's
+    own session.)"""
     df.createOrReplaceTempView(name)
 
 
@@ -186,6 +195,8 @@ def zorder_key(
     from pyspark.sql import functions as F
 
     n = len(qcols)
+    if n == 0:
+        raise ValueError("zorder_key needs at least one column")
     if n * bits > 63:
         raise ValueError(f"{n} cols × {bits} bits exceeds the 63-bit key")
     terms = [
@@ -200,40 +211,48 @@ def zorder_key(
 
 def zorder_by(df: DataFrame, cols: "list[str]", bits: int = 16) -> DataFrame:
     """Cluster rows on the z-order key of ``cols`` (numeric/timestamp):
-    each column is min-max quantized to ``bits`` bits (the 1-row stats
-    frame broadcasts — never collected), interleaved, then
-    range-partitioned + sorted within partitions. Writing the result
-    gives every output file/row-group tight min/max envelopes on ALL
-    ``cols`` at once, so parquet stats-based row-group pruning works
-    for predicates on any of them — unlike a plain sort, which buys
-    locality on the leading column only.
+    each column is min-max quantized to ``bits`` bits, interleaved,
+    then range-partitioned + sorted within partitions. Writing the
+    result gives every output file/row-group tight min/max envelopes
+    on ALL ``cols`` at once, so parquet stats-based row-group pruning
+    works for predicates on any of them — unlike a plain sort, which
+    buys locality on the leading column only.
+
+    The 1-row min/max stats are COLLECTED (bounded driver state, same
+    rule as IVF centroids / PQ codebooks) and inlined as literals: the
+    earlier broadcast-crossJoin form re-ran the full-table aggregation
+    on EVERY execution of the keyed plan, and write_zordered executes
+    it twice (repartitionByRange's sampling pass + the write). Eager:
+    calling this runs the stats job.
 
     Linear min-max quantization keeps the key engine-portable and
     stats-cheap; heavily skewed columns trade some balance for it (the
     classic remedy — rank-based quantiles — costs a global sort).
-    NULLs quantize to bucket 0."""
+    NULLs (and all-null or constant columns) quantize to bucket 0."""
     from pyspark.sql import functions as F
 
-    stats = df.agg(
+    row = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"__lo_{c}") for c in cols],
         *[F.max(F.col(c).cast("double")).alias(f"__hi_{c}") for c in cols],
-    )
-    with_stats = df.crossJoin(F.broadcast(stats))
+    ).collect()[0]
     top = (1 << bits) - 1
     qcols = []
     for c in cols:
-        lo, hi = F.col(f"__lo_{c}"), F.col(f"__hi_{c}")
-        span = F.nullif(hi - lo, F.lit(0.0))
-        q = F.floor((F.col(c).cast("double") - lo) / span * F.lit(float(1 << bits)))
+        lo, hi = row[f"__lo_{c}"], row[f"__hi_{c}"]
+        if lo is None or hi is None or hi == lo:
+            qcols.append(F.lit(0).cast("bigint"))
+            continue
+        q = F.floor(
+            (F.col(c).cast("double") - F.lit(float(lo)))
+            / F.lit(float(hi - lo))
+            * F.lit(float(1 << bits))
+        )
         qcols.append(
             F.coalesce(F.least(F.greatest(q, F.lit(0)), F.lit(top)), F.lit(0)).cast(
                 "bigint"
             )
         )
-    keyed = with_stats.withColumn("__zkey", zorder_key(qcols, bits)).drop(
-        *[f"__lo_{c}" for c in cols], *[f"__hi_{c}" for c in cols]
-    )
-    return keyed
+    return df.withColumn("__zkey", zorder_key(qcols, bits))
 
 
 def write_zordered(
@@ -282,8 +301,12 @@ def compact_table(
     write-new-then-swap, never an in-place overwrite of a zone a
     concurrent reader may be scanning."""
     import math
+    import os
 
-    if in_path.rstrip("/") == out_path.rstrip("/"):
+    # realpath: a literal compare is bypassed by equivalent spellings
+    # (relative vs absolute, '..' segments, symlinks) and the write
+    # would only fail later, inside Spark, after the size probe ran.
+    if os.path.realpath(in_path) == os.path.realpath(out_path):
         raise ValueError("compact_table writes a NEW zone: out_path must differ")
     df = spark.read.parquet(in_path)
     n_bytes = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()

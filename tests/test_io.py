@@ -228,3 +228,53 @@ def test_base_view_memo_survives_session_id_reuse(spark):
             catalog._BASE_REGISTERED[key] = saved[0]
         if saved[1] is not None:
             catalog._BASE_REGISTERED_REFS[key] = saved[1]
+
+
+def test_run_manifest_empty_inputs_omits_field(spark, tmp_path):
+    """Empty inputs/outputs get the same absent-field semantics as
+    stats: an empty struct serializes as {} and breaks JSON schema
+    inference on read-back."""
+    from adi_226_datawarehouse_project_spark.sources.writers import (
+        read_run_manifest,
+        write_run_manifest,
+    )
+
+    p = str(tmp_path / "manifest")
+    write_run_manifest(
+        spark, p, "job", "2026-01-01T00:00:00Z",
+        inputs={}, outputs={"gold": "/g"},
+    )
+    back = read_run_manifest(spark, p)
+    assert "inputs" not in back.schema.fieldNames()
+    assert back.select("outputs.gold").collect()[0][0] == "/g"
+
+
+def test_single_file_with_partition_by_raises(spark, tmp_path):
+    """The combination is the worst of both knobs: one file per
+    partition directory written through one task."""
+    import pytest
+
+    from adi_226_datawarehouse_project_spark.sources.catalog import load_table
+    from adi_226_datawarehouse_project_spark.sources.writers import write_parquet
+    from tests.conftest import SF_SMALL
+
+    df = load_table(spark, SF_SMALL, "nation")
+    with pytest.raises(ValueError, match="single_file"):
+        write_parquet(
+            df, str(tmp_path / "x"), partition_by=["n_regionkey"], single_file=True
+        )
+
+
+def test_compact_table_inplace_guard_resolves_paths(spark, tmp_path):
+    """The in-place guard must compare REAL paths: '/z' vs '/z/../z'
+    previously slipped past the literal compare and only failed later
+    inside Spark, after the size-probe job ran."""
+    import pytest
+
+    from adi_226_datawarehouse_project_spark.sources.writers import compact_table
+
+    zone = tmp_path / "zone"
+    spark.range(10).write.parquet(str(zone))
+    sneaky = str(tmp_path / "other" / ".." / "zone")
+    with pytest.raises(ValueError, match="out_path must differ"):
+        compact_table(spark, str(zone), sneaky)
