@@ -89,10 +89,19 @@ def in_set(col: str, values: list) -> Constraint:
         digest = hashlib.md5(repr(values).encode()).hexdigest()[:8]
         shown += f",…#{digest}"
     c = F.col(col)
+    # Strip Nones before isin(): a NULL in the IN-list makes every
+    # non-match evaluate to NULL (SQL three-valued IN), ~NULL stays
+    # NULL, and the violation count silently becomes 0 — the constraint
+    # stops constraining entirely. NULL values themselves are already
+    # exempt via the isNotNull() guard (in_set checks domain, not
+    # nullability — compose with not_null for that), so a None in the
+    # list is redundant-but-harmless once stripped.
+    non_null_values = [v for v in values if v is not None]
+    allowed = c.isin(non_null_values) if non_null_values else F.lit(False)
     return Constraint(
         f"in_set({col} ∈ {{{shown}}})",
         "in_set",
-        _count_where(c.isNotNull() & ~c.isin(values)),
+        _count_where(c.isNotNull() & ~allowed),
     )
 
 

@@ -73,7 +73,15 @@ def char_ngrams(col: Column | str, n: int = 3) -> Column:
 
 
 def word_ngrams(col: Column | str, n: int = 2) -> Column:
-    """Word n-grams joined by a space."""
+    """Word n-grams joined by a space.
+
+    DELIBERATE short-document behavior (same clamp as char_ngrams, and
+    mirrored by every DuckDB oracle that re-derives grams): a document
+    with fewer than ``n`` tokens yields ONE gram — the whole document
+    (an empty document yields ['']) — so short docs still carry a
+    dedup/decontamination signature instead of silently dropping out
+    of gram-keyed joins. Consumers that need strict n-grams must
+    pre-filter on token_count >= n."""
     return _let(
         word_tokens(col),
         lambda toks: F.transform(
@@ -171,20 +179,18 @@ def scrub_pii(col: Column | str, replacement: str = "[PII]") -> Column:
 
 
 def pii_match_count(col: Column | str, replacement: str = "[PII]") -> Column:
-    """Number of PII spans :func:`scrub_pii` would redact — counted by
-    length delta over the scrubbed text so the count is exactly
-    consistent with the scrub itself (no second regex engine pass that
-    could disagree)."""
-    c = F.col(col) if isinstance(col, str) else col
-    scrubbed = scrub_pii(c, replacement)
-    marker_len = len(replacement)
-    return (
-        (
-            F.length(scrubbed)
-            - F.length(F.replace(scrubbed, F.lit(replacement), F.lit("")))
-        )
-        / marker_len
-    ).cast("bigint")
+    """Number of PII spans :func:`scrub_pii` would redact — counted as
+    ``regexp_count`` per pattern over the SAME sequential replacement
+    chain the scrub runs, so each count is exactly the number of
+    replacements that step performs. (The earlier marker-length-delta
+    form overcounted when the input text already contained the marker
+    literally, and divided by zero for ``replacement=''``.)"""
+    cur = F.col(col) if isinstance(col, str) else col
+    total = F.lit(0).cast("bigint")
+    for _, pat in _PII_PATTERNS:
+        total = total + F.regexp_count(cur, F.lit(pat)).cast("bigint")
+        cur = F.regexp_replace(cur, pat, replacement)
+    return total
 
 
 def fingerprint(col: Column | str) -> Column:

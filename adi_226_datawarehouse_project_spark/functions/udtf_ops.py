@@ -65,9 +65,15 @@ def token_count_pandas_udf():
 
     @pandas_udf("int")
     def _token_count(s: pd.Series) -> pd.Series:
-        n = s.fillna("").str.lower().str.strip().str.split().str.len()
-        # mirror the native expression exactly: size(NULL) is -1 under
-        # the engine session's legacy sizeOfNull semantics
+        # Mirror the native expression EXACTLY. The native path splits
+        # on Java regex \s+ — ASCII whitespace only ([ \t\n\x0B\f\r]) —
+        # while pandas' bare .str.split() splits on UNICODE whitespace,
+        # so the two twins disagreed on NBSP-bearing web text. Counting
+        # runs of non-ASCII-whitespace matches the native tokenization
+        # (empty-token filtering included) without needing trim/lower.
+        n = s.fillna("").str.count(r"[^ \t\n\x0B\f\r]+")
+        # size(NULL) is -1 under the engine session's legacy
+        # sizeOfNull semantics
         return n.where(~s.isna(), -1).astype("int32")
 
     return _token_count

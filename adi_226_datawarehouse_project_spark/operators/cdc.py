@@ -39,14 +39,20 @@ def latest_changes(
     changes: DataFrame, keys: list[str], seq_col: str, op_col: str = "op"
 ) -> DataFrame:
     """Reduce a change log to one winning row per key (highest seq;
-    D > U > I on seq ties). Output keeps all change columns."""
+    D > U > I on seq ties; full-row hash as the final tie-break so the
+    order is TOTAL — without it, two rows with equal (seq, op) but
+    different payloads would win by shuffle arrival order, and a task
+    retry or re-run could fold a different payload into the snapshot).
+    Output keeps all change columns."""
     prec = (
         F.when(F.col(op_col) == "D", 2)
         .when(F.col(op_col) == "U", 1)
         .otherwise(0)
     )
     w = Window.partitionBy(*keys).orderBy(
-        F.col(seq_col).desc(), prec.desc()
+        F.col(seq_col).desc(),
+        prec.desc(),
+        F.xxhash64(*[F.col(c) for c in changes.columns]).desc(),
     )
     return (
         changes.withColumn("__rn", F.row_number().over(w))
@@ -65,7 +71,16 @@ def apply_cdc(
     """Fold ``changes`` into ``base`` with latest-wins semantics (see
     module docstring). ``changes`` must carry every ``base`` column
     plus ``seq_col`` and ``op_col`` (full-row images); the result has
-    exactly the ``base`` schema."""
+    exactly the ``base`` schema.
+
+    Stale-delivery defense: when ``base`` itself carries ``seq_col``
+    (a snapshot that retains it — the streaming sink's layout), the
+    base row competes in the latest-wins window, so a late batch whose
+    seq is OLDER than what is already folded loses instead of
+    overwriting newer data. A base WITHOUT ``seq_col`` cannot defend
+    itself: callers on that schema must apply batches in per-key seq
+    order (a batch boundary must never interleave sequence numbers),
+    or the "two batches == their union" property breaks."""
     missing = [c for c in base.columns if c not in changes.columns]
     if missing:
         raise ValueError(f"changes missing base columns: {missing}")
@@ -80,6 +95,15 @@ def apply_cdc(
             ).cast("boolean")
         )
     )
+    if seq_col in base.columns:
+        # Seq-carrying snapshot: fold base rows into the same window as
+        # the changes (op "I" — loses seq ties to a real D/U change),
+        # exactly the streaming sink's defense (cdc_sink.apply_cdc_batch).
+        everything = base.withColumn(op_col, F.lit("I")).unionByName(
+            checked.select(*base.columns, op_col)
+        )
+        latest = latest_changes(everything, keys, seq_col, op_col)
+        return latest.filter(F.col(op_col) != "D").select(*base.columns)
     latest = latest_changes(checked, keys, seq_col, op_col)
     upserts = latest.filter(F.col(op_col) != "D").select(*base.columns)
     untouched = base.join(latest.select(*keys), keys, "left_anti")

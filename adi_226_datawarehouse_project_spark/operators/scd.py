@@ -40,7 +40,28 @@ def scd2_apply(
     `dim` columns: key, attr, effective_from, effective_to, is_current.
     `updates` columns: key, attr. Returns the new full dimension.
     """
+    from pyspark.sql import Window
+
     upd = updates.select(F.col(key), F.col(attr).alias("__new_attr"))
+    # In-plan guard: duplicate keys in one batch are ambiguous (which
+    # attr wins?) and would silently leave TWO is_current versions of
+    # the key — refuse loudly instead. Load-bearing predicate, so
+    # Catalyst cannot prune it; costs one small shuffle of the batch.
+    n_per_key = F.count(F.lit(1)).over(Window.partitionBy(key))
+    upd = (
+        upd.withColumn("__k_n", n_per_key)
+        .filter(
+            F.when(F.col("__k_n") == 1, F.lit(True)).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("scd2_apply: duplicate update rows for key "),
+                        F.col(key).cast("string"),
+                    )
+                ).cast("boolean")
+            )
+        )
+        .drop("__k_n")
+    )
     current = dim.filter(F.col("is_current"))
 
     # Null-safe inequality: transitions to/from NULL are real attribute
@@ -62,8 +83,14 @@ def scd2_apply(
         F.lit(FAR_FUTURE).alias("effective_to"),
         F.lit(True).alias("is_current"),
     )
+    # Anti-join against CURRENT keys, not all dim keys: a key whose
+    # versions are ALL closed (externally soft-deleted) would otherwise
+    # match neither leg — not here (it exists in dim) and not in
+    # changed_keys (no current row) — and its update would vanish
+    # silently. Against current keys it lands here and REACTIVATES as
+    # a new version from batch_date.
     brand_new = (
-        upd.join(dim.select(key).distinct(), key, "left_anti")
+        upd.join(current.select(key).distinct(), key, "left_anti")
         .select(
             F.col(key),
             F.col("__new_attr").alias(attr),
@@ -72,8 +99,16 @@ def scd2_apply(
             F.lit(True).alias("is_current"),
         )
     )
-    untouched = dim.join(
-        closed.select(key, "effective_from"), [key, "effective_from"], "left_anti"
+    # Remove exactly the rows the closed leg replaces: the CURRENT row
+    # of each changed key. Keying the exclusion by (key, effective_from)
+    # was lossy — same-day re-updates create a closed zero-length
+    # version sharing effective_from with the current one, and the
+    # third same-day apply deleted that audit row from the dimension.
+    changed_only = changed_keys.select(key).withColumn("__chg", F.lit(True))
+    untouched = (
+        dim.join(changed_only, key, "left")
+        .filter(~(F.col("is_current") & F.coalesce(F.col("__chg"), F.lit(False))))
+        .drop("__chg")
     )
     cols = [key, attr, "effective_from", "effective_to", "is_current"]
     return (

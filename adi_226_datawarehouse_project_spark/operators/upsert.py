@@ -25,9 +25,21 @@ def incremental_upsert(
 ) -> DataFrame:
     """Rows of `incoming` whose `keys` are absent from `existing`,
     appended to `existing` (returns the unioned DataFrame; callers
-    persist it with an append write)."""
+    persist it with an append write).
+
+    The anti-join is NULL-SAFE (`<=>`): a plain equality anti-join
+    never matches NULL=NULL, so a NULL-key row (dirty staging data)
+    would be re-appended on EVERY run — breaking the idempotency this
+    operator promises. Duplicate keys WITHIN one incoming batch all
+    insert, faithful to the reference's INSERT … NOT EXISTS (both
+    duplicates pass the non-existence test against the target);
+    dedupe upstream if single-row-per-key matters."""
     target_keys = existing.select(*keys).dropDuplicates(keys)
     if broadcast_existing:
         target_keys = F.broadcast(target_keys)
-    new_rows = incoming.join(target_keys, on=keys, how="left_anti")
+    cond = None
+    for k in keys:
+        c = incoming[k].eqNullSafe(target_keys[k])
+        cond = c if cond is None else (cond & c)
+    new_rows = incoming.join(target_keys, on=cond, how="left_anti")
     return existing.unionByName(new_rows.select(*existing.columns))

@@ -97,3 +97,46 @@ def test_latest_changes_no_global_window(spark):
     for line in plan.splitlines():
         if "windowspecdefinition(" in line:
             assert line.count("], [") >= 2, f"global window: {line}"
+
+
+def test_apply_cdc_defends_against_stale_batch_when_base_keeps_seq(spark):
+    """A base snapshot that RETAINS seq_col must defend itself: a late
+    batch carrying an older seq for a key loses to what is already
+    folded (the streaming sink's layout). Without the defense the
+    stale row overwrote newer data and 'two batches == their union'
+    broke for interleaved seqs."""
+    from adi_226_datawarehouse_project_spark.operators.cdc import apply_cdc
+
+    base = spark.createDataFrame(
+        [(1, "v2", 2)], "k INT, v STRING, seq INT"
+    )
+    late = spark.createDataFrame(
+        [(1, 1, "U", "v1")], "k INT, seq INT, op STRING, v STRING"
+    )
+    out = apply_cdc(base, late, ["k"], "seq").collect()
+    assert len(out) == 1 and out[0]["v"] == "v2" and out[0]["seq"] == 2
+    # and a genuinely NEWER change still wins
+    newer = spark.createDataFrame(
+        [(1, 3, "U", "v3")], "k INT, seq INT, op STRING, v STRING"
+    )
+    out2 = apply_cdc(base, newer, ["k"], "seq").collect()
+    assert len(out2) == 1 and out2[0]["v"] == "v3"
+
+
+def test_latest_changes_tiebreak_is_total(spark):
+    """Equal (seq, op) with DIFFERENT payloads used to pick a winner by
+    shuffle arrival order; the full-row hash tie-break makes the window
+    order total, so reversing the input order cannot flip the winner."""
+    from adi_226_datawarehouse_project_spark.operators.cdc import latest_changes
+
+    rows = [(1, 5, "U", "p1"), (1, 5, "U", "p2")]
+    a = latest_changes(
+        spark.createDataFrame(rows, "k INT, seq INT, op STRING, v STRING"),
+        ["k"], "seq",
+    ).collect()
+    b = latest_changes(
+        spark.createDataFrame(rows[::-1], "k INT, seq INT, op STRING, v STRING"),
+        ["k"], "seq",
+    ).collect()
+    assert len(a) == len(b) == 1
+    assert a[0]["v"] == b[0]["v"]

@@ -132,3 +132,15 @@ def test_in_set_names_disagree_beyond_shown_prefix(spark):
     a = QC.in_set("c", ["a", "b", "c", "d", "e"])
     b = QC.in_set("c", ["a", "b", "c", "d", "f"])
     assert a.name != b.name
+
+
+def test_in_set_with_none_in_values_still_constrains(spark):
+    """A None in the allowed list used to poison isin() into SQL
+    three-valued NULL for every non-match — ~NULL stays NULL and the
+    violation count silently became 0 (the gate stopped gating)."""
+    df = spark.createDataFrame(
+        [Row(b="QUEENS"), Row(b="BRONX"), Row(b=None)],
+    )
+    report = QC.check(df, [QC.in_set("b", ["QUEENS", None])])
+    (r,) = report
+    assert r["violations"] == 1  # BRONX; NULL exempt via isNotNull guard

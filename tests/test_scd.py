@@ -124,3 +124,64 @@ def test_as_of_point_in_time_views(spark):
     assert at(dt.date(2025, 1, 1)) == {("k1", "v2"), ("k2", "w1")}
     # before anything existed
     assert at(dt.date(2023, 1, 1)) == set()
+
+
+def test_same_day_triple_apply_keeps_audit_rows(spark):
+    """Three same-day updates to one key: the zero-length closed
+    versions created by earlier applies share effective_from with the
+    current version, and the old (key, effective_from)-keyed untouched
+    leg deleted them from the dimension on the third apply."""
+    import datetime
+
+    from adi_226_datawarehouse_project_spark.operators.scd import scd2_apply
+
+    D = datetime.date(2025, 6, 1)
+    dim = spark.createDataFrame(
+        [(1, "A", datetime.date(2020, 1, 1), datetime.date(9999, 12, 31), True)],
+        "k INT, attr STRING, effective_from DATE, effective_to DATE, is_current BOOLEAN",
+    )
+    for new in ("B", "C", "E"):
+        upd = spark.createDataFrame([(1, new)], "k INT, attr STRING")
+        dim = scd2_apply(dim, upd, "k", "attr", D)
+    rows = sorted(
+        (r["attr"], r["is_current"]) for r in dim.collect()
+    )
+    # v1(A,closed) + B,C closed same-day + E current: nothing lost
+    assert rows == [("A", False), ("B", False), ("C", False), ("E", True)]
+    assert sum(1 for _, cur in rows if cur) == 1
+
+
+def test_duplicate_update_keys_raise(spark):
+    """Two update rows for one key in a batch is ambiguous and used to
+    leave TWO is_current versions; the in-plan guard refuses loudly."""
+    import datetime
+
+    import pytest
+
+    from adi_226_datawarehouse_project_spark.operators.scd import scd2_apply
+
+    dim = spark.createDataFrame(
+        [(1, "A", datetime.date(2020, 1, 1), datetime.date(9999, 12, 31), True)],
+        "k INT, attr STRING, effective_from DATE, effective_to DATE, is_current BOOLEAN",
+    )
+    upd = spark.createDataFrame([(1, "B"), (1, "C")], "k INT, attr STRING")
+    with pytest.raises(Exception, match="duplicate update rows"):
+        scd2_apply(dim, upd, "k", "attr", datetime.date(2025, 6, 1)).collect()
+
+
+def test_update_reactivates_fully_closed_key(spark):
+    """A key whose versions are ALL closed (external soft-delete) used
+    to match neither leg — its update vanished silently. It must
+    reactivate as a new current version from batch_date."""
+    import datetime
+
+    from adi_226_datawarehouse_project_spark.operators.scd import scd2_apply
+
+    dim = spark.createDataFrame(
+        [(1, "A", datetime.date(2020, 1, 1), datetime.date(2024, 1, 1), False)],
+        "k INT, attr STRING, effective_from DATE, effective_to DATE, is_current BOOLEAN",
+    )
+    upd = spark.createDataFrame([(1, "B")], "k INT, attr STRING")
+    out = scd2_apply(dim, upd, "k", "attr", datetime.date(2025, 6, 1))
+    rows = {(r["attr"], r["is_current"]) for r in out.collect()}
+    assert rows == {("A", False), ("B", True)}

@@ -92,3 +92,30 @@ def test_scalar_pandas_udf_matches_native_token_count(spark):
     assert mism == 0
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan  # Arrow batch path, not row pickling
+
+
+def test_pandas_twin_matches_native_on_unicode_whitespace(spark):
+    """The native tokenizer splits on Java \\s+ (ASCII-only); pandas'
+    bare .str.split() splits on Unicode whitespace, so the twins used
+    to disagree on NBSP-bearing web text ('a\\u00a0b': native 1 token,
+    old pandas twin 2)."""
+    from adi_226_datawarehouse_project_spark.functions.text import token_count
+    from adi_226_datawarehouse_project_spark.functions.udtf_ops import (
+        token_count_pandas_udf,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b"),          # NBSP: one native token
+            (2, "a b c"),        # thin space: two native tokens
+            (3, " x\ty \r\n z "),     # ASCII whitespace: three
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    udf = token_count_pandas_udf()
+    rows = df.select(
+        token_count(F.col("text")).cast("int").alias("native"),
+        udf(F.col("text")).alias("via_udf"),
+    ).collect()
+    assert all(r["native"] == r["via_udf"] for r in rows), rows
+    assert [r["native"] for r in rows] == [1, 2, 3]
