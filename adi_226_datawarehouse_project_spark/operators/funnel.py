@@ -112,9 +112,11 @@ def conversion_funnel(
     prev_n = F.lag("n_users").over(w)
     first_n = F.first("n_users").over(w)
 
+    from ..functions.rounding import round6
+
     def _ratio(num, den):
         raw = num.cast("double") / den.cast("double")
-        return F.when(den > 0, F.floor(raw * 1000000 + F.lit(0.5)) / 1000000)
+        return F.when(den > 0, round6(raw))
 
     return summary.select(
         "step",

@@ -111,6 +111,14 @@ def gap_fill_interpolate(
     """
     s, h = series_col, hour_col
 
+    # A bucket whose events ALL had NULL values (v_units NULL, n_obs 0)
+    # is not an observation: counted into the span it would anchor the
+    # spine at a row with nothing to carry or interpolate from, and the
+    # leading/trailing fills would come out NULL — breaking the
+    # "locf_v never NULL / every gap has both neighbors" contract.
+    # Treat such buckets as gaps (they re-enter via the dense spine).
+    obs = obs.filter(F.col(units_col).isNotNull())
+
     span = obs.groupBy(s).agg(F.min(h).alias("__h0"), F.max(h).alias("__h1"))
     guard = (
         F.when(
@@ -172,8 +180,7 @@ def gap_fill_interpolate(
         prev_avg + (next_avg - prev_avg) * frac
     )
 
-    def _round6(x: Column) -> Column:
-        return F.floor(x * MICROS + F.lit(0.5)) / MICROS
+    from ..functions.rounding import round6 as _round6
 
     return filled.select(
         F.col(s),

@@ -95,6 +95,8 @@ def copurchase_pairs(
         .crossJoin(F.broadcast(totals))
     )
 
+    from ..functions.rounding import round6
+
     lift_raw = (F.col("pair_count") * F.col("n_baskets")).cast("double") / (
         F.col("count_a") * F.col("count_b")
     ).cast("double")
@@ -105,5 +107,5 @@ def copurchase_pairs(
         "count_a",
         "count_b",
         "n_baskets",
-        (F.floor(lift_raw * 1000000 + F.lit(0.5)) / 1000000).alias("lift"),
+        round6(lift_raw).alias("lift"),
     )

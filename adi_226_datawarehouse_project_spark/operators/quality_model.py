@@ -108,14 +108,15 @@ def hashed_linear_score(
         )
     )
 
-    # Portable 6-dp rounding (floor(x*1e6 + 0.5)/1e6): engine-native
-    # round() is not reproducible on exact half-way ties, and integer
-    # ratios like sum_w_milli/(1000*n_tokens) DO produce them.
+    # Portable 6-dp rounding (functions.rounding.round6): integer
+    # ratios like sum_w_milli/(1000*n_tokens) DO produce exact ties.
+    from ..functions.rounding import round6
+
     raw = (
         F.col("sum_w_milli").cast("double") / F.col("n_tokens") / 1000.0
         + F.lit(bias_milli / 1000.0)
     )
-    score = F.floor(raw * 1000000 + F.lit(0.5)) / 1000000
+    score = round6(raw)
     return (
         docs.select(id_col)
         .join(per_doc, id_col, "left")

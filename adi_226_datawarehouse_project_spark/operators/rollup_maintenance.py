@@ -54,7 +54,7 @@ def rollup_delta(
     aggs += [F.min(c).alias(f"min_{c}") for c in (min_cols or [])]
     aggs += [F.max(c).alias(f"max_{c}") for c in (max_cols or [])]
     aggs += [
-        F.expr(f"hll_sketch_agg({c}, {lg_k})").alias(f"sketch_{c}")
+        F.hll_sketch_agg(F.col(c), lg_k).alias(f"sketch_{c}")
         for c in (distinct_cols or [])
     ]
     return facts.groupBy(*group_cols).agg(*aggs)
@@ -69,7 +69,14 @@ def merge_rollups(
     and partial states merged column-by-column (schema-driven — any
     ``sum_*``/``min_*``/``max_*``/``sketch_*``/``n_rows`` layout from
     :func:`rollup_delta` works). Associative: merging day-by-day or
-    all-at-once yields the same table."""
+    all-at-once yields the same table — EXACTLY for integer/decimal
+    ``sum_`` measures, sketches (set-union), min/max and counts; for
+    DOUBLE ``sum_`` measures the sums are equal only up to float
+    summation order (keep measures in integer units, the repo
+    convention, when bit-reproducibility across merge schedules
+    matters). Sketches built at different ``lg_k`` merge fine
+    (``allowDifferentLgConfigK``; the smaller k's accuracy wins)
+    instead of aborting the nightly refresh."""
     # Back-compat: rollups persisted before cnt_<c> partials existed
     # lack them — synthesize cnt_<c> := n_rows on the legacy side (its
     # historical avg semantics: every row assumed to have contributed),
@@ -104,7 +111,9 @@ def merge_rollups(
         elif c.startswith("max_"):
             aggs.append(F.max(c).alias(c))
         elif c.startswith("sketch_"):
-            aggs.append(F.expr(f"hll_union_agg({c})").alias(c))
+            aggs.append(
+                F.hll_union_agg(F.col(c), allowDifferentLgConfigK=True).alias(c)
+            )
         else:
             raise ValueError(f"non-mergeable rollup column: {c!r}")
     return merged.groupBy(*group_cols).agg(*aggs)
@@ -122,7 +131,7 @@ def read_rollup(rollup: DataFrame) -> DataFrame:
         if c.startswith("sketch_"):
             out = out.withColumn(
                 f"distinct_{c[len('sketch_'):]}",
-                F.expr(f"hll_sketch_estimate({c})"),
+                F.hll_sketch_estimate(F.col(c)),
             ).drop(c)
         elif c.startswith("sum_"):
             measure = c[len("sum_"):]

@@ -43,8 +43,10 @@ def build_sketches(
     group: ``(grain..., sketch binary, n_rows)``. Map-side combinable
     single aggregation — the same shuffle as the plain groupBy count
     it rides along with."""
+    # Native Column functions, not f-string F.expr: Column args handle
+    # any column name (spaces, dots) without quoting/injection hazards.
     return df.groupBy(*grain_cols).agg(
-        F.expr(f"hll_sketch_agg({value_col}, {lg_k})").alias(sketch_col),
+        F.hll_sketch_agg(F.col(value_col), lg_k).alias(sketch_col),
         F.count(F.lit(1)).alias("n_rows"),
     )
 
@@ -57,15 +59,23 @@ def merge_sketches(
 ) -> DataFrame:
     """Merge stored sketches up to a coarser grain (or to one row when
     ``by_cols`` is empty/None) and estimate the distinct count:
-    ``(by..., distinct_estimate, n_rows)``. Only sketches move —
-    kilobytes per input group, never base rows."""
+    ``(by..., distinct_estimate[, n_rows])``. Only sketches move —
+    kilobytes per input group, never base rows.
+
+    Mixed ``lg_k`` inputs union fine (``allowDifferentLgConfigK`` —
+    the result takes the smaller k's accuracy): sketch families built
+    at different precisions over time must merge, not abort the
+    nightly refresh. ``n_rows`` is summed only when present, so a
+    pared-down (grain, sketch) projection from an external writer
+    still merges."""
     by_cols = by_cols or []
     agg = [
-        F.expr(f"hll_sketch_estimate(hll_union_agg({sketch_col}))").alias(
-            estimate_col
-        ),
-        F.sum("n_rows").alias("n_rows"),
+        F.hll_sketch_estimate(
+            F.hll_union_agg(F.col(sketch_col), allowDifferentLgConfigK=True)
+        ).alias(estimate_col)
     ]
+    if "n_rows" in sketches.columns:
+        agg.append(F.sum("n_rows").alias("n_rows"))
     if by_cols:
         return sketches.groupBy(*by_cols).agg(*agg)
     return sketches.agg(*agg)
@@ -78,7 +88,7 @@ def estimate_per_group(
 ) -> DataFrame:
     """Per-stored-grain estimates without any merge (narrow)."""
     return sketches.withColumn(
-        estimate_col, F.expr(f"hll_sketch_estimate({sketch_col})")
+        estimate_col, F.hll_sketch_estimate(F.col(sketch_col))
     )
 
 
@@ -99,7 +109,9 @@ def heavy_hitters(
     whenever the column's distinct count fits the tracked budget, and
     within the sketch's collapse error otherwise (envelope pinned in
     tests/test_sketches.py on a Zipf-ish distribution)."""
-    tracked = max_items_tracked or 10 * k
+    # `is None`, not `or`: max_items_tracked=0 is an invalid budget the
+    # caller should hear about from approx_top_k, not a silent default.
+    tracked = 10 * k if max_items_tracked is None else max_items_tracked
     by_cols = by_cols or []
     agg = F.expr(f"approx_top_k({value_col}, {k}, {tracked})").alias("__top")
     grouped = df.groupBy(*by_cols).agg(agg) if by_cols else df.agg(agg)

@@ -23,10 +23,16 @@ _SALT = "__salt"
 
 
 def _row_salt(df: DataFrame, buckets: int) -> Column:
-    """Deterministic-enough per-row salt: hash of the whole row. Rows
-    identical in every column share a salt — harmless (they'd co-group
-    anyway); everything else spreads uniformly."""
-    return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(buckets))
+    """Per-row salt: round-robin over a per-partition counter
+    (``monotonically_increasing_id``). A content hash looked
+    deterministic but defeated the operator's purpose on the exact
+    workload it exists for — a hot key whose rows are byte-identical
+    (repeated heartbeat rows) all hashed to ONE salt, leaving one
+    reducer with the whole hot group. The salt value never affects
+    results (the final agg/join recombines on the bare key), so
+    nondeterminism across task retries is harmless; round-robin gives
+    perfect spread for every content distribution."""
+    return F.pmod(F.monotonically_increasing_id(), F.lit(buckets))
 
 
 def salted_join(
@@ -73,6 +79,11 @@ def salted_agg(
     (keys, salt), final recombine on keys. Exact for decomposable
     aggregates (sum/count; min/max trivially addable)."""
     sums = sums or []
+    if not sums and not counts:
+        raise ValueError(
+            "salted_agg needs at least one aggregate: pass sums=[...] "
+            "or counts=True"
+        )
     salted = df.withColumn(_SALT, _row_salt(df, buckets))
     partial_aggs = [F.sum(c).alias(f"__s_{c}") for c in sums]
     if counts:

@@ -97,3 +97,34 @@ def test_no_gaps_left_in_any_spine(spark, sf_dir):
         )
     )
     assert holes.count() == 0
+
+
+def test_all_null_value_bucket_is_a_gap_not_an_anchor(spark):
+    """A bucket whose events all carry NULL values (v_units NULL,
+    n_obs 0) used to anchor the spine while having nothing to fill
+    from — leading rows came out with locf_v NULL and interp_v NULL,
+    breaking the documented 'locf_v never NULL' contract. It must be
+    treated as a gap."""
+    from pyspark.sql import functions as F
+
+    from adi_226_datawarehouse_project_spark.operators.gapfill import (
+        gap_fill_interpolate,
+        hourly_observations,
+    )
+
+    h0 = 1_700_000_400  # some epoch second
+    events = spark.createDataFrame(
+        [
+            (1, h0, None),            # all-NULL bucket
+            (1, h0 + 2 * 3600, 10.0),
+            (1, h0 + 4 * 3600, 20.0),
+        ],
+        "sid INT, ts BIGINT, value DOUBLE",
+    )
+    obs = hourly_observations(events, F.col("sid"))
+    out = gap_fill_interpolate(obs).orderBy("bucket_hour").collect()
+    # Spine starts at the first REAL observation (h0+2h), 3 hourly rows
+    assert len(out) == 3
+    assert all(r["locf_v"] is not None for r in out), out
+    assert all(r["interp_v"] is not None for r in out), out
+    assert out[0]["v"] == 10.0 and out[-1]["v"] == 20.0

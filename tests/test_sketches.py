@@ -125,3 +125,39 @@ def test_heavy_hitters_per_group(spark):
     got = heavy_hitters(df, "v", k=1, by_cols=["g"]).collect()
     by_g = {r["g"]: r["item"] for r in got}
     assert by_g[0] == 7  # group 0 is all 7s
+
+
+def test_mixed_lg_k_sketches_merge_instead_of_aborting(spark):
+    """Sketch families built at different precisions over time must
+    union (result takes the smaller k's accuracy) — without
+    allowDifferentLgConfigK the nightly merge died mid-shuffle with
+    HLL_UNION_DIFFERENT_LG_K."""
+    from adi_226_datawarehouse_project_spark.operators.sketches import (
+        build_sketches,
+        merge_sketches,
+    )
+
+    a = build_sketches(
+        spark.range(1000).selectExpr("'g' AS g", "id AS v"), ["g"], "v", lg_k=12
+    )
+    b = build_sketches(
+        spark.range(500, 1500).selectExpr("'g' AS g", "id AS v"), ["g"], "v", lg_k=13
+    )
+    est = merge_sketches(a.unionByName(b), ["g"]).collect()[0]["distinct_estimate"]
+    assert abs(est - 1500) / 1500 < 0.1, est
+
+
+def test_merge_sketches_without_n_rows_column(spark):
+    """A pared-down (grain, sketch) projection — e.g. from an external
+    writer — must still merge; n_rows is summed only when present."""
+    from adi_226_datawarehouse_project_spark.operators.sketches import (
+        build_sketches,
+        merge_sketches,
+    )
+
+    s = build_sketches(
+        spark.range(100).selectExpr("'g' AS g", "id AS v"), ["g"], "v"
+    ).select("g", "sketch")
+    out = merge_sketches(s, ["g"])
+    assert "n_rows" not in out.columns
+    assert abs(out.collect()[0]["distinct_estimate"] - 100) < 10

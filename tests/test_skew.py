@@ -68,3 +68,30 @@ def test_salted_join_rejects_outer(spark):
     for how in ("right", "full", "full_outer", "right_outer"):
         with pytest.raises(ValueError, match="inner/left-family"):
             salted_join(orders, customer, on=["c_custkey"], how=how)
+
+
+def test_salt_spreads_byte_identical_hot_rows(spark):
+    """The content-hash salt gave ONE salt to a hot key whose rows are
+    byte-identical (repeated heartbeat rows) — one reducer still owned
+    the whole group and the mitigation did nothing. The round-robin
+    salt must spread them over ~all buckets (and results stay exact,
+    pinned by the parity tests above)."""
+    from pyspark.sql import functions as F
+
+    from adi_226_datawarehouse_project_spark.operators.skew import _row_salt
+
+    dup = spark.range(10_000).selectExpr("'hot' AS k", "1.0 AS v").drop("id")
+    n_salts = (
+        dup.withColumn("s", _row_salt(dup, 16)).select("s").distinct().count()
+    )
+    assert n_salts >= 12, n_salts  # was 1 with the content hash
+
+
+def test_salted_agg_requires_an_aggregate(spark):
+    import pytest
+
+    from adi_226_datawarehouse_project_spark.operators.skew import salted_agg
+
+    df = spark.range(5).selectExpr("id AS k")
+    with pytest.raises(ValueError, match="at least one aggregate"):
+        salted_agg(df, ["k"], counts=False)
