@@ -524,7 +524,7 @@ def _uncompressed_parquet_bytes(path: str) -> int:
         return 2 * os.path.getsize(path)
 
 
-_PROBE_CACHE: dict[str, tuple[tuple, int | None]] = {}
+_PROBE_CACHE: dict[object, tuple[tuple, int | None]] = {}
 
 
 def _probe_fingerprint(sf_dir: str) -> tuple:
@@ -551,19 +551,71 @@ def _probe_fingerprint(sf_dir: str) -> tuple:
     return tuple(fp)
 
 
-def _probe_input_bytes(sf_dir: str) -> int | None:
+def _hadoop_probe(spark: SparkSession, sf_dir: str) -> tuple[tuple, int] | None:
+    """Size the probe inputs through Spark's own Hadoop FileSystem —
+    the path OS-level ``os.stat`` can't see: ``file:``/``hdfs:``/
+    ``s3a:`` URIs and anything else the session can read. Returns
+    ``(fingerprint, disk_bytes)`` or None when the inputs don't exist
+    there either (or no Hadoop FS handles the scheme). Driver-side
+    metadata calls only (getContentSummary = a listing, bounded to the
+    two probe inputs and memoized by the caller); no Spark job."""
+    try:
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        fp: list[tuple] = []
+        total = 0
+        for name in _POLICY_PROBE_INPUTS:
+            path = jvm.org.apache.hadoop.fs.Path(sf_dir.rstrip("/") + "/" + name)
+            fs = path.getFileSystem(hconf)
+            if not fs.exists(path):
+                return None
+            st = fs.getFileStatus(path)
+            cs = fs.getContentSummary(path)
+            fp.append(
+                (name, cs.getLength(), cs.getFileCount(), st.getModificationTime())
+            )
+            total += cs.getLength()
+        return tuple(fp), total
+    except Exception:
+        return None
+
+
+def _probe_input_bytes(sf_dir: str, spark: SparkSession | None = None) -> int | None:
     """UNCOMPRESSED bytes of the warehouse's fixture inputs, from
     parquet footers — a driver-side metadata stat, no Spark job. For
     multi-part directories, footers of the first ``_PROBE_SAMPLE_PARTS``
     parts are read and scaled by total disk bytes (replicated parts are
-    homogeneous). Returns None when the inputs aren't local stat-able
-    paths (object stores): callers fall back to the conservative
-    default for that case. Memoized per sf_dir under a (size, mtime)
-    fingerprint of the input files — the policy and the compression
-    decision both probe, and a query-path registration must not pay
-    repeated footer reads, but a corpus rewritten in place must not be
-    served a stale figure."""
+    homogeneous).
+
+    When the inputs aren't local stat-able paths and ``spark`` is
+    given, the probe falls through to Spark's Hadoop FileSystem
+    (``_hadoop_probe``) so "unknown size" disappears for any
+    Spark-readable corpus — object stores included, exactly the
+    100 TB deployment shape. Footers aren't readable cheaply there,
+    so the uncompressed estimate is 2× the on-disk bytes: the same
+    conservative multiplier as the unreadable-footer fallback
+    (over-predicting flips to the bounded-memory parquet zone early,
+    never evicts late). Returns None only when NEITHER probe can see
+    the inputs; ``resolve_warehouse_policy`` then picks the bounded
+    direction.
+
+    Memoized per sf_dir under a (size, mtime) fingerprint of the
+    input files (remote: length/file-count/modtime from the FS) — the
+    policy and the compression decision both probe, and a query-path
+    registration must not pay repeated footer reads or remote
+    listings, but a corpus rewritten in place must not be served a
+    stale figure."""
     fp = _probe_fingerprint(sf_dir)
+    local_missing = any(size < 0 for _, size, _ in fp)
+    if local_missing and spark is not None:
+        h = _hadoop_probe(spark, sf_dir)
+        if h is not None:
+            hfp, disk = h
+            key = ("hadoop", sf_dir)
+            hit = _PROBE_CACHE.get(key)
+            if hit is None or hit[0] != hfp:
+                _PROBE_CACHE[key] = (hfp, 2 * disk)
+            return _PROBE_CACHE[key][1]
     hit = _PROBE_CACHE.get(sf_dir)
     if hit is None or hit[0] != fp:
         _PROBE_CACHE[sf_dir] = (fp, _probe_input_bytes_uncached(sf_dir))
@@ -617,7 +669,7 @@ def _maybe_flip_cache_compression(spark: SparkSession, sf_dir: str) -> None:
     dropped so the caller's re-registration caches compressed."""
     if os.environ.get("SPARK_GRAFT_CACHE_COMPRESS") is not None:
         return
-    n = _probe_input_bytes(sf_dir)
+    n = _probe_input_bytes(sf_dir, spark)
     if n is None or n * _CACHE_EXPANSION <= _heap_bytes(spark):
         return
     ckey = "spark.sql.inMemoryColumnarStorage.compressed"
@@ -636,13 +688,33 @@ def resolve_warehouse_policy(spark: SparkSession, sf_dir: str) -> str:
     (UNCOMPRESSED input bytes from parquet footers × measured
     expansion vs the JVM heap) picks
     cache while the derived warehouse fits comfortably, parquet once
-    the projected cache would contend with execution memory. Unknown
-    input size (non-local paths) → cache, the long-standing default."""
+    the projected cache would contend with execution memory. Non-local
+    paths are sized through Spark's Hadoop FileSystem (see
+    ``_probe_input_bytes``), so a readable corpus is never "unknown";
+    a corpus NEITHER probe can see resolves ``parquet`` — the bounded-
+    memory direction, consistent with every other fallback in this
+    feature (an unprobeable corpus is exactly the one that must not be
+    speculatively cached whole; the worst case of guessing parquet is
+    a slower first build, the worst case of guessing cache is heap
+    exhaustion at 100 TB).
+
+    ``hybrid`` is deliberately NOT an auto outcome (round-11 decision,
+    VERDICT r10 #5): the measurement matrix gives it no operating
+    window — at 128× its build (139.4s median,
+    measurements/wh_policy_x128.jsonl) loses to cache/nocomp (103.4s,
+    later 58.0s under the round-9 protocol) and at 256× the parquet
+    zone wins outright; its hypothetical window (heap fits the cached
+    GOLD tables but not the full chain) sits between measured
+    operating points and was never observed to win. It remains a
+    manual-only diagnostic via the env override — useful for
+    isolating whether a regression lives in the staging write or the
+    gold cache — until a measurement shows a window where it beats
+    both neighbors."""
     policy = os.environ.get("SPARK_GRAFT_WAREHOUSE_POLICY", "auto")
     if policy == "auto":
-        n = _probe_input_bytes(sf_dir)
+        n = _probe_input_bytes(sf_dir, spark)
         if n is None:
-            return "cache"
+            return "parquet"
         return "cache" if n * _CACHE_EXPANSION <= _heap_bytes(spark) else "parquet"
     if policy not in ("cache", "parquet", "hybrid"):
         raise ValueError(

@@ -31,8 +31,24 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 _OPS = ("I", "U", "D")
+
+
+def _hashable(dt: T.DataType) -> bool:
+    """True when ``xxhash64`` accepts the type. MapType (at any
+    nesting depth) is rejected by Spark's hash expressions unless the
+    legacy conf is set, and raising at PLAN time over the tie-break —
+    a defensive detail — would break change feeds with map payloads
+    that folded fine before the tie-break existed."""
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _hashable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_hashable(f.dataType) for f in dt.fields)
+    return True
 
 
 def latest_changes(
@@ -43,17 +59,27 @@ def latest_changes(
     order is TOTAL — without it, two rows with equal (seq, op) but
     different payloads would win by shuffle arrival order, and a task
     retry or re-run could fold a different payload into the snapshot).
-    Output keeps all change columns."""
+    Output keeps all change columns.
+
+    The tie-break hashes only xxhash64-HASHABLE columns (maps are
+    skipped, see ``_hashable``): for a feed whose payload rows differ
+    ONLY in a map column the order is total per distinct hashable
+    prefix — equal-(seq, op, hashable-cols) rows with different map
+    payloads still fold arbitrarily, which such a producer must
+    disambiguate via ``seq_col`` (the documented contract: sequence
+    numbers SHOULD be unique per key)."""
     prec = (
         F.when(F.col(op_col) == "D", 2)
         .when(F.col(op_col) == "U", 1)
         .otherwise(0)
     )
-    w = Window.partitionBy(*keys).orderBy(
-        F.col(seq_col).desc(),
-        prec.desc(),
-        F.xxhash64(*[F.col(c) for c in changes.columns]).desc(),
-    )
+    hashable_cols = [
+        f.name for f in changes.schema.fields if _hashable(f.dataType)
+    ]
+    order = [F.col(seq_col).desc(), prec.desc()]
+    if hashable_cols:
+        order.append(F.xxhash64(*[F.col(c) for c in hashable_cols]).desc())
+    w = Window.partitionBy(*keys).orderBy(*order)
     return (
         changes.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

@@ -33,13 +33,22 @@ def incremental_upsert(
     operator promises. Duplicate keys WITHIN one incoming batch all
     insert, faithful to the reference's INSERT … NOT EXISTS (both
     duplicates pass the non-existence test against the target);
-    dedupe upstream if single-row-per-key matters."""
-    target_keys = existing.select(*keys).dropDuplicates(keys)
+    dedupe upstream if single-row-per-key matters.
+
+    Both sides are ALIASED before the condition is built: `incoming`
+    routinely shares lineage with `existing` (both derived from the
+    same staging frame), and DataFrame-attribute refs
+    (``incoming[k] == target_keys[k]``) resolve against expression
+    ids that a shared plan can make ambiguous or trivially
+    self-referential; alias-qualified ``F.col`` refs resolve by
+    subtree, which is robust under self-joins."""
+    inc = incoming.alias("__upsert_in")
+    tgt = existing.select(*keys).dropDuplicates(keys).alias("__upsert_tgt")
     if broadcast_existing:
-        target_keys = F.broadcast(target_keys)
+        tgt = F.broadcast(tgt)
     cond = None
     for k in keys:
-        c = incoming[k].eqNullSafe(target_keys[k])
+        c = F.col(f"__upsert_in.{k}").eqNullSafe(F.col(f"__upsert_tgt.{k}"))
         cond = c if cond is None else (cond & c)
-    new_rows = incoming.join(target_keys, on=cond, how="left_anti")
+    new_rows = inc.join(tgt, on=cond, how="left_anti")
     return existing.unionByName(new_rows.select(*existing.columns))

@@ -3,9 +3,14 @@ runner (previously two verbatim copies of the same attempt-count /
 ``retry_delay_s * backoff**(attempt-1)`` policy — a semantics change
 applied to one copy would silently drift the other).
 
-Reference parity: retries=2 / fixed delay mirrors the reference DAG's
-default_args (`nyc_ingestion_dag.py:134-136`); backoff=1.0 reproduces
-Airflow's fixed delay.
+Reference parity: the LOOP SHAPE (a bounded number of re-attempts,
+each preceded by a fixed `retry_delay`) mirrors Airflow task-retry
+semantics, which the reference configures via default_args
+(`nyc_ingestion_dag.py:135-136`: retries=1, retry_delay=5 minutes;
+the hybrid ETL DAG sets retries=0 at
+`nyc_hybrid_etl_pipeline.py:238`). The repo's own defaults at the
+call sites (retries=2, 60s) are this engine's calibration, not a
+mirror of those values; backoff=1.0 reproduces Airflow's fixed delay.
 """
 
 from __future__ import annotations

@@ -35,8 +35,24 @@ def _env_bool(name: str, default: str) -> str:
     return norm
 
 
+def _is_live(session: SparkSession | None) -> bool:
+    """True when the session's SparkContext is still usable. Mirrors
+    builder.getOrCreate's own reuse guard (it skips a session whose
+    ``_sc._jsc`` is gone): a caller that stopped the context directly
+    via ``sc.stop()`` leaves ``SparkSession._instantiatedSession`` set,
+    and returning that corpse would fail on first use with a JVM-side
+    'SparkContext was shut down' instead of a fresh session here."""
+    if session is None:
+        return False
+    try:
+        sc = session._sc
+        return sc is not None and sc._jsc is not None and not sc._jsc.sc().isStopped()
+    except Exception:
+        return False
+
+
 def get_spark(
-    app_name: str = "adi_226_datawarehouse_project_spark",
+    app_name: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
@@ -46,7 +62,7 @@ def get_spark(
     change; the SQL configs below are scale-independent (AQE re-plans
     shuffle parallelism at runtime from actual map-output sizes).
 
-    If a session already exists in this process it is returned
+    If a LIVE session already exists in this process it is returned
     UNCHANGED: builder.getOrCreate APPLIES every .config to the session
     it reuses, so a second get_spark() call would silently flip shuffle
     partitions / ANSI mode / cache compression mid-run on a shared
@@ -54,12 +70,36 @@ def get_spark(
     conf-mutation bug class fixed twice elsewhere in this repo. The
     check covers both the thread-local active session and the
     process-wide default (getActiveSession() alone is None on worker
-    threads, and this codebase runs tasks on a ThreadPool)."""
-    existing = SparkSession.getActiveSession() or getattr(
-        SparkSession, "_instantiatedSession", None
-    )
-    if existing is not None:
+    threads, and this codebase runs tasks on a ThreadPool). A stopped
+    session is NOT reused (see ``_is_live``). When the caller passed
+    explicit settings that reuse must ignore, a warning says so
+    instead of silently dropping them."""
+    existing = SparkSession.getActiveSession()
+    if not _is_live(existing):
+        existing = getattr(SparkSession, "_instantiatedSession", None)
+    if _is_live(existing):
+        ignored = [
+            name
+            for name, val in (
+                ("app_name", app_name),
+                ("shuffle_partitions", shuffle_partitions),
+                ("extra_conf", extra_conf),
+            )
+            if val is not None
+        ]
+        if ignored:
+            import warnings
+
+            warnings.warn(
+                "get_spark: reusing the existing live SparkSession; "
+                f"explicitly passed {', '.join(ignored)} NOT applied "
+                "(reconfiguring a shared session mid-run is the bug "
+                "this guard exists to prevent)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         return existing
+    app_name = app_name or "adi_226_datawarehouse_project_spark"
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
         SparkSession.builder.appName(app_name)

@@ -140,3 +140,43 @@ def test_latest_changes_tiebreak_is_total(spark):
     ).collect()
     assert len(a) == len(b) == 1
     assert a[0]["v"] == b[0]["v"]
+
+
+def test_map_payload_columns_fold_without_legacy_conf(spark):
+    """xxhash64 rejects MapType (SPARK hash expressions); the tie-break
+    must skip unhashable columns so change feeds with a map payload —
+    which folded fine before the tie-break existed — keep working."""
+    base = spark.createDataFrame(
+        [(1, {"a": 1}, 1)], "k INT, attrs MAP<STRING,INT>, seq INT"
+    )
+    changes = spark.createDataFrame(
+        [(1, {"a": 2}, 5, "U"), (2, {"b": 3}, 6, "I")],
+        "k INT, attrs MAP<STRING,INT>, seq INT, op STRING",
+    )
+    out = apply_cdc(base, changes, ["k"], "seq")
+    got = {r["k"]: dict(r["attrs"]) for r in out.collect()}
+    assert got == {1: {"a": 2}, 2: {"b": 3}}
+    # the order STAYS total on the hashable prefix: distinct hashable
+    # payloads with equal (seq, op) still fold order-independently
+    rows = [(1, {"x": 0}, 5, "U", "p1"), (1, {"x": 0}, 5, "U", "p2")]
+    schema = "k INT, m MAP<STRING,INT>, seq INT, op STRING, v STRING"
+    a = latest_changes(spark.createDataFrame(rows, schema), ["k"], "seq").collect()
+    b = latest_changes(
+        spark.createDataFrame(rows[::-1], schema), ["k"], "seq"
+    ).collect()
+    assert len(a) == len(b) == 1 and a[0]["v"] == b[0]["v"]
+
+
+def test_hashable_type_predicate():
+    """Maps are unhashable at ANY nesting depth; everything else stays
+    eligible for the tie-break hash."""
+    from pyspark.sql import types as T
+
+    from adi_226_datawarehouse_project_spark.operators.cdc import _hashable
+
+    m = T.MapType(T.StringType(), T.IntegerType())
+    assert not _hashable(m)
+    assert not _hashable(T.ArrayType(m))
+    assert not _hashable(T.StructType([T.StructField("m", m)]))
+    assert _hashable(T.ArrayType(T.StringType()))
+    assert _hashable(T.StructType([T.StructField("x", T.DoubleType())]))

@@ -32,6 +32,44 @@ def test_get_spark_returns_existing_session_unchanged(spark, monkeypatch):
         spark.conf.set(key, prev)
 
 
+def test_get_spark_warns_when_explicit_args_ignored(spark):
+    """Reuse must not be SILENT about dropping explicitly passed
+    settings: the caller asked for a conf the live session won't get."""
+    with pytest.warns(RuntimeWarning, match="shuffle_partitions"):
+        assert get_spark(shuffle_partitions=99) is spark
+
+
+def test_get_spark_no_warning_on_default_args(spark, recwarn):
+    """A bare get_spark() reusing the live session is the intended
+    fast path — no warning noise."""
+    assert get_spark() is spark
+    assert not [w for w in recwarn if issubclass(w.category, RuntimeWarning)]
+
+
+def test_is_live_rejects_stopped_or_absent_contexts(spark):
+    """getOrCreate checks context liveness before reusing; get_spark
+    must too — sc.stop() leaves SparkSession._instantiatedSession set,
+    and handing back that corpse fails on first use instead of
+    building a fresh session."""
+    from adi_226_datawarehouse_project_spark.session import _is_live
+
+    class _DeadSC:
+        _jsc = None
+
+    class _DeadSession:
+        _sc = _DeadSC()
+
+    class _Exploding:
+        @property
+        def _sc(self):
+            raise RuntimeError("gateway gone")
+
+    assert _is_live(spark)
+    assert not _is_live(None)
+    assert not _is_live(_DeadSession())
+    assert not _is_live(_Exploding())
+
+
 def test_env_bool_normalizes_and_rejects(monkeypatch):
     """SPARK_GRAFT_UI=1 passed raw into spark.ui.enabled crashed
     session creation with an IllegalArgumentException that never named

@@ -95,3 +95,84 @@ def test_salted_agg_requires_an_aggregate(spark):
     df = spark.range(5).selectExpr("id AS k")
     with pytest.raises(ValueError, match="at least one aggregate"):
         salted_agg(df, ["k"], counts=False)
+
+
+def test_salt_column_never_in_output(spark):
+    """VERDICT r10 #3/#4: the (documented) retry nondeterminism of the
+    round-robin salt is safe ONLY while the salt never persists — pin
+    that both operators drop it and the output schema is salt-free."""
+    from adi_226_datawarehouse_project_spark.operators.skew import _SALT
+
+    orders = load_table(spark, SF_SMALL, "orders").withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    customer = load_table(spark, SF_SMALL, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = salted_join(orders, customer, on=["c_custkey"], buckets=4)
+    assert _SALT not in joined.columns
+    assert set(joined.columns) == set(orders.columns) | {"c_mktsegment"}
+    li = load_table(spark, SF_SMALL, "lineitem")
+    agged = salted_agg(li, ["l_returnflag"], sums=["l_quantity"], buckets=4)
+    assert agged.columns == ["l_returnflag", "sum_l_quantity", "n_rows"]
+
+
+def test_reserved_salt_column_rejected(spark):
+    """An input already carrying __salt would be silently clobbered —
+    refuse loudly instead."""
+    import pytest
+
+    df = spark.range(4).withColumn("__salt", F.lit(1))
+    with pytest.raises(ValueError, match="__salt"):
+        salted_agg(df, ["id"])
+    with pytest.raises(ValueError, match="__salt"):
+        salted_join(df, spark.range(2), on=["id"])
+    with pytest.raises(ValueError, match="__salt"):
+        salted_join(spark.range(2), df, on=["id"])
+
+
+def test_content_hash_salt_deterministic_and_correct(spark):
+    """salt_on = the cluster-safe mode (ADVICE r10): a pure content
+    hash recomputes identically on any retry. Parity with the plain
+    plan, spread across buckets, and bit-stable across evaluations."""
+    from adi_226_datawarehouse_project_spark.operators.skew import _row_salt
+
+    li = load_table(spark, SF_SMALL, "lineitem")
+    plain = li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("sum_l_quantity"),
+        F.count("*").alias("n_rows"),
+    )
+    salted = salted_agg(
+        li, ["l_returnflag"], sums=["l_quantity"], buckets=8,
+        salt_on=["l_orderkey", "l_linenumber"],
+    )
+    a = {r["l_returnflag"]: (r["sum_l_quantity"], r["n_rows"]) for r in plain.collect()}
+    b = {r["l_returnflag"]: (r["sum_l_quantity"], r["n_rows"]) for r in salted.collect()}
+    assert a == b
+    # deterministic: two independent evaluations produce identical salts
+    s1 = li.withColumn("s", _row_salt(li, 16, ["l_orderkey", "l_linenumber"]))
+    one = s1.select(F.sum(F.col("s") * F.col("l_orderkey")).alias("chk")).collect()[0]["chk"]
+    two = s1.select(F.sum(F.col("s") * F.col("l_orderkey")).alias("chk")).collect()[0]["chk"]
+    assert one == two
+    # and it still spreads: every bucket hit on a high-cardinality discriminator
+    dist = s1.groupBy("s").count().collect()
+    assert len(dist) == 16
+    # join parity under salt_on as well
+    orders = load_table(spark, SF_SMALL, "orders").withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    customer = load_table(spark, SF_SMALL, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    plain_j = sorted(
+        map(tuple,
+            orders.join(customer, "c_custkey")
+            .select("o_orderkey", "c_mktsegment").collect())
+    )
+    salted_j = sorted(
+        map(tuple,
+            salted_join(orders, customer, on=["c_custkey"], buckets=8,
+                        salt_on=["o_orderkey"])
+            .select("o_orderkey", "c_mktsegment").collect())
+    )
+    assert plain_j == salted_j

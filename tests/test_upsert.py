@@ -25,6 +25,31 @@ def test_null_key_rows_upsert_idempotently(spark):
     assert third.count() == 4
 
 
+def test_shared_lineage_incoming_resolves(spark):
+    """`incoming` derived from `existing` ITSELF (shared plan lineage,
+    identical expression ids) — the worst case for DataFrame-attribute
+    refs in the join condition, which can resolve ambiguously or
+    trivially-true under a self-join. The alias-qualified condition
+    must still dedupe by key, not re-append everything."""
+    existing = spark.createDataFrame(
+        [(1, "a"), (None, "n")], "k INT, v STRING"
+    )
+    incoming = existing.withColumn("v", F.concat(F.col("v"), F.lit("-v2")))
+    out = incremental_upsert(existing, incoming, ["k"])
+    # every incoming key (1 and NULL) already exists -> nothing added,
+    # and the surviving rows are the EXISTING payloads
+    got = sorted(
+        ((r["k"], r["v"]) for r in out.collect()),
+        key=lambda t: (t[0] is None, t[0] or 0),
+    )
+    assert got == [(1, "a"), (None, "n")]
+    # a genuinely new key derived from the same lineage still inserts
+    grown = incremental_upsert(
+        existing, incoming.withColumn("k", F.col("k") + 10), ["k"]
+    )
+    assert grown.count() == 3
+
+
 def test_multi_key_null_safe(spark):
     existing = spark.createDataFrame(
         [(1, None, "a")], "k1 INT, k2 STRING, v STRING"

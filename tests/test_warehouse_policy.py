@@ -100,12 +100,14 @@ def test_auto_policy_matches_measured_operating_points(spark, monkeypatch):
         (int(3.8 * gb), 64 * gb, "parquet"),  # 256× @ 64g: zone wins
     ]
     for n, heap, expect in cases:
-        monkeypatch.setattr(star, "_probe_input_bytes", lambda _sf, n=n: n)
+        monkeypatch.setattr(star, "_probe_input_bytes", lambda _sf, _spark=None, n=n: n)
         monkeypatch.setattr(star, "_heap_bytes", lambda _s, h=heap: h)
         assert star.resolve_warehouse_policy(spark, SF) == expect, (n, heap)
-    # Unknown input size (object-store paths) → conservative default.
-    monkeypatch.setattr(star, "_probe_input_bytes", lambda _sf: None)
-    assert star.resolve_warehouse_policy(spark, SF) == "cache"
+    # Unknown input size (NEITHER probe can see the corpus) → the
+    # BOUNDED direction: caching 14 tables of an unsizable corpus is
+    # the failure mode the feature exists to prevent (VERDICT r10 #2).
+    monkeypatch.setattr(star, "_probe_input_bytes", lambda _sf, _spark=None: None)
+    assert star.resolve_warehouse_policy(spark, SF) == "parquet"
     # Explicit env var always overrides the probe.
     monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE_POLICY", "hybrid")
     assert star.resolve_warehouse_policy(spark, SF) == "hybrid"
@@ -119,7 +121,7 @@ def test_forced_cache_policy_auto_enables_compression(spark, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE_POLICY", "cache")
     monkeypatch.delenv("SPARK_GRAFT_CACHE_COMPRESS", raising=False)
     gb = 1 << 30
-    monkeypatch.setattr(star, "_probe_input_bytes", lambda _sf: 3 * gb)
+    monkeypatch.setattr(star, "_probe_input_bytes", lambda _sf, _spark=None: 3 * gb)
     monkeypatch.setattr(star, "_heap_bytes", lambda _s: 16 * gb)
     key = "spark.sql.inMemoryColumnarStorage.compressed"
     prev = spark.conf.get(key)
@@ -221,7 +223,7 @@ def test_forced_cache_compression_flip_rebuilds_existing_cache(spark, monkeypatc
         star.register_star_views(spark, SF)
         assert star._REGISTERED[id(spark)][1] == "cache"
         gb = 1 << 30
-        monkeypatch.setattr(star, "_probe_input_bytes", lambda _sf: 3 * gb)
+        monkeypatch.setattr(star, "_probe_input_bytes", lambda _sf, _spark=None: 3 * gb)
         monkeypatch.setattr(star, "_heap_bytes", lambda _s: 16 * gb)
         recached = []
         orig = spark.catalog.cacheTable
@@ -248,7 +250,7 @@ def test_query_path_consults_policy(spark, monkeypatch, tmp_path):
     monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE_DIR", zone)
     monkeypatch.delenv("SPARK_GRAFT_WAREHOUSE_POLICY", raising=False)
     gb = 1 << 30
-    monkeypatch.setattr(star, "_probe_input_bytes", lambda _sf: 4 * gb)
+    monkeypatch.setattr(star, "_probe_input_bytes", lambda _sf, _spark=None: 4 * gb)
     monkeypatch.setattr(star, "_heap_bytes", lambda _s: 16 * gb)
     star._REGISTERED.pop(id(spark), None)
     spark.catalog.clearCache()
@@ -272,7 +274,7 @@ def test_query_path_forced_cache_flips_compression(spark, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE_POLICY", "cache")
     monkeypatch.delenv("SPARK_GRAFT_CACHE_COMPRESS", raising=False)
     gb = 1 << 30
-    monkeypatch.setattr(star, "_probe_input_bytes", lambda _sf: 3 * gb)
+    monkeypatch.setattr(star, "_probe_input_bytes", lambda _sf, _spark=None: 3 * gb)
     monkeypatch.setattr(star, "_heap_bytes", lambda _s: 16 * gb)
     key = "spark.sql.inMemoryColumnarStorage.compressed"
     prev = spark.conf.get(key)
@@ -299,7 +301,7 @@ def test_views_to_cache_upgrade_consults_policy(spark, monkeypatch, tmp_path):
     monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE_DIR", zone)
     monkeypatch.delenv("SPARK_GRAFT_WAREHOUSE_POLICY", raising=False)
     gb = 1 << 30
-    monkeypatch.setattr(star, "_probe_input_bytes", lambda _sf: 4 * gb)
+    monkeypatch.setattr(star, "_probe_input_bytes", lambda _sf, _spark=None: 4 * gb)
     monkeypatch.setattr(star, "_heap_bytes", lambda _s: 16 * gb)
     star._REGISTERED.pop(id(spark), None)
     spark.catalog.clearCache()
@@ -363,3 +365,39 @@ def test_star_memo_survives_session_id_reuse(spark):
         if saved[1] is not None:
             star._REGISTERED_REFS[key] = saved[1]
         spark.catalog.clearCache()
+
+
+def test_non_statable_sf_dir_resolves_bounded(spark, monkeypatch):
+    """VERDICT r10 top-next: a corpus NEITHER os.stat nor the Hadoop
+    FS can see must resolve `parquet` (bounded memory), not `cache` —
+    the unprobeable corpus is precisely the one that must never be
+    speculatively cached whole."""
+    monkeypatch.delenv("SPARK_GRAFT_WAREHOUSE_POLICY", raising=False)
+    assert (
+        star.resolve_warehouse_policy(spark, "/nonexistent/sf_dir_r11")
+        == "parquet"
+    )
+
+
+def test_hadoop_probe_sizes_file_scheme_uris(spark, monkeypatch):
+    """A `file:`-scheme sf_dir is invisible to os.stat but readable by
+    Spark: the Hadoop-FS probe must size it (2× disk, the conservative
+    unreadable-footer multiplier), so "unknown size" disappears for
+    Spark-readable paths and the tiny test corpus resolves `cache`
+    exactly like its plain-path twin."""
+    import os
+
+    monkeypatch.delenv("SPARK_GRAFT_WAREHOUSE_POLICY", raising=False)
+    uri = "file:" + SF
+    n = star._probe_input_bytes(uri, spark)
+    disk = sum(
+        os.path.getsize(os.path.join(SF, t)) for t in star._POLICY_PROBE_INPUTS
+    )
+    assert n == 2 * disk
+    assert star.resolve_warehouse_policy(spark, uri) == "cache"
+    # memoized: the second call serves the cached figure under the
+    # remote fingerprint (length/file-count/modtime)
+    assert star._probe_input_bytes(uri, spark) == n
+    # without a session to reach the Hadoop FS, the local probe alone
+    # still (correctly) reports unknown
+    assert star._probe_input_bytes(uri) is None
