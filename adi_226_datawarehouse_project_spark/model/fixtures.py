@@ -34,8 +34,14 @@ from __future__ import annotations
 from ..dialect import SPARK, TS_FORMATS, repartition_hint
 
 # Duplicate-seed folding: rows whose key matches take the previous
-# key's seed, making them full-row duplicates (dedup is then
-# deterministic regardless of which copy a dialect keeps).
+# key's seed. For LISTINGS every column derives from the seed alone,
+# so the folded pair is a full-row duplicate and DISTINCT dedup is
+# deterministic. For COMPLAINTS the pair shares unique_key but keeps
+# each row's own `ship` (l_shipdate), so the payloads DIFFER — that is
+# deliberate: it forces the staging dedup to be an ordered
+# deterministic-keep (row_number over an explicit ORDER BY, see
+# model/star.py staging_311 note), because vanilla dropDuplicates
+# would be partition-order-dependent on exactly this shape.
 _C_SEED = "(CASE WHEN k % 500 = 33 THEN k - 1 ELSE k END)"
 _L_SEED = "(CASE WHEN k % 97 = 5 THEN k - 1 ELSE k END)"
 

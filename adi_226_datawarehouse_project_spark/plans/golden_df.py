@@ -4,10 +4,16 @@ agree). The SQL forms (`golden.py`) carry the DuckDB oracle; these
 builders are pinned row-identical to them by `tests/test_golden_df.py`,
 so both surfaces inherit the oracle's authority.
 
-The two forms compile to the same Catalyst logical plans (same join
-graph, same exact-cents money paths, same window-over-aggregate
-two-phase shape), so everything in golden.py's scale notes applies
-unchanged.
+The two forms share the same plan shape (same join graph, same
+exact-cents money paths, same window-over-aggregate two-phase shape,
+and — since round 11 — the same aggregate-below-join rewrite for the
+geohash family g04–g08), so everything in golden.py's scale notes
+applies to both surfaces. Earlier rounds kept g04–g06 in the naive
+fact⋈dim m:n form here; that silently re-introduced the 3.9-billion-
+pair blowup golden.py documents (its g04 note) on the DataFrame
+surface. The naive↔rewrite value equivalence is pinned separately in
+tests/test_golden_rewrites.py, so nothing is lost by aligning the
+shapes.
 """
 
 from __future__ import annotations
@@ -95,57 +101,122 @@ def _g03(spark: SparkSession) -> DataFrame:
     )
 
 
+def _pair_avg_money(cents: Column, pairs: Column, alias: str) -> Column:
+    """avg over the m:n pair count, recovered from per-cell partials:
+    sum(cents·dcnt) / sum(cnt·dcnt) — exact integer math until the one
+    final divide (mirrors golden.py's SQL text)."""
+    return F.round(
+        F.sum(cents).cast("bigint").cast("double")
+        / F.sum(pairs).cast("bigint")
+        / 100.0,
+        2,
+    ).alias(alias)
+
+
 def _g04(spark: SparkSession) -> DataFrame:
-    f = spark.table("fact_airbnb_listings")
-    al = spark.table("dim_airbnb_location")
+    # Aggregate-below-join (golden.py g04 note): both sides roll up to
+    # geohash grain BEFORE the m:n join; pair counts/sums are weighted
+    # products of the per-cell partials.
+    fa = (
+        spark.table("fact_airbnb_listings")
+        .filter(_price_ok())
+        .groupBy("geohash")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(_cents(_price())).alias("cents"),
+            F.min(_price()).alias("min_p"),
+            F.max(_price()).alias("max_p"),
+        )
+    )
+    da = (
+        spark.table("dim_airbnb_location")
+        .filter(F.col("borough").isNotNull())
+        .groupBy("geohash", "borough")
+        .agg(F.count("*").alias("dcnt"))
+    )
     return (
-        f.join(al, "geohash")
-        .filter(F.col("borough").isNotNull() & _price_ok())
+        fa.join(da, "geohash")
         .groupBy("borough")
         .agg(
-            F.count("*").alias("total_listings"),
-            _avg_money(_price(), "avg_price"),
-            F.min(_price()).alias("min_price"),
-            F.max(_price()).alias("max_price"),
+            F.sum(F.col("cnt") * F.col("dcnt")).cast("bigint").alias("total_listings"),
+            _pair_avg_money(
+                F.col("cents") * F.col("dcnt"), F.col("cnt") * F.col("dcnt"), "avg_price"
+            ),
+            F.min("min_p").alias("min_price"),
+            F.max("max_p").alias("max_price"),
         )
         .orderBy(F.desc("total_listings"), "borough")
     )
 
 
 def _g05(spark: SparkSession) -> DataFrame:
+    # Same rewrite; the property LEFT JOIN is 1:1 on listing_id so it
+    # stays below the fact-side aggregation (golden.py g05 note).
     f = spark.table("fact_airbnb_listings").alias("f")
-    al = spark.table("dim_airbnb_location").alias("al")
     dp = spark.table("dim_airbnb_property").alias("dp")
-    return (
-        f.join(al, F.col("f.geohash") == F.col("al.geohash"))
-        .join(dp, F.col("f.listing_id") == F.col("dp.listing_id"), "left")
-        .filter(F.col("al.borough").isNotNull() & _price_ok())
+    fa = (
+        f.join(dp, F.col("f.listing_id") == F.col("dp.listing_id"), "left")
+        .filter(_price_ok())
         .groupBy(
+            F.col("f.geohash").alias("geohash"),
             F.coalesce(F.col("f.room_type"), F.col("dp.room_type")).alias("room_type"),
-            F.col("al.borough").alias("borough"),
         )
-        .agg(F.count("*").alias("listing_count"), _avg_money(_price(), "avg_price"))
+        .agg(F.count("*").alias("cnt"), F.sum(_cents(_price())).alias("cents"))
+    )
+    da = (
+        spark.table("dim_airbnb_location")
+        .filter(F.col("borough").isNotNull())
+        .groupBy("geohash", "borough")
+        .agg(F.count("*").alias("dcnt"))
+    )
+    return (
+        fa.join(da, "geohash")
+        .groupBy("room_type", "borough")
+        .agg(
+            F.sum(F.col("cnt") * F.col("dcnt")).cast("bigint").alias("listing_count"),
+            _pair_avg_money(
+                F.col("cents") * F.col("dcnt"), F.col("cnt") * F.col("dcnt"), "avg_price"
+            ),
+        )
         .orderBy(F.desc("listing_count"), "room_type", "borough")
     )
 
 
 def _g06(spark: SparkSession) -> DataFrame:
-    f = spark.table("fact_airbnb_listings")
-    al = spark.table("dim_airbnb_location")
-    return (
-        f.join(al, "geohash")
+    # Same rewrite; avg divides by the PAIR count of non-null prices
+    # (pcnt·dcnt), matching count(price) over the raw join exactly
+    # (golden.py g06 note).
+    fa = (
+        spark.table("fact_airbnb_listings")
         .filter(~F.col("price").isin("NaN", "nan", "", "INF", "-INF"))
+        .groupBy("geohash")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.count(_price()).alias("pcnt"),
+            F.sum(_cents(_price())).alias("cents"),
+            F.sum(_cents(F.coalesce(F.col("estimated_revenue_l365d"), F.lit(0)))).alias(
+                "rev_cents"
+            ),
+        )
+    )
+    da = (
+        spark.table("dim_airbnb_location")
+        .groupBy("geohash", "neighbourhood_name", "borough")
+        .agg(F.count("*").alias("dcnt"))
+    )
+    return (
+        fa.join(da, "geohash")
         .groupBy(
             F.col("neighbourhood_name").alias("neighbourhood"),
             "borough",
         )
         .agg(
-            F.count("*").alias("listings"),
-            _avg_money(_price(), "avg_price"),
+            F.sum(F.col("cnt") * F.col("dcnt")).cast("bigint").alias("listings"),
+            _pair_avg_money(
+                F.col("cents") * F.col("dcnt"), F.col("pcnt") * F.col("dcnt"), "avg_price"
+            ),
             F.round(
-                F.sum(_cents(F.coalesce(F.col("estimated_revenue_l365d"), F.lit(0))))
-                .cast("bigint")
-                .cast("double")
+                F.sum(F.col("rev_cents") * F.col("dcnt")).cast("bigint").cast("double")
                 / 100.0,
                 2,
             ).alias("est_total_revenue_l365d"),

@@ -362,11 +362,47 @@ ORDER BY window_start, event_type
 """
 
 
-def _spark_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD2 versioned-dimension merge (operators/scd.py) over a
-    deterministic customer-derived fixture: keys %5≠0 exist, keys %3=0
-    arrive in the update batch (odd keys change address, even keys are
-    attribute-identical no-ops, %5=0∧%3=0 are brand new)."""
+def _scd2_norm(df: DataFrame, part: str) -> DataFrame:
+    """Normalize an SCD2 dimension frame to the merge-suite schema
+    (part, k, s, d1, d2, b, n)."""
+    return df.select(
+        F.lit(part).alias("part"),
+        F.col("custkey").cast("string").alias("k"),
+        F.col("address").alias("s"),
+        F.col("effective_from").alias("d1"),
+        F.col("effective_to").alias("d2"),
+        F.col("is_current").alias("b"),
+        F.lit(None).cast("bigint").alias("n"),
+    )
+
+
+def _spark_merge_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-family tag-union suite (registry key kept as
+    ``op_scd2_dimension_apply``; COVERAGE.md headroom policy — the
+    round-10 adversarial pytest pins promoted into oracle coverage,
+    VERDICT r10 #3). Parts, each with an independent oracle body:
+
+    - ``scd2_apply``: the original SCD2 versioned-dimension merge
+      (operators/scd.py) over a deterministic customer fixture: keys
+      %5≠0 exist, keys %3=0 arrive in the update batch (odd keys
+      change address, even keys are attribute-identical no-ops,
+      %5=0∧%3=0 are brand new).
+    - ``scd2_same_day_triple``: THREE same-batch-date applies over the
+      nation keys — the round-10 audit-row-loss shape (a same-day
+      re-update creates a zero-length closed version sharing
+      effective_from with the current row; the third apply used to
+      delete that audit row). Keys %5=0 make batch 2 a no-op (attr
+      equality), so both the 4-version and 3-version outcomes are
+      covered.
+    - ``cdc_stale_batch``: apply_cdc (operators/cdc.py) on a
+      seq-carrying snapshot, folding a FRESH batch (seq 20: U on even
+      keys, D on key 7, I of key 100) and then a STALE batch (seq 5:
+      U on every surviving key, plus a D on key 3 that must LOSE to
+      the base row's seq 10). The oracle is the per-key argmax over
+      base ∪ fresh ∪ stale with D>U>I tie precedence — equal to the
+      sequential fold for this fixture (no reinsert of a deleted
+      key, the documented snapshot-defense boundary)."""
+    from ..operators.cdc import apply_cdc
     from ..operators.scd import scd2_apply
 
     cust = load_table(spark, sf_dir, "customer")
@@ -387,11 +423,111 @@ def _spark_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     updates = cust.filter(F.col("c_custkey") % 3 == 0).select(
         F.col("c_custkey").alias("custkey"), new_addr.alias("address")
     )
-    out = scd2_apply(dim, updates, "custkey", "address", datetime.date(2025, 6, 1))
-    return out.orderBy("custkey", "effective_from", "is_current")
+    apply_once = scd2_apply(
+        dim, updates, "custkey", "address", datetime.date(2025, 6, 1)
+    )
+
+    # --- scd2_same_day_triple ---
+    batch_day = datetime.date(2025, 6, 1)
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("custkey")
+    )
+
+    def _attr(i: int):
+        return F.concat(F.lit(f"v{i}-"), (F.col("custkey") % 7).cast("string"))
+
+    dim0 = nat.select(
+        "custkey",
+        _attr(0).alias("address"),
+        F.lit(datetime.date(2020, 1, 1)).alias("effective_from"),
+        F.lit(datetime.date(9999, 12, 31)).alias("effective_to"),
+        F.lit(True).alias("is_current"),
+    )
+    attr2 = F.when(F.col("custkey") % 5 == 0, _attr(1)).otherwise(_attr(2))
+    tri = scd2_apply(
+        dim0, nat.select("custkey", _attr(1).alias("address")),
+        "custkey", "address", batch_day,
+    )
+    tri = scd2_apply(
+        tri, nat.select("custkey", attr2.alias("address")),
+        "custkey", "address", batch_day,
+    )
+    tri = scd2_apply(
+        tri, nat.select("custkey", _attr(3).alias("address")),
+        "custkey", "address", batch_day,
+    )
+
+    # --- cdc_stale_batch ---
+    k = F.col("k")
+    nk = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("k")
+    )
+    base = nk.select(
+        "k",
+        F.concat(F.lit("base-"), k.cast("string")).alias("payload"),
+        F.lit(10).cast("bigint").alias("seq"),
+    )
+    key100 = spark.range(1).select(
+        F.lit(100).cast("bigint").alias("k"),
+        F.lit("fresh-100").alias("payload"),
+        F.lit(20).cast("bigint").alias("seq"),
+        F.lit("I").alias("op"),
+    )
+    fresh = (
+        nk.filter(k % 2 == 0)
+        .select(
+            "k",
+            F.concat(F.lit("fresh-"), k.cast("string")).alias("payload"),
+            F.lit(20).cast("bigint").alias("seq"),
+            F.lit("U").alias("op"),
+        )
+        .unionByName(
+            nk.filter(k == 7).select(
+                "k",
+                F.lit("del").alias("payload"),
+                F.lit(20).cast("bigint").alias("seq"),
+                F.lit("D").alias("op"),
+            )
+        )
+        .unionByName(key100)
+    )
+    stale = (
+        nk.filter(k != 7)
+        .select(
+            "k",
+            F.concat(F.lit("stale-"), k.cast("string")).alias("payload"),
+            F.lit(5).cast("bigint").alias("seq"),
+            F.lit("U").alias("op"),
+        )
+        .unionByName(
+            nk.filter(k == 3).select(
+                "k",
+                F.lit("del").alias("payload"),
+                F.lit(5).cast("bigint").alias("seq"),
+                F.lit("D").alias("op"),
+            )
+        )
+    )
+    folded = apply_cdc(apply_cdc(base, fresh, ["k"], "seq"), stale, ["k"], "seq")
+    cdc_part = folded.select(
+        F.lit("cdc_stale_batch").alias("part"),
+        F.col("k").cast("string").alias("k"),
+        F.col("payload").alias("s"),
+        F.lit(None).cast("date").alias("d1"),
+        F.lit(None).cast("date").alias("d2"),
+        F.lit(None).cast("boolean").alias("b"),
+        F.col("seq").alias("n"),
+    )
+
+    return (
+        _scd2_norm(apply_once, "scd2_apply")
+        .unionByName(_scd2_norm(tri, "scd2_same_day_triple"))
+        .unionByName(cdc_part)
+        .orderBy("part", "k", "s")
+    )
 
 
-_SCD2_ORACLE = """
+_SCD2_APPLY_ORACLE_BODY = """
 WITH dim AS (
   SELECT c_custkey AS custkey,
          'addr-' || CAST(c_custkey % 97 AS VARCHAR) AS address,
@@ -437,7 +573,89 @@ SELECT * FROM (
   UNION ALL SELECT * FROM reopened
   UNION ALL SELECT * FROM brand_new
 ) t
-ORDER BY custkey, effective_from, is_current
+"""
+
+# scd2_same_day_triple expected state, derived in SQL from the same
+# nation-key fixture: per key the version trail is
+#   v0 (2020-01-01 → B, closed) ; v1 (B → B, zero-length audit row) ;
+#   v2 (B → B, audit row; ONLY for keys whose batch 2 was a real
+#   change, i.e. k%5≠0) ; v3 (B → far-future, current).
+_SCD2_TRIPLE_ORACLE_BODY = """
+WITH nk AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS custkey,
+         CAST(n_nationkey % 7 AS STRING) AS m
+  FROM nation
+)
+SELECT custkey, 'v0-' || m AS address, DATE '2020-01-01' AS effective_from,
+       DATE '2025-06-01' AS effective_to, FALSE AS is_current FROM nk
+UNION ALL
+SELECT custkey, 'v1-' || m, DATE '2025-06-01', DATE '2025-06-01', FALSE FROM nk
+UNION ALL
+SELECT custkey, 'v2-' || m, DATE '2025-06-01', DATE '2025-06-01', FALSE
+FROM nk WHERE custkey % 5 <> 0
+UNION ALL
+SELECT custkey, 'v3-' || m, DATE '2025-06-01', DATE '9999-12-31', TRUE FROM nk
+"""
+
+# cdc_stale_batch expected state: per-key argmax over
+# base ∪ fresh ∪ stale on (seq DESC, D>U>I) with D-winners dropped —
+# equal to the sequential fold for this fixture (no deleted-key
+# reinsert; see the Spark-side docstring).
+_CDC_STALE_ORACLE_BODY = """
+WITH base AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS k,
+         'base-' || CAST(n_nationkey AS STRING) AS payload,
+         CAST(10 AS BIGINT) AS seq, 'I' AS op
+  FROM nation
+),
+fresh AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS k,
+         'fresh-' || CAST(n_nationkey AS STRING) AS payload,
+         CAST(20 AS BIGINT) AS seq, 'U' AS op
+  FROM nation WHERE n_nationkey % 2 = 0
+  UNION ALL
+  SELECT CAST(n_nationkey AS BIGINT), 'del', CAST(20 AS BIGINT), 'D'
+  FROM nation WHERE n_nationkey = 7
+  UNION ALL
+  SELECT CAST(100 AS BIGINT), 'fresh-100', CAST(20 AS BIGINT), 'I'
+),
+stale AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS k,
+         'stale-' || CAST(n_nationkey AS STRING) AS payload,
+         CAST(5 AS BIGINT) AS seq, 'U' AS op
+  FROM nation WHERE n_nationkey <> 7
+  UNION ALL
+  SELECT CAST(3 AS BIGINT), 'del', CAST(5 AS BIGINT), 'D'
+),
+allrows AS (
+  SELECT * FROM base UNION ALL SELECT * FROM fresh UNION ALL SELECT * FROM stale
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY k
+    ORDER BY seq DESC, CASE op WHEN 'D' THEN 2 WHEN 'U' THEN 1 ELSE 0 END DESC
+  ) AS rn
+  FROM allrows
+)
+SELECT k, payload, seq FROM ranked WHERE rn = 1 AND op <> 'D'
+"""
+
+_MERGE_SUITE_ORACLE = f"""
+SELECT 'scd2_apply' AS part, CAST(custkey AS STRING) AS k, address AS s,
+       effective_from AS d1, effective_to AS d2, is_current AS b,
+       CAST(NULL AS BIGINT) AS n
+FROM ({_SCD2_APPLY_ORACLE_BODY}) __a
+UNION ALL
+SELECT 'scd2_same_day_triple' AS part, CAST(custkey AS STRING) AS k,
+       address AS s, effective_from AS d1, effective_to AS d2,
+       is_current AS b, CAST(NULL AS BIGINT) AS n
+FROM ({_SCD2_TRIPLE_ORACLE_BODY}) __t
+UNION ALL
+SELECT 'cdc_stale_batch' AS part, CAST(k AS STRING) AS k, payload AS s,
+       CAST(NULL AS DATE) AS d1, CAST(NULL AS DATE) AS d2,
+       CAST(NULL AS BOOLEAN) AS b, seq AS n
+FROM ({_CDC_STALE_ORACLE_BODY}) __c
+ORDER BY part, k, s
 """
 
 
@@ -877,23 +1095,92 @@ FROM nation ORDER BY n_nationkey
 
 
 def _spark_upsert_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Run the left-anti upsert twice; the second pass must add zero
-    rows (J2/J3 idempotency). Output: per-segment counts after each
-    pass (equal by construction)."""
+    """Left-anti upsert tag-union suite (J2/J3). Parts:
+
+    - ``segments_after_twice``: run the upsert twice over customer;
+      the second pass must add zero rows (idempotency) — per-segment
+      counts equal the plain table's.
+    - ``null_key``: the round-10 NULL-key fix promoted to oracle
+      coverage (VERDICT r10 #3): existing holds the even nation keys
+      plus a NULL-key row; incoming holds EVERY nation key plus a
+      NULL-key row. Two passes must keep exactly one row per key —
+      NULL included (null-safe anti-join; a plain equality anti-join
+      re-appends the NULL-key row every run) — and the surviving
+      payload must be the EXISTING row's, never the incoming twin's."""
     customer = load_table(spark, sf_dir, "customer")
     existing = customer.filter(F.col("c_custkey") % 3 == 0)
     once = incremental_upsert(existing, customer, ["c_custkey"])
     twice = incremental_upsert(once, customer, ["c_custkey"])
-    return (
+    seg_part = (
         twice.groupBy("c_mktsegment")
-        .agg(F.count("*").alias("n_after_twice"))
-        .orderBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("segments_after_twice").alias("part"),
+            F.col("c_mktsegment").alias("k"),
+            F.lit(None).cast("string").alias("s"),
+            F.col("n"),
+        )
     )
+
+    k = F.col("n_nationkey").cast("bigint")
+    nat = load_table(spark, sf_dir, "nation")
+    null_row = lambda payload: spark.range(1).select(  # noqa: E731
+        F.lit(None).cast("bigint").alias("k"), F.lit(payload).alias("payload")
+    )
+    ex = (
+        nat.filter(k % 2 == 0)
+        .select(k.alias("k"), F.concat(F.lit("seed-"), k.cast("string")).alias("payload"))
+        .unionByName(null_row("null-seed"))
+    )
+    inc = (
+        nat.select(k.alias("k"), F.concat(F.lit("inc-"), k.cast("string")).alias("payload"))
+        .unionByName(null_row("null-inc"))
+    )
+    after = incremental_upsert(
+        incremental_upsert(ex, inc, ["k"]), inc, ["k"]
+    )
+    null_part = (
+        after.groupBy("k", "payload")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("null_key").alias("part"),
+            F.coalesce(F.col("k").cast("string"), F.lit("NULL")).alias("k"),
+            F.col("payload").alias("s"),
+            F.col("n"),
+        )
+    )
+    return seg_part.unionByName(null_part).orderBy("part", "k")
 
 
 _UPSERT_ORACLE = """
-SELECT c_mktsegment, COUNT(*) AS n_after_twice
-FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+SELECT 'segments_after_twice' AS part, c_mktsegment AS k,
+       CAST(NULL AS STRING) AS s, COUNT(*) AS n
+FROM customer GROUP BY c_mktsegment
+UNION ALL
+SELECT 'null_key' AS part, coalesce(CAST(k AS STRING), 'NULL') AS k,
+       payload AS s, COUNT(*) AS n
+FROM (
+  WITH existing AS (
+    SELECT CAST(n_nationkey AS BIGINT) AS k,
+           'seed-' || CAST(n_nationkey AS STRING) AS payload
+    FROM nation WHERE n_nationkey % 2 = 0
+    UNION ALL SELECT CAST(NULL AS BIGINT), 'null-seed'
+  ),
+  incoming AS (
+    SELECT CAST(n_nationkey AS BIGINT) AS k,
+           'inc-' || CAST(n_nationkey AS STRING) AS payload
+    FROM nation
+    UNION ALL SELECT CAST(NULL AS BIGINT), 'null-inc'
+  )
+  SELECT * FROM existing
+  UNION ALL
+  SELECT i.* FROM incoming i
+  WHERE NOT EXISTS (
+    SELECT 1 FROM existing e WHERE e.k IS NOT DISTINCT FROM i.k
+  )
+) __m
+GROUP BY 1, 2, 3
+ORDER BY part, k
 """
 
 
@@ -3978,7 +4265,7 @@ def operator_queries() -> dict[str, OpQuery]:
             _sql(_events_time_suite_sql(D.SPARK)), _events_time_suite_sql(D.DUCKDB)
         ),
         "op_asof_range_join_suite": OpQuery(_spark_asof_range_suite, _ASOF_RANGE_ORACLE),
-        "op_scd2_dimension_apply": OpQuery(_spark_scd2_apply, _SCD2_ORACLE),
+        "op_scd2_dimension_apply": OpQuery(_spark_merge_suite, _MERGE_SUITE_ORACLE),
     }
 
 
