@@ -69,15 +69,33 @@ def pq_codebooks(
     refinement per subspace is the quality upgrade when cross-engine
     reproducibility is not required. Driver-resident: m·ksub·(dim/m)
     doubles total — exactly ``ksub`` full vectors' worth."""
-    rows = (
-        df.select(F.col(id_col).alias("__i"), _normalized(vec_col).alias("__nv"))
+    # Finite vectors only, and zero-norm rows excluded: _normalized
+    # maps an all-zero vector to an array of NULLs, which crashed the
+    # float() below when such a row held one of the ksub smallest ids
+    # (same hazard class as the similarity seed paths; filter is a
+    # no-op on clean corpora so oracle re-derivation is unchanged).
+    from .similarity import finite_vectors
+
+    cand = (
+        finite_vectors(df, vec_col)
+        .select(F.col(id_col).alias("__i"), _normalized(vec_col).alias("__nv"))
+        .filter(~F.exists("__nv", lambda x: x.isNull()))
         .orderBy("__i")
-        .limit(ksub)
+        .limit(max(ksub * 4, ksub))
         .collect()
     )
+    # majority dim over the candidate sample (the train_ivf_centroids
+    # rule): a lone ragged row at the smallest id must not set dsub
+    length_counts: dict[int, int] = {}
+    for r in cand:
+        n = len(r["__nv"])
+        length_counts[n] = length_counts.get(n, 0) + 1
+    if not length_counts:
+        raise ValueError("pq_codebooks: empty input (no finite vectors)")
+    dim = max(length_counts, key=lambda n: (length_counts[n], n))
+    rows = [r for r in cand if len(r["__nv"]) == dim][:ksub]
     if len(rows) < ksub:
         raise ValueError(f"need >= {ksub} rows to sample codebooks, got {len(rows)}")
-    dim = len(rows[0]["__nv"])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m

@@ -49,6 +49,25 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(~F.isnan(raw), raw)
 
 
+def finite_vectors(df: DataFrame, vec_col: str) -> DataFrame:
+    """Rows whose embedding is usable as MODEL state: non-NULL,
+    non-empty, and free of NULL/NaN components. The deterministic-
+    sample model paths (:func:`sample_centroids`,
+    :func:`train_ivf_centroids` seeds, ``pq.pq_codebooks``) collect
+    the smallest-id vectors as driver-resident model state — without
+    this filter one corrupt low-id row either crashes training
+    (``float(None)``) or silently becomes a centroid/codebook entry
+    that can never win an assignment (its cosine folds to NULL),
+    wasting a cell. Query/scoring paths do NOT need it: ``cosine``
+    already quarantines corrupt rows at score time."""
+    v = F.col(vec_col)
+    return df.filter(
+        v.isNotNull()
+        & (F.size(v) > 0)
+        & ~F.exists(v, lambda x: x.isNull() | F.isnan(x))
+    )
+
+
 def cosine_self_topk(
     df: DataFrame,
     id_col: str,
@@ -205,13 +224,16 @@ def lsh_bucket_topk(
 
 def sample_centroids(df: DataFrame, id_col: str, vec_col: str, n_clusters: int) -> DataFrame:
     """Deterministic-sample coarse centroids (the ``n_clusters``
-    smallest ids): bit-reproducible across runs and executors with
-    zero training state — the default when the differential oracle
-    must re-derive the identical cells. Returns ``(centroid_id,
-    centroid)``."""
+    smallest ids WITH FINITE VECTORS — see :func:`finite_vectors`;
+    on a clean corpus the filter is a no-op, so the differential
+    oracle's plain smallest-ids derivation still matches):
+    bit-reproducible across runs and executors with zero training
+    state — the default when the differential oracle must re-derive
+    the identical cells. Returns ``(centroid_id, centroid)``."""
     cent_w = Window.orderBy(F.col("centroid_id_src"))
     return (
-        df.select(F.col(id_col).alias("centroid_id_src"), F.col(vec_col).alias("centroid"))
+        finite_vectors(df, vec_col)
+        .select(F.col(id_col).alias("centroid_id_src"), F.col(vec_col).alias("centroid"))
         .orderBy("centroid_id_src")
         .limit(n_clusters)
         .withColumn("centroid_id", F.row_number().over(cent_w) - 1)
@@ -289,13 +311,31 @@ def train_ivf_centroids(
     L2-normalized (spherical k-means maximizes mean cosine).
     Returns ``(centroid_id, centroid)`` ready for ``ivf_topk``.
     """
-    seed_rows = sorted(
+    # Seeds come from FINITE vectors only (finite_vectors): the seed
+    # collect used to run on the raw frame, so a NULL embedding at the
+    # smallest id crashed here (float(None)) and a ragged one silently
+    # fixed `dim` to the wrong width before the validity filter below
+    # could apply. `dim` is the MAJORITY length over a 4× candidate
+    # sample (a lone ragged row at the smallest id must not set it);
+    # on a clean corpus the candidates all agree and the first
+    # n_clusters ids seed exactly as before.
+    cand_rows = sorted(
         (r[0], [float(x) for x in r[1]])
-        for r in df.select(id_col, vec_col).orderBy(id_col).limit(n_clusters).collect()
+        for r in finite_vectors(df, vec_col)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(max(n_clusters * 4, n_clusters))
+        .collect()
     )
-    if not seed_rows:
-        raise ValueError("train_ivf_centroids: empty input")
-    dim = len(seed_rows[0][1])
+    if not cand_rows:
+        raise ValueError("train_ivf_centroids: empty input (no finite vectors)")
+    length_counts: dict[int, int] = {}
+    for _, v in cand_rows:
+        length_counts[len(v)] = length_counts.get(len(v), 0) + 1
+    # ties break to the larger dim (deterministic; a 50/50 ragged split
+    # is corrupt input either way)
+    dim = max(length_counts, key=lambda n: (length_counts[n], n))
+    seed_rows = [(i, v) for i, v in cand_rows if len(v) == dim][:n_clusters]
     cents = [_l2(v) for _, v in seed_rows]
     use_join = n_clusters * dim > inline_max_terms
     # ragged/NULL vectors poison the mean update: element_at past the

@@ -497,3 +497,61 @@ def test_ivf_training_survives_ragged_and_nan_vectors(spark):
 
     for r in got:
         assert all(math.isfinite(x) for x in r["centroid"])
+
+
+def test_model_sampling_skips_corrupt_low_id_vectors(spark):
+    """The deterministic-sample model paths collect the SMALLEST-id
+    vectors as driver-resident state; corrupt rows at low ids used to
+    crash training (float(None)) or silently seed a dead centroid /
+    fix the wrong dim. finite_vectors must screen them out of
+    sample_centroids, train_ivf_centroids seeds, and pq_codebooks —
+    while staying a no-op on clean corpora (oracle re-derivation)."""
+    from adi_226_datawarehouse_project_spark.operators.pq import pq_codebooks
+    from adi_226_datawarehouse_project_spark.operators.similarity import (
+        finite_vectors,
+        sample_centroids,
+        train_ivf_centroids,
+    )
+
+    clean = [(10 + i, [float((i * 7 + j * 3) % 5 + 1) for j in range(4)]) for i in range(8)]
+    corrupt = [
+        (1, None),                               # NULL vector
+        (2, [float("nan"), 1.0, 1.0, 1.0]),      # NaN component
+        (3, [1.0, 2.0]),                         # ragged (wrong dim)
+        (4, [0.0, 0.0, 0.0, 0.0]),               # zero norm (poisons PQ normalize)
+    ]
+    df = spark.createDataFrame(clean + corrupt, "id BIGINT, vec ARRAY<DOUBLE>")
+
+    assert finite_vectors(df, "vec").count() == len(clean) + 2  # ragged+zero are finite
+    cents = sample_centroids(df, "id", "vec", 4).collect()
+    assert [r["centroid"] for r in cents] == [
+        [1.0, 2.0],               # ragged is finite — screened later by dim checks
+        [0.0, 0.0, 0.0, 0.0],     # zero-norm is finite; harmless as a cosine centroid
+        clean[0][1],
+        clean[1][1],
+    ]
+
+    # k-means training: seeds skip NULL/NaN, and dim is the MAJORITY
+    # length over the candidate sample — the lone ragged row at id=3
+    # must not set dim=2 for the whole model
+    trained = train_ivf_centroids(df, "id", "vec", n_clusters=3, n_iter=2)
+    got = trained.collect()
+    assert len(got) == 3 and all(len(r["centroid"]) == 4 for r in got)
+
+    # PQ codebooks: NULL/NaN/zero-norm all excluded (zero-norm
+    # normalizes to all-NULL, which used to crash float())
+    books = pq_codebooks(df, "id", "vec", m=2, ksub=4)
+    assert len(books) == 2 and len(books[0]) == 4
+    assert all(all(x == x for x in entry) for sub in books for entry in sub)
+
+
+def test_train_ivf_raises_when_no_finite_vectors(spark):
+    from adi_226_datawarehouse_project_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, [float("nan"), 1.0])], "id BIGINT, vec ARRAY<DOUBLE>"
+    )
+    with pytest.raises(ValueError, match="no finite vectors"):
+        train_ivf_centroids(df, "id", "vec", n_clusters=2, n_iter=1)
