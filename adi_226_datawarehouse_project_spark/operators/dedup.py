@@ -36,8 +36,13 @@ from ..functions.text import char_ngrams, word_ngrams, word_tokens
 
 def dedup_exact(df: DataFrame, keys: list[str], order_by: list[str] | None = None) -> DataFrame:
     """Deterministic dropDuplicates: keep the first row per key under
-    an explicit ordering (defaults to all non-key columns)."""
+    an explicit ordering (defaults to all non-key columns). When the
+    keys cover EVERY column there is nothing to order by (the rows per
+    key are identical) — that is plain ``distinct()``; use it directly
+    rather than paying this operator's window."""
     order_cols = order_by or [c for c in df.columns if c not in keys]
+    if not order_cols:
+        return df.distinct()
     w = Window.partitionBy(*keys).orderBy(*[F.col(c).asc_nulls_first() for c in order_cols])
     return (
         df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")

@@ -543,3 +543,14 @@ def test_ngram_jaccard_auto_strategy_picks_by_df_skew(spark):
         ).collect()
     }
     assert got == want and (7, 9_000_000) in got
+
+
+def test_dedup_exact_all_columns_are_keys(spark):
+    """Keys covering every column leave nothing to order by — the rows
+    per key are identical, so the operator degrades to distinct()
+    instead of building an empty ORDER BY (which raises)."""
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b")], "k INT, v STRING"
+    )
+    out = dedup_exact(df, ["k", "v"])
+    assert sorted((r["k"], r["v"]) for r in out.collect()) == [(1, "a"), (2, "b")]
