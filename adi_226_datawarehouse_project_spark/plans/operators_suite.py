@@ -2319,21 +2319,87 @@ _ASOF_RANGE_ORACLE = _suite_sql([
 # --- text_features_suite: the token-level and document-level text
 # feature families, folded into one suite (formerly standalone
 # text_token_features / text_doc_features). Part tags are disjoint, so
-# both keep their independent value oracles. ---
+# both keep their independent value oracles. Round 11 adds the
+# `bm25_topk` part: the real BM25 retrieval operator
+# (operators/tfidf.bm25_topk, integer mode — exact BIGINT arithmetic,
+# whole-bit idf) over a fixed 3-term query, top 50 by
+# (score DESC, doc_id) — membership, match counts, and scores all
+# value-checked against an independent DuckDB derivation. ---
+_BM25_TERMS = ["dup", "vector", "spark"]
+_BM25_K1_MILLI, _BM25_B_MILLI, _BM25_TOPK = 1200, 750, 50
+
+# Independent DuckDB derivation of bm25_topk (int mode): same integer
+# formula, DuckDB spellings (// for div, string_split_regex tokens).
+_BM25_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_DUCK_TOKENS}) AS token FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM toks
+  WHERE token IN ({", ".join(repr(t) for t in sorted(_BM25_TERMS))})
+  GROUP BY doc_id, token
+),
+dft AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+totals AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT count(*) FROM toks) AS n_toks
+),
+term AS (
+  SELECT tf.doc_id,
+         (
+           (CAST(length(bin((n_docs + 1) // df)) AS BIGINT) - 1)
+           * tf.tf * {_BM25_K1_MILLI + 1000} * 1000000
+         ) // (
+           1000 * tf.tf
+           + ({_BM25_K1_MILLI} * (1000 - {_BM25_B_MILLI}
+              + ({_BM25_B_MILLI} * 1000 * dl.dl)
+                // greatest((1000 * n_toks) // n_docs, 1))) // 1000
+         ) AS ts
+  FROM tf JOIN dft USING (token) JOIN dl USING (doc_id) CROSS JOIN totals
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS matched_terms,
+       CAST(sum(ts) AS BIGINT) AS score_micro
+FROM term GROUP BY doc_id
+ORDER BY score_micro DESC, doc_id
+LIMIT {_BM25_TOPK}
+"""
+
+
+def _spark_bm25_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.tfidf import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = bm25_topk(
+        docs, "doc_id", "text", _BM25_TERMS,
+        k=_BM25_TOPK, k1_milli=_BM25_K1_MILLI, b_milli=_BM25_B_MILLI, mode="int",
+    )
+    return out.select(
+        F.lit("bm25_topk").alias("part"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("matched_terms").cast("bigint").alias("n"),
+        F.col("score_micro").cast("bigint").alias("n2"),
+        F.lit(None).cast("double").alias("v"),
+    )
+
+
 def _spark_text_features_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = _spark_text_token_features(spark, sf_dir, ordered=False)
     doc = _spark_text_doc_features(spark, sf_dir, ordered=False).withColumn(
         "v", F.lit(None).cast("double")
     )
-    return tok.unionByName(doc).orderBy("part", "k")
+    bm25 = _spark_bm25_part(spark, sf_dir)
+    return tok.unionByName(doc).unionByName(bm25).orderBy("part", "k")
 
 
 def _text_features_suite_oracle() -> str:
     tok = _text_token_features_oracle().rsplit("\nORDER BY", 1)[0]
     doc = _text_doc_features_oracle().rsplit("\nORDER BY", 1)[0]
+    bm25 = _part_sql("bm25_topk", _BM25_ORACLE, k="doc_id", n="matched_terms", n2="score_micro")
     return (
         f"{tok}\nUNION ALL\n"
         f"SELECT part, k, n, n2, CAST(NULL AS DOUBLE) AS v FROM ({doc}) __doc"
+        f"\nUNION ALL\n{bm25}"
         "\nORDER BY part, k"
     )
 

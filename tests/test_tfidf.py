@@ -98,3 +98,75 @@ def test_rational_mode_overflow_guard(spark):
     # one past the bound: the guard must raise, not wrap
     with pytest.raises(Exception, match="overflow"):
         _score(tf_max + 1, 0, n)
+
+
+def _py_bm25_ln(docs, terms, k1=1.2, b=0.75):
+    """Independent textbook BM25 reference (ln idf variant used by the
+    operator: ln(1 + (N - df + 0.5)/(df + 0.5)))."""
+    toks = {i: t.lower().split() for i, t in docs}
+    n = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    dfreq: dict[str, int] = {}
+    for i in toks:
+        for w in set(toks[i]):
+            dfreq[w] = dfreq.get(w, 0) + 1
+    out = {}
+    for i in toks:
+        s, matched = 0.0, 0
+        for w in set(terms):
+            tf = toks[i].count(w)
+            if tf == 0:
+                continue
+            matched += 1
+            idf = math.log(1 + (n - dfreq[w] + 0.5) / (dfreq[w] + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(toks[i]) / avgdl))
+        if matched:
+            out[i] = (matched, s)
+    return out
+
+
+def test_bm25_ln_matches_python_reference(spark, docs_df):
+    from adi_226_datawarehouse_project_spark.operators.tfidf import bm25_scores
+
+    terms = ["spark", "slow", "pelican"]
+    got = {
+        r["doc_id"]: (r["matched_terms"], r["score"])
+        for r in bm25_scores(docs_df, "doc_id", "text", terms).collect()
+    }
+    want = _py_bm25_ln(_DOCS, terms)
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i][0] == want[i][0]
+        assert abs(got[i][1] - want[i][1]) < 1e-9, (i, got[i], want[i])
+
+
+def test_bm25_int_mode_exact_and_rank_consistent(spark, docs_df):
+    """Integer mode: BIGINT scores, rare terms outrank common ones,
+    and re-evaluation is bit-identical (pure integer arithmetic)."""
+    from adi_226_datawarehouse_project_spark.operators.tfidf import (
+        bm25_scores,
+        bm25_topk,
+    )
+
+    terms = ["spark", "slow", "pelican"]
+    out = bm25_scores(docs_df, "doc_id", "text", terms, mode="int")
+    rows = {r["doc_id"]: (r["matched_terms"], r["score_micro"]) for r in out.collect()}
+    rows2 = {r["doc_id"]: (r["matched_terms"], r["score_micro"]) for r in out.collect()}
+    assert rows == rows2
+    assert all(isinstance(v[1], int) for v in rows.values())
+    # 'pelican' appears in 1/4 docs (idf_bits=2); doc 3 must outrank
+    # docs matching only the commoner terms
+    top = bm25_topk(docs_df, "doc_id", "text", terms, k=2, mode="int").collect()
+    assert top[0]["doc_id"] == 3
+    # int and ln modes agree on the matched-doc set
+    ln_ids = {r["doc_id"] for r in bm25_scores(docs_df, "doc_id", "text", terms).collect()}
+    assert set(rows) == ln_ids
+
+
+def test_bm25_rejects_bad_inputs(spark, docs_df):
+    from adi_226_datawarehouse_project_spark.operators.tfidf import bm25_scores
+
+    with pytest.raises(ValueError, match="mode"):
+        bm25_scores(docs_df, "doc_id", "text", ["x"], mode="nope")
+    with pytest.raises(ValueError, match="empty"):
+        bm25_scores(docs_df, "doc_id", "text", ["  ", ""])
