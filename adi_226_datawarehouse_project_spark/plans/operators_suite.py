@@ -444,14 +444,21 @@ def _spark_merge_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("is_current"),
     )
     attr2 = F.when(F.col("custkey") % 5 == 0, _attr(1)).otherwise(_attr(2))
+    # Each apply's plan embeds the previous dimension several times
+    # (four legs + the duplicate-key guard), so the RAW triple chain is
+    # cubic in plan references and Catalyst analysis dominated the
+    # whole suite (measured 8.5s/eval at sf0.01). localCheckpoint
+    # between applies truncates lineage to a flat scan — the
+    # near_dup_clusters pacing pattern; the frames are nation-sized
+    # (25–100 rows), so materialization is free next to analysis.
     tri = scd2_apply(
         dim0, nat.select("custkey", _attr(1).alias("address")),
         "custkey", "address", batch_day,
-    )
+    ).localCheckpoint(eager=True)
     tri = scd2_apply(
         tri, nat.select("custkey", attr2.alias("address")),
         "custkey", "address", batch_day,
-    )
+    ).localCheckpoint(eager=True)
     tri = scd2_apply(
         tri, nat.select("custkey", _attr(3).alias("address")),
         "custkey", "address", batch_day,
@@ -508,7 +515,10 @@ def _spark_merge_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    folded = apply_cdc(apply_cdc(base, fresh, ["k"], "seq"), stale, ["k"], "seq")
+    folded = apply_cdc(
+        apply_cdc(base, fresh, ["k"], "seq").localCheckpoint(eager=True),
+        stale, ["k"], "seq",
+    )
     cdc_part = folded.select(
         F.lit("cdc_stale_batch").alias("part"),
         F.col("k").cast("string").alias("k"),
