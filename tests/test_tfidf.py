@@ -170,3 +170,19 @@ def test_bm25_rejects_bad_inputs(spark, docs_df):
         bm25_scores(docs_df, "doc_id", "text", ["x"], mode="nope")
     with pytest.raises(ValueError, match="empty"):
         bm25_scores(docs_df, "doc_id", "text", ["  ", ""])
+
+
+def test_bm25_plan_shape(spark, docs_df):
+    """Scale posture gates (house style): top-k runs as
+    TakeOrderedAndProject (per-partition heaps, never a global sort),
+    the only nested-loop join is the 1-row broadcast totals cross
+    join, and there is no cartesian product."""
+    from adi_226_datawarehouse_project_spark.operators.tfidf import bm25_topk
+
+    plan = (
+        bm25_topk(docs_df, "doc_id", "text", ["spark", "pelican"], k=5, mode="int")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # the 1-row totals join
