@@ -40,16 +40,33 @@ def range_join(
     interval covers each of its buckets once, so no dedup pass is
     needed. Column-name collisions between the two inputs are the
     caller's responsibility (alias before joining).
+
+    ``how`` accepts ``inner`` (default) and the point-side-preserving
+    ``left``/``left_outer``. The exact range predicate lives in the
+    JOIN CONDITION, not a post-join filter — a filter after a left
+    join silently drops the unmatched point rows the left join exists
+    to keep. Right/full outer are rejected: the interval side is
+    EXPLODED (one row per covered bucket), so an unmatched interval
+    would surface once per bucket instead of once.
     """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(
+            f"range_join supports inner/left joins only, got how={how!r}: "
+            "the interval side is bucket-exploded, so right/full outer "
+            "would emit one row per covered bucket for unmatched intervals"
+        )
 
     def b(c: Column) -> Column:
         return F.floor(c / F.lit(float(bucket_width))).cast("bigint")
 
-    pb = points.withColumn("__bucket", b(F.col(p_col)))
+    pb = points.withColumn("__bucket", b(F.col(p_col))).alias("__rj_p")
     ib = intervals.withColumn(
         "__bucket", F.explode(F.sequence(b(F.col(lo_col)), b(F.col(hi_col))))
+    ).alias("__rj_i")
+    cond = (
+        (F.col("__rj_p.__bucket") == F.col("__rj_i.__bucket"))
+        & (F.col(p_col) >= F.col(lo_col))
+        & (F.col(p_col) <= F.col(hi_col))
     )
-    joined = pb.join(ib, "__bucket", how).filter(
-        (F.col(p_col) >= F.col(lo_col)) & (F.col(p_col) <= F.col(hi_col))
-    )
+    joined = pb.join(ib, cond, how)
     return joined.drop("__bucket")

@@ -41,3 +41,26 @@ def test_range_join_boundaries_inclusive_no_dups(spark):
     matched = sorted(r["pid"] for r in rows)
     assert matched == [1, 2, 3]
     assert len(rows) == 3  # no bucket-overlap duplicates
+
+
+def test_left_join_keeps_unmatched_points(spark):
+    """The exact predicate lives in the JOIN CONDITION: a left range
+    join must keep points covered by no interval (the old post-join
+    filter silently turned left into inner)."""
+    points = spark.createDataFrame([(1.0,), (25.0,)], "p DOUBLE")
+    intervals = spark.createDataFrame([(0.0, 5.0)], "lo DOUBLE, hi DOUBLE")
+    rows = range_join(
+        points, "p", intervals, "lo", "hi", bucket_width=10.0, how="left"
+    ).collect()
+    got = sorted((r["p"], r["lo"]) for r in rows)
+    assert got == [(1.0, 0.0), (25.0, None)]
+
+
+def test_rejects_right_and_full_outer(spark):
+    import pytest
+
+    points = spark.createDataFrame([(1.0,)], "p DOUBLE")
+    intervals = spark.createDataFrame([(0.0, 5.0)], "lo DOUBLE, hi DOUBLE")
+    for how in ("right", "full", "full_outer"):
+        with pytest.raises(ValueError, match="inner/left"):
+            range_join(points, "p", intervals, "lo", "hi", 10.0, how=how)
