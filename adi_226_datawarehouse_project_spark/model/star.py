@@ -52,6 +52,7 @@ parallel end to end.
 from __future__ import annotations
 
 import os
+import time
 from collections.abc import Callable
 
 from pyspark.sql import SparkSession
@@ -600,22 +601,40 @@ def _probe_input_bytes(sf_dir: str, spark: SparkSession | None = None) -> int | 
     direction.
 
     Memoized per sf_dir under a (size, mtime) fingerprint of the
-    input files (remote: length/file-count/modtime from the FS) — the
-    policy and the compression decision both probe, and a query-path
-    registration must not pay repeated footer reads or remote
-    listings, but a corpus rewritten in place must not be served a
-    stale figure."""
+    input files — the policy and the compression decision both probe,
+    and a query-path registration must not pay repeated footer reads,
+    but a corpus rewritten in place must not be served a stale figure.
+    The remote route memoizes under a TTL instead (see inline comment:
+    the remote fingerprint is itself a listing, and the remote figure
+    is a pure function of that fingerprint, so within the TTL nothing
+    is lost but change-detection latency). Note: the remote
+    fingerprint's modtime is the top-level dir's, which S3A reports
+    as 0 — the TTL, not the modtime, is what bounds staleness there."""
     fp = _probe_fingerprint(sf_dir)
     local_missing = any(size < 0 for _, size, _ in fp)
     if local_missing and spark is not None:
+        # The remote fingerprint ITSELF costs a recursive listing
+        # (getContentSummary), so fingerprint-keyed memoization alone
+        # would still list S3 on every policy/compression consult. The
+        # derived figure is a pure function of the fingerprint (2×
+        # total length), so re-fingerprinting can only change the
+        # answer when the corpus bytes changed — a TTL memo that skips
+        # the listing entirely for SPARK_GRAFT_HADOOP_PROBE_TTL_S
+        # (default 60s) trades at most TTL seconds of staleness for
+        # zero remote listings on the hot query path. TTL=0 disables
+        # the time shortcut (every call re-lists and re-derives),
+        # which the in-place-rewrite pin uses.
+        key = ("hadoop", sf_dir)
+        hit = _PROBE_CACHE.get(key)
+        now = time.monotonic()
+        ttl = float(os.environ.get("SPARK_GRAFT_HADOOP_PROBE_TTL_S", "60"))
+        if hit is not None and len(hit) == 3 and now - hit[2] < ttl:
+            return hit[1]
         h = _hadoop_probe(spark, sf_dir)
         if h is not None:
             hfp, disk = h
-            key = ("hadoop", sf_dir)
-            hit = _PROBE_CACHE.get(key)
-            if hit is None or hit[0] != hfp:
-                _PROBE_CACHE[key] = (hfp, 2 * disk)
-            return _PROBE_CACHE[key][1]
+            _PROBE_CACHE[key] = (hfp, 2 * disk, now)
+            return 2 * disk
     hit = _PROBE_CACHE.get(sf_dir)
     if hit is None or hit[0] != fp:
         _PROBE_CACHE[sf_dir] = (fp, _probe_input_bytes_uncached(sf_dir))

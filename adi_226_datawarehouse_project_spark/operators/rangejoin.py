@@ -38,8 +38,10 @@ def range_join(
     ``p_col``/``lo_col``/``hi_col`` must be numeric (cast timestamps to
     epoch first). Each point lands in exactly one bucket and an
     interval covers each of its buckets once, so no dedup pass is
-    needed. Column-name collisions between the two inputs are the
-    caller's responsibility (alias before joining).
+    needed. The join predicate qualifies ``p_col``/``lo_col``/``hi_col``
+    through the internal side aliases, so a name shared by both inputs
+    cannot mis-resolve the condition; collisions in the OUTPUT columns
+    remain the caller's responsibility (alias before joining).
 
     ``how`` accepts ``inner`` (default) and the point-side-preserving
     ``left``/``left_outer``. The exact range predicate lives in the
@@ -65,8 +67,8 @@ def range_join(
     ).alias("__rj_i")
     cond = (
         (F.col("__rj_p.__bucket") == F.col("__rj_i.__bucket"))
-        & (F.col(p_col) >= F.col(lo_col))
-        & (F.col(p_col) <= F.col(hi_col))
+        & (F.col(f"__rj_p.{p_col}") >= F.col(f"__rj_i.{lo_col}"))
+        & (F.col(f"__rj_p.{p_col}") <= F.col(f"__rj_i.{hi_col}"))
     )
     joined = pb.join(ib, cond, how)
     return joined.drop("__bucket")

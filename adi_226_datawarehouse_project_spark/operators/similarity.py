@@ -336,6 +336,14 @@ def train_ivf_centroids(
     # is corrupt input either way)
     dim = max(length_counts, key=lambda n: (length_counts[n], n))
     seed_rows = [(i, v) for i, v in cand_rows if len(v) == dim][:n_clusters]
+    if len(seed_rows) < n_clusters:
+        # Silent truncation would train a smaller model than requested
+        # (pq_codebooks raises in the analogous undersized-sample case).
+        raise ValueError(
+            f"train_ivf_centroids: only {len(seed_rows)} usable seed "
+            f"vectors of dim {dim} for n_clusters={n_clusters}; "
+            "corpus too small or too corrupt for the requested model"
+        )
     cents = [_l2(v) for _, v in seed_rows]
     use_join = n_clusters * dim > inline_max_terms
     # ragged/NULL vectors poison the mean update: element_at past the

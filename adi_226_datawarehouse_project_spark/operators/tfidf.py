@@ -141,7 +141,18 @@ def bm25_scores(
     dft = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     totals = df.agg(
         F.count(F.lit(1)).cast("bigint").alias("__N"),
-        F.coalesce(F.sum(F.size(word_tokens(F.col(text_col)))), F.lit(0))
+        # size(NULL) is -1 under the legacy sizeOfNull conf, so a NULL
+        # text would SUBTRACT from the corpus token total and skew avgdl
+        # away from the oracle's unnest-based count (which skips NULLs).
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col(text_col).isNotNull(),
+                    F.greatest(F.size(word_tokens(F.col(text_col))), F.lit(0)),
+                ).otherwise(F.lit(0))
+            ),
+            F.lit(0),
+        )
         .cast("bigint")
         .alias("__T"),
     )

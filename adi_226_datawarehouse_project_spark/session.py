@@ -85,7 +85,7 @@ def get_spark(
                 ("shuffle_partitions", shuffle_partitions),
                 ("extra_conf", extra_conf),
             )
-            if val is not None
+            if (val if name == "extra_conf" else val is not None)
         ]
         if ignored:
             import warnings

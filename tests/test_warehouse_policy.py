@@ -338,6 +338,41 @@ def test_probe_refreshes_when_inputs_change(tmp_path):
     assert n_big is not None and n_big > 10 * n_small, (n_small, n_big)
 
 
+def test_hadoop_probe_refreshes_when_inputs_change(spark, tmp_path, monkeypatch):
+    """Remote-route twin of test_probe_refreshes_when_inputs_change
+    (VERDICT r11 task 5): a corpus rewritten IN PLACE behind a `file:`
+    URI must re-probe once the TTL memo expires. TTL=0 forces every
+    call through the Hadoop listing (the change-detection path);
+    within a live TTL the memo serves the figure WITHOUT a listing —
+    pinned by feeding it a corpus change it must (by design) not see
+    until expiry."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    small = pa.table({"s": ["a" * 100 + str(i) for i in range(50)]})
+    big = pa.table({"s": ["b" * 4000 + str(i) for i in range(5000)]})
+    for name in star._POLICY_PROBE_INPUTS:
+        pq.write_table(small, tmp_path / name)
+    uri = "file:" + str(tmp_path)
+    monkeypatch.setenv("SPARK_GRAFT_HADOOP_PROBE_TTL_S", "0")
+    n_small = star._probe_input_bytes(uri, spark)
+    assert n_small is not None and n_small > 0
+    for name in star._POLICY_PROBE_INPUTS:
+        pq.write_table(big, tmp_path / name)
+    n_big = star._probe_input_bytes(uri, spark)
+    assert n_big is not None and n_big > 10 * n_small, (n_small, n_big)
+    # With a live TTL the memo answers without re-listing: shrink the
+    # corpus back and the figure must NOT move until expiry.
+    monkeypatch.setenv("SPARK_GRAFT_HADOOP_PROBE_TTL_S", "3600")
+    assert star._probe_input_bytes(uri, spark) == n_big
+    for name in star._POLICY_PROBE_INPUTS:
+        pq.write_table(small, tmp_path / name)
+    assert star._probe_input_bytes(uri, spark) == n_big
+    # Back to TTL=0: the rewrite is visible again.
+    monkeypatch.setenv("SPARK_GRAFT_HADOOP_PROBE_TTL_S", "0")
+    assert star._probe_input_bytes(uri, spark) == n_small
+
+
 def test_star_memo_survives_session_id_reuse(spark):
     """_REGISTERED keys on id(spark); a stale entry left by a
     garbage-collected session at a reused address must NOT satisfy a
