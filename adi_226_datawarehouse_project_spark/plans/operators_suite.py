@@ -922,6 +922,51 @@ ORDER BY window_user
 """
 
 
+def _spark_range_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """range_join's LEFT mode (VERDICT r11 task 1 oracle promotion):
+    sparse intervals (first 5 minutes of every 5th user) so most
+    points match NO interval — the null-extended point rows the r11
+    fix exists to keep (the exact predicate must live in the join
+    condition; a post-join filter would drop them) land in the
+    'unmatched' group, which the oracle value-checks alongside the
+    matched per-window groups."""
+    from ..operators.rangejoin import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    points = ev.select(
+        F.col("event_id"), F.col("value"), F.unix_micros("ts").alias("p")
+    )
+    intervals = (
+        ev.filter(F.col("user_id") % 5 == 0)
+        .groupBy(F.col("user_id").alias("window_user"))
+        .agg(F.min(F.unix_micros("ts")).alias("lo"))
+        .withColumn("hi", F.col("lo") + F.lit(300_000_000))
+    )
+    j = range_join(points, "p", intervals, "lo", "hi",
+                   bucket_width=600e6, how="left")
+    return j.groupBy(
+        F.coalesce(F.col("window_user").cast("string"), F.lit("unmatched"))
+        .alias("window_user")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("value_cents"),
+    )
+
+
+_RANGE_JOIN_LEFT_ORACLE = """
+SELECT coalesce(CAST(i.window_user AS VARCHAR), 'unmatched') AS window_user,
+       COUNT(*) AS n_events,
+       CAST(sum(CAST(round(e.value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events e
+LEFT JOIN (SELECT user_id AS window_user, min(epoch_us(ts)) AS lo,
+                  min(epoch_us(ts)) + 300000000 AS hi
+           FROM events WHERE user_id % 5 = 0 GROUP BY user_id) i
+  ON epoch_us(e.ts) BETWEEN i.lo AND i.hi
+GROUP BY 1
+ORDER BY window_user
+"""
+
+
 def _spark_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState):
     per-user gap sessionization driven as a real streaming query; the
@@ -2311,7 +2356,14 @@ def _spark_asof_range_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value_cents").cast("bigint").alias("n2"),
         F.lit(None).cast("double").alias("v"),
     )
-    return asof.unionByName(rng).orderBy("part", "k")
+    rng_left = _spark_range_join_left(spark, sf_dir).select(
+        F.lit("range_left_unmatched").alias("part"),
+        F.col("window_user").cast("string").alias("k"),
+        F.col("n_events").cast("bigint").alias("n"),
+        F.col("value_cents").cast("bigint").alias("n2"),
+        F.lit(None).cast("double").alias("v"),
+    )
+    return asof.unionByName(rng).unionByName(rng_left).orderBy("part", "k")
 
 
 _ASOF_RANGE_ORACLE = _suite_sql([
@@ -2321,6 +2373,10 @@ _ASOF_RANGE_ORACLE = _suite_sql([
     ),
     _part_sql(
         "range_first_hour", _RANGE_JOIN_ORACLE,
+        k="window_user", n="n_events", n2="value_cents",
+    ),
+    _part_sql(
+        "range_left_unmatched", _RANGE_JOIN_LEFT_ORACLE,
         k="window_user", n="n_events", n2="value_cents",
     ),
 ])
@@ -3781,11 +3837,33 @@ def _spark_sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # PQ-ADC top-5 (brute ADC over the code table, no coarse stage):
     # FULL value rows — neighbor identity and the ADC score itself per
     # (query, rank); the oracle re-derives codebooks/codes/LUT from the
-    # same deterministic sample.
-    from ..operators.pq import pq_adc_topk
+    # same deterministic sample. The codebooks train on a frame with
+    # PLANTED corrupt rows at ids BELOW every real id (VERDICT r11
+    # task 1): an unscreened smallest-id sample would adopt them as
+    # codebook entries and shift every ADC score, so the oracle (which
+    # derives from the clean corpus) hash-pins the corrupt-embedding
+    # screen (finite_vectors + zero-norm + majority-dim) in the driver
+    # gate, not just in pytest. The four rows cover the screen's four
+    # cases: NULL vector, NaN component, all-zero (NULL after
+    # normalization), and ragged (dim 63 against the majority 64).
+    from ..operators.pq import pq_adc_topk, pq_codebooks
 
+    emb_iv = emb.select("vec_id", "embedding")
+    corrupt = spark.createDataFrame(
+        [
+            (-4, None),
+            (-3, [float("nan")] * 64),
+            (-2, [0.0] * 64),
+            (-1, [0.5] * 63),
+        ],
+        emb_iv.schema,
+    )
+    cbs = pq_codebooks(
+        emb_iv.unionByName(corrupt), "vec_id", "embedding", m=4, ksub=16
+    )
     pq = pq_adc_topk(
-        emb, "vec_id", "embedding", k=5, probe_ids=[0, 1, 2, 3, 4], m=4, ksub=16
+        emb, "vec_id", "embedding", k=5, probe_ids=[0, 1, 2, 3, 4], m=4, ksub=16,
+        codebooks=cbs,
     ).select(
         F.lit("pq_adc").alias("part"),
         (F.col("query_id") * 100 + F.col("rank")).cast("bigint").alias("query_id"),
