@@ -155,12 +155,16 @@ def resize_image_stub(
     (PIL/cv2); the geometry math, Arrow batch flow, and output schema
     are the real contract and are exact (pure IEEE-double ops, so the
     DuckDB oracle reproduces them bit-for-bit)."""
+    # Capture at PLAN-BUILD time, like decode_image/decode_audio: a
+    # flip of the module flag between building the plan and running it
+    # must not change this operator's behavior while leaving theirs.
+    strict_mode = STRICT_DECODE
 
     def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         for pdf in batches:
-            if STRICT_DECODE:
+            if strict_mode:
                 raise NotImplementedError("image resize requires PIL/cv2 (not in container)")
             w = pdf["width"].astype("float64").to_numpy()
             h = pdf["height"].astype("float64").to_numpy()
