@@ -450,8 +450,7 @@ def register_star_views(spark: SparkSession, sf_dir: str, cache: bool = True) ->
                 _materialize_zone(spark, sf_dir, cache_gold=(policy == "hybrid"))
                 return
             _maybe_flip_cache_compression(spark, sf_dir)
-            for t in _CACHE_TABLES:
-                spark.catalog.cacheTable(t)
+            _cache_tables_waved(spark)
             _memo_set(spark, (sf_dir, "cache", None))
         return
     if cache:
@@ -475,9 +474,31 @@ def register_star_views(spark: SparkSession, sf_dir: str, cache: bool = True) ->
         with ThreadPoolExecutor(len(wave)) as ex:
             list(ex.map(_create, wave))
     if cache:
-        for t in _CACHE_TABLES:
-            spark.catalog.cacheTable(t)
+        _cache_tables_waved(spark)
     _memo_set(spark, (sf_dir, "cache" if cache else "views", None))
+
+
+def _cache_tables_waved(spark: SparkSession) -> None:
+    """cacheTable every warehouse table, parallel WITHIN a dependency
+    wave. cacheTable is driver-side plan work (analysis + optimization
+    to build the InMemoryRelation) — serially it's ~1.7s of the sf0.1
+    build, and fact_311 alone ~0.5s (r12 profile,
+    measurements/warehouse_profile_r12.md). Wave ORDER is load-bearing:
+    a parent's cache entry substitutes a child's InMemoryRelation only
+    if the child was cached FIRST — caching fact before staging would
+    silently recompute staging inside every fact fill. Within a wave,
+    tables don't reference each other, so concurrent cacheTable is safe
+    (CacheManager synchronizes its cache list; plan work runs outside
+    the lock)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    cacheable = set(_CACHE_TABLES)
+    for wave in _REGISTER_WAVES:
+        ts = [t for t in wave if t in cacheable]
+        if not ts:
+            continue
+        with ThreadPoolExecutor(len(ts)) as ex:
+            list(ex.map(spark.catalog.cacheTable, ts))
 
 
 # Warehouse inputs for the auto-policy size probe: complaints_raw
@@ -804,7 +825,20 @@ def materialize_warehouse(spark: SparkSession, sf_dir: str) -> None:
         spark.catalog.clearCache()  # zone layout or other sf_dir → rebuild
         _REGISTERED.pop(key, None)
     register_star_views(spark, sf_dir)  # handles views→cache upgrade in place
-    terminals = ("fact_311_complaint", "fact_airbnb_listings", "dim_date")
+    # Terminals include the 8 gold dims, not just the facts + dim_date:
+    # a fact's first scan fills its dims' caches INLINE and mostly
+    # serially (measured: fact_311 fill 3.7s cold-dims vs 1.4s
+    # prefilled, the 4 dim fills 2.5s serial / ~1.1s concurrent — r12
+    # profile). Racing the dim counts against the fact counts is safe
+    # and never duplicates work: cached blocks are computed once behind
+    # BlockManager's per-block locks, so the fact job blocks on (then
+    # reads) whichever dim blocks the dim jobs are already computing.
+    terminals = (
+        "fact_311_complaint", "fact_airbnb_listings", "dim_date",
+        "dim_311_agency", "dim_311_borough", "dim_311_location",
+        "dim_311_complaint", "dim_airbnb_location", "dim_airbnb_property",
+        "dim_airbnb_host",
+    )
     with ThreadPoolExecutor(len(terminals)) as ex:
         list(ex.map(lambda t: spark.table(t).count(), terminals))
 
