@@ -41,8 +41,18 @@ def _let(bound: Column, body) -> Column:
 
 
 def token_count(col: Column | str) -> Column:
-    """Whitespace token count."""
-    return F.size(word_tokens(col))
+    """Whitespace token count; NULL for NULL text.
+
+    NOT bare ``size(word_tokens(...))``: with ANSI off,
+    ``spark.sql.legacy.sizeOfNull`` makes ``size(NULL)`` return -1, so
+    a NULL-text row would SUBTRACT from any ``sum(token_count)`` —
+    diverging from the DuckDB oracles (whose ``len(NULL)`` is NULL,
+    skipped by ``sum``) on exactly one of the two session configs the
+    driver runs (r12 suite review; same class as the bm25 ``__T``
+    fix). The guard makes the semantics conf-independent and
+    oracle-identical: NULL in, NULL out."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(c.isNotNull(), F.size(word_tokens(c)))
 
 
 def bpe_ish_token_count(col: Column | str) -> Column:
