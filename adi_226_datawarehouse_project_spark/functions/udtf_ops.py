@@ -72,8 +72,9 @@ def token_count_pandas_udf():
         # runs of non-ASCII-whitespace matches the native tokenization
         # (empty-token filtering included) without needing trim/lower.
         n = s.fillna("").str.count(r"[^ \t\n\x0B\f\r]+")
-        # size(NULL) is -1 under the engine session's legacy
-        # sizeOfNull semantics
-        return n.where(~s.isna(), -1).astype("int32")
+        # NULL in, NULL out — token_count guards NULLs itself since r12
+        # (the legacy sizeOfNull -1 never leaks out of it), so the twin
+        # mirrors that conf-independent contract.
+        return n.where(~s.isna(), other=pd.NA).astype("Int32")
 
     return _token_count
