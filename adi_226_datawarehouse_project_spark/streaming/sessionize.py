@@ -15,6 +15,19 @@ Scale: state is two scalars per user (bounded); a production deploy
 adds a state TTL (GroupStateTimeout) to retire idle users, and the
 file source becomes Kafka. Arrow moves each group's batch in one
 block — per-group Python cost, never per-row.
+
+ORDERING CONTRACT (r12 streaming review): the fold sorts WITHIN each
+micro-batch but carries only (last_ts, count) across batches, so the
+MICRO-BATCH SEQUENCE must itself be per-key time-ordered — true for a
+time-ordered log (the single-file fixture, a per-key-ordered Kafka
+partition, CDC), NOT for an arbitrary multi-file backfill (e.g. the
+replicated scale corpora, where every part file spans the full time
+range: a later batch's earlier timestamps would fold as non-positive
+gaps). For out-of-order sources use the built-in
+``session_window`` aggregation (`events_stream.session_window_counts`)
+— its state-store merge under a watermark is order-robust and is the
+production path; this operator is the applyInPandasWithState ESCAPE
+HATCH demo for imperative per-session logic.
 """
 
 from __future__ import annotations
