@@ -86,18 +86,32 @@ def _units(expr: str, scale: int) -> str:
     return f"CAST(round(({expr}) * {scale}, 0) AS BIGINT)"
 
 
+def _round_text(expr: str, digits: int) -> str:
+    """Portable HALF-UP rounding in shared SQL text — the
+    functions/rounding.py convention (floor(x·10^d + 0.5)/10^d) instead
+    of engine-native round(x, d). Native round diverges at 1 ulp once
+    the value's magnitude pushes the d-th decimal to the double's
+    resolution edge (found by the r12 64× sweep: op_q1's
+    sum_disc_price at 1.8e11 differed in the 4th decimal — Spark
+    rounds the shortest decimal form via BigDecimal, DuckDB rounds the
+    binary double). The floor form is the same IEEE op sequence on
+    both engines at ANY magnitude, so the oracles agree bitwise at
+    every corpus scale, not just the driver's sf0.01."""
+    s = 10 ** digits
+    return f"(floor(({expr}) * {s} + 0.5) / {s})"
+
+
 def _sum_units(expr: str, scale: int, alias: str, digits: int = 4) -> str:
-    return (
-        f"round(CAST(CAST(sum({_units(expr, scale)}) AS BIGINT) AS DOUBLE)"
-        f" / {scale}.0, {digits}) AS {alias}"
-    )
+    total = f"CAST(CAST(sum({_units(expr, scale)}) AS BIGINT) AS DOUBLE) / {scale}.0"
+    return f"{_round_text(total, digits)} AS {alias}"
 
 
 def _avg_units(expr: str, scale: int, alias: str, digits: int = 6) -> str:
-    return (
-        f"round(CAST(CAST(sum({_units(expr, scale)}) AS BIGINT) AS DOUBLE)"
-        f" / count({expr}) / {scale}.0, {digits}) AS {alias}"
+    mean = (
+        f"CAST(CAST(sum({_units(expr, scale)}) AS BIGINT) AS DOUBLE)"
+        f" / count({expr}) / {scale}.0"
     )
+    return f"{_round_text(mean, digits)} AS {alias}"
 
 
 # =====================================================================
