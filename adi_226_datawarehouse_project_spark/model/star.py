@@ -648,7 +648,10 @@ def _probe_input_bytes(sf_dir: str, spark: SparkSession | None = None) -> int | 
         key = ("hadoop", sf_dir)
         hit = _PROBE_CACHE.get(key)
         now = time.monotonic()
-        ttl = float(os.environ.get("SPARK_GRAFT_HADOOP_PROBE_TTL_S", "60"))
+        try:
+            ttl = float(os.environ.get("SPARK_GRAFT_HADOOP_PROBE_TTL_S", "60"))
+        except ValueError:  # malformed env value degrades to default
+            ttl = 60.0
         if hit is not None and len(hit) == 3 and now - hit[2] < ttl:
             return hit[1]
         h = _hadoop_probe(spark, sf_dir)

@@ -65,10 +65,16 @@ def range_join(
     ib = intervals.withColumn(
         "__bucket", F.explode(F.sequence(b(F.col(lo_col)), b(F.col(hi_col))))
     ).alias("__rj_i")
+    # Backtick-quote the name segment so a column name containing a
+    # dot (or other identifier-breaking chars) parses as one field
+    # under the side alias, not as nested-field access (ADVICE r12).
+    def q(side: str, name: str) -> Column:
+        return F.col(f"{side}.`{name}`")
+
     cond = (
         (F.col("__rj_p.__bucket") == F.col("__rj_i.__bucket"))
-        & (F.col(f"__rj_p.{p_col}") >= F.col(f"__rj_i.{lo_col}"))
-        & (F.col(f"__rj_p.{p_col}") <= F.col(f"__rj_i.{hi_col}"))
+        & (q("__rj_p", p_col) >= q("__rj_i", lo_col))
+        & (q("__rj_p", p_col) <= q("__rj_i", hi_col))
     )
     joined = pb.join(ib, cond, how)
     return joined.drop("__bucket")

@@ -95,8 +95,13 @@ def _round_text(expr: str, digits: int) -> str:
     sum_disc_price at 1.8e11 differed in the 4th decimal — Spark
     rounds the shortest decimal form via BigDecimal, DuckDB rounds the
     binary double). The floor form is the same IEEE op sequence on
-    both engines at ANY magnitude, so the oracles agree bitwise at
-    every corpus scale, not just the driver's sf0.01."""
+    both engines WHILE expr*10^d stays exactly representable — Spark's
+    floor returns BIGINT and DuckDB's returns DOUBLE, so the identical-
+    op argument holds for |expr|*10^d < 2^53 (double's integer range;
+    also well inside bigint). Within that bound the oracles agree
+    bitwise at every corpus scale the suites run (the 64× sweep's
+    1.8e11 * 10^4 = 1.8e15 << 2^53 ≈ 9e15); past it both engines are
+    in ulp territory and no text form can promise bit equality."""
     s = 10 ** digits
     return f"(floor(({expr}) * {s} + 0.5) / {s})"
 

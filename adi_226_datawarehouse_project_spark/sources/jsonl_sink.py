@@ -70,6 +70,18 @@ class JsonlManifestWriter(DataSourceWriter):
                 os.path.join(self.path, m.final_name),
             )
             shards.append({"file": m.final_name, "n_rows": m.n_rows})
+        # Janitor stray tmp shards: a speculative duplicate attempt
+        # whose commit message lost the race leaves an orphan
+        # part-*.jsonl.tmp. It is unreachable (readers go through the
+        # manifest) but costs disk; commit runs exactly once with the
+        # full winner set, so anything still *.jsonl.tmp here is dead.
+        committed = {m.tmp_name for m in messages}
+        for name in os.listdir(self.path):
+            if name.endswith(".jsonl.tmp") and name not in committed:
+                try:
+                    os.remove(os.path.join(self.path, name))
+                except FileNotFoundError:
+                    pass
         with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
             json.dump(
                 {"shards": shards, "total_rows": sum(s["n_rows"] for s in shards)},

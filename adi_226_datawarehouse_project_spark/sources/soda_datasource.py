@@ -53,7 +53,7 @@ class SodaPage(InputPartition):
         self.limit = limit
 
 
-def _fetch_page(url: str, timeout: float) -> list[dict]:
+def _fetch_page(url: str, timeout: float, past_end_ok: bool = True) -> list[dict]:
     try:
         with urllib.request.urlopen(url, timeout=timeout) as resp:  # noqa: S310
             return json.loads(resp.read().decode("utf-8"))
@@ -63,7 +63,11 @@ def _fetch_page(url: str, timeout: float) -> list[dict]:
         # error). HTTPError (429/5xx rate limits) and connection
         # failures must PROPAGATE so the task fails and Spark's retry
         # machinery refetches the page instead of silently dropping it.
-        if url.startswith("file:"):
+        # Callers pass past_end_ok=False for the FIRST page (offset 0):
+        # a missing file there is a typo'd fixture path, not past-the-
+        # end, and must fail loudly instead of reading as an empty
+        # dataset (r12 nit).
+        if past_end_ok and url.startswith("file:"):
             return []
         raise
 
@@ -88,7 +92,7 @@ class SodaReader(DataSourceReader):
 
     def read(self, partition: SodaPage) -> Iterator[tuple]:
         url = self.template.format(limit=partition.limit, offset=partition.offset)
-        for rec in _fetch_page(url, self.timeout):
+        for rec in _fetch_page(url, self.timeout, past_end_ok=partition.offset > 0):
             yield tuple(rec.get(name) for name in self.fields)
 
 
@@ -124,7 +128,7 @@ class SodaStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
         off = int(start["offset"])
         url = self._r.template.format(limit=self._r.page_size, offset=off)
-        recs = _fetch_page(url, self._r.timeout)
+        recs = _fetch_page(url, self._r.timeout, past_end_ok=off > 0)
         rows = [tuple(rec.get(n) for n in self._r.fields) for rec in recs]
         return iter(rows), {"offset": off + len(rows)}
 

@@ -16,16 +16,23 @@ adds a state TTL (GroupStateTimeout) to retire idle users, and the
 file source becomes Kafka. Arrow moves each group's batch in one
 block — per-group Python cost, never per-row.
 
-ORDERING CONTRACT (r12 streaming review): the fold sorts WITHIN each
-micro-batch but carries only (last_ts, count) across batches, so the
-MICRO-BATCH SEQUENCE must itself be per-key time-ordered — true for a
-time-ordered log (the single-file fixture, a per-key-ordered Kafka
-partition, CDC), NOT for an arbitrary multi-file backfill (e.g. the
-replicated scale corpora, where every part file spans the full time
-range: a later batch's earlier timestamps would fold as non-positive
-gaps). For out-of-order sources use the built-in
-``session_window`` aggregation (`events_stream.session_window_counts`)
-— its state-store merge under a watermark is order-robust and is the
+ORDERING CONTRACT (r12 streaming review, ENFORCED since r13): the
+fold sorts WITHIN each micro-batch but carries only scalars across
+batches, so the MICRO-BATCH SEQUENCE must itself be per-key
+time-ordered — true for a time-ordered log (the single-file fixture,
+a per-key-ordered Kafka partition, CDC), NOT for an arbitrary
+multi-file backfill (e.g. the replicated scale corpora, where every
+part file spans the full time range: a later batch's earlier
+timestamps would fold as non-positive gaps). The fold now CHECKS the
+contract per key per batch (batch min ts vs the carried last_ts —
+two scalars, zero extra shuffle) and by default RAISES on a
+regression, failing the query loudly instead of silently
+under-counting; ``allow_disorder=True`` keeps the old fold-anyway
+behavior but counts violations into an ``n_disorder`` output column
+so the caller can see exactly how many batches broke the contract.
+For out-of-order sources use the built-in ``session_window``
+aggregation (`events_stream.session_window_counts`) — its
+state-store merge under a watermark is order-robust and is the
 production path; this operator is the applyInPandasWithState ESCAPE
 HATCH demo for imperative per-session logic.
 """
@@ -41,26 +48,50 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from .events_stream import read_events_stream
 
-OUTPUT_SCHEMA = "user_id bigint, n_sessions bigint"
-STATE_SCHEMA = "last_ts double, n_sessions bigint"
+OUTPUT_SCHEMA = "user_id bigint, n_sessions bigint, n_disorder bigint"
+STATE_SCHEMA = "last_ts double, n_sessions bigint, n_disorder bigint"
 
 
-def _sessionize_fold(gap_seconds: float):
+def _sessionize_fold(gap_seconds: float, allow_disorder: bool = False):
     def fold(
         key: tuple,
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        last_ts, n_sessions = state.get if state.exists else (None, 0)
+        last_ts, n_sessions, n_disorder = (
+            state.get if state.exists else (None, 0, 0)
+        )
         ts = pd.concat([pdf["event_time"] for pdf in pdfs]).sort_values()
         # normalize to ns first: Arrow hands micro-resolution batches
         # as datetime64[us] in pandas 2.x, ns-resolution as [ns]
-        for t in ts.astype("datetime64[ns]").astype("int64") / 1e9:
+        secs = ts.astype("datetime64[ns]").astype("int64") / 1e9
+        # ORDERING CONTRACT check: this batch must not reach back
+        # before the carried fold frontier. Two scalars per key.
+        if last_ts is not None and len(secs) and float(secs.iloc[0]) < last_ts:
+            if not allow_disorder:
+                raise ValueError(
+                    "sessionize ordering contract violated for key "
+                    f"{key[0]!r}: batch min ts {float(secs.iloc[0])} "
+                    f"precedes carried last_ts {last_ts}. The "
+                    "applyInPandasWithState fold requires per-key "
+                    "time-ordered micro-batches; for out-of-order "
+                    "sources use session_window_counts (order-robust) "
+                    "or pass allow_disorder=True to fold anyway and "
+                    "count violations."
+                )
+            n_disorder += 1
+        for t in secs:
             if last_ts is None or t - last_ts > gap_seconds:
                 n_sessions += 1
             last_ts = t
-        state.update((last_ts, n_sessions))
-        yield pd.DataFrame({"user_id": [key[0]], "n_sessions": [n_sessions]})
+        state.update((last_ts, n_sessions, n_disorder))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_sessions": [n_sessions],
+                "n_disorder": [n_disorder],
+            }
+        )
 
     return fold
 
@@ -70,15 +101,18 @@ def streaming_sessionize(
     sf_dir: str,
     gap_seconds: float = 1800.0,
     query_name: str = "sessionize_out",
+    allow_disorder: bool = False,
 ) -> DataFrame:
     """Run the stateful sessionizer over the events parquet as a
     stream; returns the final per-user session counts (memory sink,
-    update mode — last emitted row per user wins)."""
+    update mode — last emitted row per user wins). Raises through the
+    streaming query if a micro-batch violates the per-key ordering
+    contract, unless ``allow_disorder`` (see module docstring)."""
     stream = read_events_stream(spark, sf_dir, maxFilesPerTrigger="1").withColumn(
         "event_time", F.col("ts")
     )
     sessions = stream.groupBy("user_id").applyInPandasWithState(
-        _sessionize_fold(gap_seconds),
+        _sessionize_fold(gap_seconds, allow_disorder=allow_disorder),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",

@@ -96,3 +96,25 @@ def test_abort_tolerates_none_messages_and_cleans_tmp_shards(tmp_path):
     )
     left = [p.name for p in tmp_path.iterdir()]
     assert left == [], left
+
+
+def test_commit_janitors_orphan_speculative_tmp_shards(tmp_path):
+    """A speculative duplicate attempt whose commit message lost the
+    race leaves an orphan part-*.jsonl.tmp (unreachable via the
+    manifest, but disk residue). commit runs exactly once with the full
+    winner set, so it must sweep any remaining *.jsonl.tmp that is not
+    a winner — and must not touch the published shards (r12 nit)."""
+    from adi_226_datawarehouse_project_spark.sources.jsonl_sink import (
+        JsonlManifestWriter,
+        ShardCommit,
+    )
+
+    w = JsonlManifestWriter({"path": str(tmp_path)})
+    (tmp_path / "part-winner.jsonl.tmp").write_text('{"a": 1}\n')
+    # the speculative loser's shard: same data, different uuid, no message
+    (tmp_path / "part-loser.jsonl.tmp").write_text('{"a": 1}\n')
+    w.commit(
+        [ShardCommit(tmp_name="part-winner.jsonl.tmp", final_name="part-winner.jsonl", n_rows=1)]
+    )
+    names = sorted(p.name for p in tmp_path.iterdir())
+    assert names == ["_MANIFEST.json", "_SUCCESS", "part-winner.jsonl"], names

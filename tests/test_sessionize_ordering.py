@@ -60,18 +60,37 @@ def out_of_order_sf(tmp_path):
     return str(tmp_path)
 
 
-def test_escape_hatch_requires_ordered_batches(spark, out_of_order_sf):
-    """Out-of-order batches: the fold sees 0 → 7200 (new session), then
-    3600 with a NEGATIVE gap (same session) — 2 sessions, not the
-    batch-true 3. If this starts returning 3, the operator grew
-    buffering and the docstring's contract (and this pin) should move."""
-    got = {
-        r["user_id"]: r["n_sessions"]
-        for r in streaming_sessionize(
-            spark, out_of_order_sf, gap_seconds=GAP_S, query_name="ooo_sessions"
+def test_escape_hatch_raises_on_backfill(spark, out_of_order_sf):
+    """ENFORCED contract (r13): a micro-batch whose min ts precedes the
+    carried per-key last_ts fails the streaming query loudly instead of
+    silently under-counting. The error message names the contract."""
+    with pytest.raises(Exception, match="ordering contract violated"):
+        streaming_sessionize(
+            spark, out_of_order_sf, gap_seconds=GAP_S, query_name="ooo_strict"
         ).collect()
-    }
+
+
+def test_escape_hatch_allow_disorder_folds_and_counts(spark, out_of_order_sf):
+    """Under allow_disorder the fold keeps the documented
+    fold-in-arrival-order behavior: 0 → 7200 (new session), then 3600
+    with a NEGATIVE gap (same session) — 2 sessions, not the batch-true
+    3 — and the violation is COUNTED into the n_disorder state (one
+    offending batch). If this starts returning 3, the operator grew
+    buffering and the docstring's contract (and this pin) should move."""
+    res = streaming_sessionize(
+        spark,
+        out_of_order_sf,
+        gap_seconds=GAP_S,
+        query_name="ooo_sessions",
+        allow_disorder=True,
+    ).collect()
+    got = {r["user_id"]: r["n_sessions"] for r in res}
     assert got == {1: 2}
+    dis = spark.sql(
+        "SELECT user_id, max(n_disorder) AS n_disorder "
+        "FROM ooo_sessions GROUP BY user_id"
+    ).collect()
+    assert {r["user_id"]: r["n_disorder"] for r in dis} == {1: 1}
 
 
 def test_session_window_is_order_robust(spark, out_of_order_sf):

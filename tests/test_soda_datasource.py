@@ -205,3 +205,35 @@ def test_stream_replay_short_slice_raises(spark, pages):
     # page_80_60.json does not exist → 0 rows for a 60-row commit
     with pytest.raises(RuntimeError, match="committed slice"):
         list(r.readBetweenOffsets({"offset": 80}, {"offset": 140}))
+
+
+def test_typoed_fixture_path_fails_loudly_on_first_page(spark, pages):
+    """A typo'd file:// url_template must NOT read as an empty dataset:
+    only offset>0 missing-file probes are past-the-end; the FIRST page
+    (offset 0) missing means the fixture path is wrong and the task
+    must fail (r12 nit)."""
+    import urllib.error
+
+    from adi_226_datawarehouse_project_spark.sources.soda_datasource import (
+        _fetch_page,
+    )
+
+    missing_first = f"file://{BASE}/no_such_page_0_{PAGE}.json"
+    with pytest.raises(urllib.error.URLError):
+        _fetch_page(missing_first, 5.0, past_end_ok=False)
+    # offset>0 probes keep the offline past-the-end semantics
+    assert _fetch_page(f"file://{BASE}/page_999999_{PAGE}.json", 5.0) == []
+
+    # end-to-end through the DataSource: a typo'd template yields a
+    # task failure, not a silent 0-row frame
+    spark.dataSource.register(SodaDataSource)
+    bad = (
+        spark.read.format("soda")
+        .schema("unique_key string, borough string, latitude string")
+        .option("url_template", f"file://{BASE}/typo_{{offset}}_{{limit}}.json")
+        .option("page_size", str(PAGE))
+        .option("n_pages", "2")
+        .load()
+    )
+    with pytest.raises(Exception):
+        bad.collect()
