@@ -1014,6 +1014,103 @@ ORDER BY user_id
 """
 
 
+def _spark_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver gate for the ORDER-ROBUST sessionize path (VERDICT r12
+    task 1, the banked 50th slot): `stream_stateful_sessionize` drives
+    the applyInPandasWithState escape hatch, whose per-key-ordered-
+    batches contract is now ENFORCED (streaming/sessionize.py raises
+    on backfill); THIS entry proves the production path — the built-in
+    ``session_window`` aggregation — computes batch-true sessions even
+    when the micro-batch sequence is adversarially OUT of time order.
+
+    Fixture: the sf events table split 3 ways by event_id % 3, each
+    split written as ONE parquet file spanning the FULL time range,
+    with forced distinct mtimes — so the file stream (one file per
+    trigger, mtime order) replays the corpus as three mutually
+    out-of-order micro-batches (every batch reaches back before the
+    previous batch's frontier). The state-store session merge under a
+    non-dropping watermark must converge to the batch truth, which the
+    DuckDB lag/cumsum oracle recomputes with session_window's boundary
+    semantics (split at diff >= gap; window end = last event + gap).
+    Session bounds are compared as epoch micros (BIGINT) to keep the
+    hash engine-neutral."""
+    import glob as _glob
+    import os
+    import shutil
+
+    base = f"{_io_dir(sf_dir)}/session_window_stream"
+    shutil.rmtree(base, ignore_errors=True)
+    stream_dir = f"{base}/events_ooo"
+    os.makedirs(stream_dir)
+    ev = load_table(spark, sf_dir, "events")
+    for i in range(3):
+        part_dir = f"{base}/split{i}"
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.parquet(part_dir)
+        (src,) = _glob.glob(f"{part_dir}/part-*.parquet")
+        dst = os.path.join(stream_dir, f"batch-{i}.parquet")
+        os.replace(src, dst)
+        # mtime order 1, 0, 2 — any multi-batch order is out-of-order
+        # (every file spans the full range); fixed for a deterministic
+        # replay sequence
+        mt = 1_000_000 + [1, 0, 2][i] * 1_000
+        os.utime(dst, (mt, mt))
+
+    from ..streaming.events_stream import _with_event_time, session_window_counts
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    agg = session_window_counts(
+        _with_event_time(stream).withWatermark("event_time", "3650 days"),
+        "30 minutes",
+    )
+    name = "session_window_ooo_out"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(
+        f"""
+        SELECT user_id,
+               unix_micros(session_start) AS session_start_us,
+               unix_micros(session_end) AS session_end_us,
+               CAST(n_events AS BIGINT) AS n_events
+        FROM {name}
+        ORDER BY user_id, session_start_us
+        """
+    )
+
+
+_SESSION_WINDOW_STREAM_ORACLE = """
+SELECT user_id,
+       CAST(min(epoch_us(ts)) AS BIGINT) AS session_start_us,
+       CAST(max(epoch_us(ts)) + 1800000000 AS BIGINT) AS session_end_us,
+       COUNT(*) AS n_events
+FROM (
+  SELECT user_id, ts, event_id,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM (
+    SELECT user_id, ts, event_id,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) >= 1800000000
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+  ) x
+) s
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start_us
+"""
+
+
 def _spark_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch form of the Structured Streaming aggregation — identical
     transformation code path (streaming/events_stream.py); stream/batch
@@ -4420,6 +4517,9 @@ def operator_queries() -> dict[str, OpQuery]:
         ),
         "stream_stateful_sessionize": OpQuery(
             _spark_stateful_sessionize, _stateful_sessionize_oracle(D.DUCKDB)
+        ),
+        "stream_session_window": OpQuery(
+            _spark_session_window_stream, _SESSION_WINDOW_STREAM_ORACLE
         ),
         "stream_upsert_ingest": OpQuery(_spark_stream_upsert, _STREAM_UPSERT_ORACLE),
         "stream_stream_join": OpQuery(_spark_stream_stream_join, _STREAM_STREAM_JOIN_ORACLE),
