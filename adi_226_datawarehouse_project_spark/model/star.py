@@ -52,6 +52,7 @@ parallel end to end.
 from __future__ import annotations
 
 import os
+import threading
 import time
 from collections.abc import Callable
 
@@ -364,6 +365,32 @@ _REGISTERED: dict[int, tuple[str, str, str | None]] = {}
 _REGISTERED_REFS: dict[int, object] = {}
 
 
+# Per-session registration lock (r13 concurrency audit, VERDICT r12
+# #7): the memo transitions (cold registration, views→cache upgrade,
+# zone materialization, compression-flip clearCache) are multi-step
+# read-modify-write sequences over _REGISTERED + the Spark catalog.
+# The engine's OWN pools never call these from worker threads (workers
+# only cacheTable/count — audited r13), but a USER driving queries
+# from a thread pool hits register_star_views concurrently on first
+# use: without a lock, two threads can both take the cold path
+# (duplicated wave work) and one thread's clearCache can drop caches
+# the other is mid-filling. RLock because the entry points nest
+# (materialize_warehouse → register_star_views → _materialize_zone).
+# Keyed by id(spark) like the memo; entries are tiny and bounded by
+# sessions-per-process, so no eviction is needed.
+_SESSION_LOCKS: dict[int, threading.RLock] = {}
+_SESSION_LOCKS_GUARD = threading.Lock()
+
+
+def _session_lock(spark: SparkSession) -> threading.RLock:
+    key = id(spark)
+    with _SESSION_LOCKS_GUARD:
+        lk = _SESSION_LOCKS.get(key)
+        if lk is None:
+            lk = _SESSION_LOCKS[key] = threading.RLock()
+        return lk
+
+
 def _memo_get(spark: SparkSession) -> tuple[str, str, str | None] | None:
     key = id(spark)
     ref = _REGISTERED_REFS.get(key)
@@ -436,7 +463,19 @@ def register_star_views(spark: SparkSession, sf_dir: str, cache: bool = True) ->
     warehouse the heap can't hold — the driver's 50 registry queries
     never call ``materialize_warehouse`` themselves, so policy
     awareness must live here to take effect on the primary path. At
-    probe-says-cache scales (every test sf) this is a no-op."""
+    probe-says-cache scales (every test sf) this is a no-op.
+
+    Thread-safe per session: the whole transition runs under the
+    session registration lock (see _SESSION_LOCKS), so concurrent
+    first-use callers serialize — one does the work, the rest hit the
+    memo."""
+    with _session_lock(spark):
+        _register_star_views_locked(spark, sf_dir, cache)
+
+
+def _register_star_views_locked(
+    spark: SparkSession, sf_dir: str, cache: bool
+) -> None:
     key = id(spark)
     memo = _memo_get(spark)
     if memo is not None and memo[0] == sf_dir:
@@ -602,7 +641,9 @@ def _hadoop_probe(spark: SparkSession, sf_dir: str) -> tuple[tuple, int] | None:
         return None
 
 
-def _probe_input_bytes(sf_dir: str, spark: SparkSession | None = None) -> int | None:
+def _probe_input_bytes(
+    sf_dir: str, spark: SparkSession | None = None, fresh: bool = False
+) -> int | None:
     """UNCOMPRESSED bytes of the warehouse's fixture inputs, from
     parquet footers — a driver-side metadata stat, no Spark job. For
     multi-part directories, footers of the first ``_PROBE_SAMPLE_PARTS``
@@ -652,7 +693,10 @@ def _probe_input_bytes(sf_dir: str, spark: SparkSession | None = None) -> int | 
             ttl = float(os.environ.get("SPARK_GRAFT_HADOOP_PROBE_TTL_S", "60"))
         except ValueError:  # malformed env value degrades to default
             ttl = 60.0
-        if hit is not None and len(hit) == 3 and now - hit[2] < ttl:
+        # fresh=True bypasses the TTL shortcut (layout-FLIP decisions
+        # must not rest on a stale figure — see materialize_warehouse);
+        # the fresh listing still refreshes the memo for later callers.
+        if not fresh and hit is not None and len(hit) == 3 and now - hit[2] < ttl:
             return hit[1]
         h = _hadoop_probe(spark, sf_dir)
         if h is not None:
@@ -724,7 +768,9 @@ def _maybe_flip_cache_compression(spark: SparkSession, sf_dir: str) -> None:
             _REGISTERED.pop(id(spark), None)
 
 
-def resolve_warehouse_policy(spark: SparkSession, sf_dir: str) -> str:
+def resolve_warehouse_policy(
+    spark: SparkSession, sf_dir: str, fresh: bool = False
+) -> str:
     """Pick the materialization policy. ``SPARK_GRAFT_WAREHOUSE_POLICY``
     is an explicit override (cache | parquet | hybrid); the default
     ``auto`` mirrors the n-gram dedup auto-selector: one cheap probe
@@ -755,7 +801,14 @@ def resolve_warehouse_policy(spark: SparkSession, sf_dir: str) -> str:
     both neighbors."""
     policy = os.environ.get("SPARK_GRAFT_WAREHOUSE_POLICY", "auto")
     if policy == "auto":
-        n = _probe_input_bytes(sf_dir, spark)
+        # keyword only on the fresh path: tests stub _probe_input_bytes
+        # with (sf, spark) signatures, and the steady-state call shape
+        # must keep honoring those stubs
+        n = (
+            _probe_input_bytes(sf_dir, spark, fresh=True)
+            if fresh
+            else _probe_input_bytes(sf_dir, spark)
+        )
         if n is None:
             return "parquet"
         return "cache" if n * _CACHE_EXPANSION <= _heap_bytes(spark) else "parquet"
@@ -813,8 +866,30 @@ def materialize_warehouse(spark: SparkSession, sf_dir: str) -> None:
     Unlike ``register_star_views``, this entry point honors a POLICY
     CHANGE mid-session: if the memoized layout differs from the
     resolved (sf_dir, policy, zone) in any component, the old layout is
-    dropped (clearCache) and rebuilt."""
+    dropped (clearCache) and rebuilt.
+
+    Flip freshness (r13, VERDICT r12 #7): a LAYOUT FLIP of an
+    already-materialized warehouse (zone↔cache) must not rest on a
+    TTL-stale remote probe figure — a corpus replaced in place within
+    the TTL window would otherwise read as its old size, and a
+    stale-small figure could drop a parquet zone to cache an over-heap
+    corpus. When the resolved policy's layout family differs from the
+    memoized one for the SAME sf_dir, the policy is re-resolved with
+    the TTL bypassed (one extra listing, only on flips); first
+    materializations and steady-state calls keep the memoized probe.
+    Thread-safe per session (same lock as register_star_views)."""
+    with _session_lock(spark):
+        _materialize_warehouse_locked(spark, sf_dir)
+
+
+def _materialize_warehouse_locked(spark: SparkSession, sf_dir: str) -> None:
     policy = resolve_warehouse_policy(spark, sf_dir)
+    memo = _memo_get(spark)
+    if memo is not None and memo[0] == sf_dir:
+        want = policy if policy in ("parquet", "hybrid") else "cache"
+        have = "cache" if memo[1] in ("views", "cache") else memo[1]
+        if want != have:  # layout flip → decide on a FRESH figure
+            policy = resolve_warehouse_policy(spark, sf_dir, fresh=True)
     if policy in ("parquet", "hybrid"):
         _materialize_zone(spark, sf_dir, cache_gold=(policy == "hybrid"))
         return
@@ -914,6 +989,13 @@ def _materialize_zone(
     DOWNSTREAM views must be re-created to resolve against the
     repointed level — repointing staging alone would leave the dim/fact
     views still bound to the original staging plan."""
+    with _session_lock(spark):
+        _materialize_zone_locked(spark, sf_dir, cache_gold)
+
+
+def _materialize_zone_locked(
+    spark: SparkSession, sf_dir: str, cache_gold: bool
+) -> None:
     from concurrent.futures import ThreadPoolExecutor
 
     key = id(spark)

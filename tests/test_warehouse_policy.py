@@ -436,3 +436,103 @@ def test_hadoop_probe_sizes_file_scheme_uris(spark, monkeypatch):
     # without a session to reach the Hadoop FS, the local probe alone
     # still (correctly) reports unknown
     assert star._probe_input_bytes(uri) is None
+
+
+def test_ttl_stale_figure_cannot_flip_materialized_zone(spark, monkeypatch):
+    """r13 audit pin (VERDICT r12 #7): a layout FLIP of an
+    already-materialized warehouse must not rest on a TTL-stale remote
+    probe figure. Fixture: the memo says a parquet zone is live for a
+    remote-only corpus; the TTL memo still holds a stale SMALL figure
+    (says: fits in cache) while a fresh listing reports an over-heap
+    corpus. materialize_warehouse must re-probe FRESH on the flip
+    decision and keep the zone — caching would blow the heap the zone
+    exists to protect."""
+    import time as _time
+
+    gb = 1 << 30
+    sf = "/definitely/not/a/local/path/sfX"  # local probe misses → hadoop route
+    monkeypatch.delenv("SPARK_GRAFT_WAREHOUSE_POLICY", raising=False)
+    monkeypatch.setattr(star, "_heap_bytes", lambda _s: 16 * gb)
+
+    # stale TTL entry: tiny corpus (auto → cache); fresh listing: huge
+    monkeypatch.setitem(
+        star._PROBE_CACHE, ("hadoop", sf), ((("x", 1, 1, 0),), 1 * gb // 64, _time.monotonic())
+    )
+    fresh_calls = []
+
+    def fake_hadoop_probe(_spark, _sf):
+        fresh_calls.append(_sf)
+        return ((("x", 1, 1, 0),), 8 * gb)  # 2x disk = 16g unc, x21 >> heap
+
+    monkeypatch.setattr(star, "_hadoop_probe", fake_hadoop_probe)
+
+    # sanity: the stale figure really does mis-resolve to cache
+    assert star.resolve_warehouse_policy(spark, sf) == "cache"
+    assert fresh_calls == []  # TTL served it without a listing
+
+    # an already-materialized zone for the SAME sf_dir
+    saved = star._memo_get(spark)
+    zone_calls = []
+    monkeypatch.setattr(
+        star,
+        "_materialize_zone",
+        lambda _s, _sf, cache_gold: zone_calls.append(cache_gold),
+    )
+    cleared = []
+    monkeypatch.setattr(
+        spark.catalog, "clearCache", lambda: cleared.append(1), raising=False
+    )
+    try:
+        star._memo_set(spark, (sf, "parquet", "/tmp/fake_zone"))
+        star.materialize_warehouse(spark, sf)
+    finally:
+        if saved is not None:
+            star._memo_set(spark, saved)
+        else:
+            star._REGISTERED.pop(id(spark), None)
+            star._REGISTERED_REFS.pop(id(spark), None)
+    # the flip decision re-listed (fresh) and stayed on the zone:
+    assert fresh_calls == [sf]
+    assert zone_calls == [False]  # parquet zone kept (cache_gold=False)
+    assert cleared == []  # never dropped the zone registration
+
+
+def test_concurrent_first_use_registration_runs_once(spark, monkeypatch):
+    """r13 audit pin: concurrent first-use callers of
+    register_star_views serialize on the per-session lock — exactly one
+    thread takes the cold path (one register_base_views, one view-wave
+    build), the rest hit the memo. Without the lock both threads build
+    the waves and can clearCache mid-fill of the other."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import adi_226_datawarehouse_project_spark.model.star as star_mod
+
+    saved = star_mod._memo_get(spark)
+    star_mod._REGISTERED.pop(id(spark), None)
+    star_mod._REGISTERED_REFS.pop(id(spark), None)
+    spark.catalog.clearCache()
+
+    calls = []
+    real = star_mod.register_base_views
+
+    def counting_register(s, sf, **kw):
+        calls.append(sf)
+        return real(s, sf, **kw)
+
+    monkeypatch.setattr(star_mod, "register_base_views", counting_register)
+    try:
+        with ThreadPoolExecutor(8) as ex:
+            list(
+                ex.map(
+                    lambda _: star_mod.register_star_views(spark, SF), range(8)
+                )
+            )
+        assert calls == [SF], calls  # cold path ran exactly once
+        # and the registration actually works
+        assert spark.table("fact_311_complaint").count() >= 0
+    finally:
+        if saved is not None and saved[0] != SF:
+            # restore the pre-test layout for subsequent tests
+            star_mod._REGISTERED.pop(id(spark), None)
+            star_mod._REGISTERED_REFS.pop(id(spark), None)
+            spark.catalog.clearCache()
