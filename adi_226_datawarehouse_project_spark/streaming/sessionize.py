@@ -4,9 +4,9 @@ Streaming's built-in windows can't express — SURVEY §2.10
 beyond-reference extension).
 
 Per user, events more than `gap_seconds` apart start a new session.
-State per key is (last event epoch, running session count); each
-micro-batch folds its (sorted) events into the state and emits the
-updated per-user total. The identical fold runs in batch via the
+State per key is (last event epoch, running session count, disorder
+count); each micro-batch folds its (sorted) events into the state and
+emits the updated per-user totals. The identical fold runs in batch via the
 lag-window SQL (`op_sessionize_events`), and the pytest asserts the
 streaming totals equal the batch totals — the stateful analog of the
 stream-batch equivalence check.
