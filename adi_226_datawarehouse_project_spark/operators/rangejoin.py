@@ -61,13 +61,19 @@ def range_join(
     def b(c: Column) -> Column:
         return F.floor(c / F.lit(float(bucket_width))).cast("bigint")
 
-    pb = points.withColumn("__bucket", b(F.col(p_col))).alias("__rj_p")
+    # Backtick-quote the name everywhere it is referenced — in the
+    # bucket derivations AND the join condition — so a column name
+    # containing a dot (or other identifier-breaking chars) parses as
+    # one top-level field, not as nested-field access (ADVICE r12; the
+    # r13 review caught the derivations still unquoted).
+    def qc(name: str) -> Column:
+        return F.col(f"`{name}`")
+
+    pb = points.withColumn("__bucket", b(qc(p_col))).alias("__rj_p")
     ib = intervals.withColumn(
-        "__bucket", F.explode(F.sequence(b(F.col(lo_col)), b(F.col(hi_col))))
+        "__bucket", F.explode(F.sequence(b(qc(lo_col)), b(qc(hi_col))))
     ).alias("__rj_i")
-    # Backtick-quote the name segment so a column name containing a
-    # dot (or other identifier-breaking chars) parses as one field
-    # under the side alias, not as nested-field access (ADVICE r12).
+
     def q(side: str, name: str) -> Column:
         return F.col(f"{side}.`{name}`")
 

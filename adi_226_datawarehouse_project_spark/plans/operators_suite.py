@@ -1934,6 +1934,24 @@ _SPLIT_TEST_FRAC = 0.1
 _DECON_MIN_OVERLAP = 2  # contaminated = >= 2 distinct shared 5-grams
 
 
+def _funnel_stages(spark: SparkSession, sf_dir: str):
+    """The funnel's shared stage chain up to the cluster components —
+    ONE definition used by both the registry query
+    (`_spark_curation_funnel`) and the 64× invariant verifier
+    (`scripts/funnel_invariants_scale.py`), so the scale check cannot
+    silently drift from the pipeline it certifies (r13 review).
+    Returns (docs, s1 lang, s2 quality, s3 exact-dedup, edges, comp)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    s1 = docs.filter(TX.lang_id("text") == "en")
+    s2 = s1.filter(TX.quality_score("text") >= 0.75)
+    s3 = dedup_exact(s2, ["text"], order_by=["doc_id"])
+    edges = ngram_jaccard_pairs(
+        s3, "doc_id", "text", n=_NGRAM_N, min_jaccard=_LSH_TRUTH_MIN_J
+    ).select("id_a", "id_b")
+    comp = near_dup_clusters(s3.select("doc_id"), "doc_id", edges)
+    return docs, s1, s2, s3, edges, comp
+
+
 def _spark_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus curation funnel — the composite an
     LLM data pipeline actually runs, with per-stage survivor counts:
@@ -1955,14 +1973,7 @@ def _spark_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     The decontamination stage is operators.decontamination (broadcast
     bench-gram inverted index); its oracle is the same distinct-gram
     overlap count in SQL."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    s1 = docs.filter(TX.lang_id("text") == "en")
-    s2 = s1.filter(TX.quality_score("text") >= 0.75)
-    s3 = dedup_exact(s2, ["text"], order_by=["doc_id"])
-    edges = ngram_jaccard_pairs(
-        s3, "doc_id", "text", n=_NGRAM_N, min_jaccard=_LSH_TRUTH_MIN_J
-    ).select("id_a", "id_b")
-    comp = near_dup_clusters(s3.select("doc_id"), "doc_id", edges)
+    docs, s1, s2, s3, edges, comp = _funnel_stages(spark, sf_dir)
     s4 = s3.join(
         comp.filter(F.col("cluster_id") == F.col("doc_id")).select("doc_id"), "doc_id"
     )

@@ -50,17 +50,27 @@ class JsonlManifestWriter(DataSourceWriter):
         if "path" not in options:
             raise ValueError("jsonl_manifest sink requires option path")
         self.path = options["path"]
+        # Job-unique tag, minted ONCE on the driver (the writer
+        # instance is pickled to every task, so speculative duplicate
+        # attempts share it): shard names embed it, which lets commit
+        # janitor THIS job's orphans without touching a concurrent
+        # job's in-flight tmp shards on the same path (r13 review).
+        self.job_tag = uuid.uuid4().hex[:8]
 
     def write(self, rows: Iterator[Row]) -> ShardCommit:
         os.makedirs(self.path, exist_ok=True)
         shard = uuid.uuid4().hex[:16]
-        tmp = f"part-{shard}.jsonl.tmp"
+        tmp = f"part-{self.job_tag}-{shard}.jsonl.tmp"
         n = 0
         with open(os.path.join(self.path, tmp), "w") as f:
             for row in rows:
                 f.write(json.dumps(row.asDict(), default=str) + "\n")
                 n += 1
-        return ShardCommit(tmp_name=tmp, final_name=f"part-{shard}.jsonl", n_rows=n)
+        return ShardCommit(
+            tmp_name=tmp,
+            final_name=f"part-{self.job_tag}-{shard}.jsonl",
+            n_rows=n,
+        )
 
     def commit(self, messages: list[ShardCommit]) -> None:
         shards = []
@@ -72,12 +82,20 @@ class JsonlManifestWriter(DataSourceWriter):
             shards.append({"file": m.final_name, "n_rows": m.n_rows})
         # Janitor stray tmp shards: a speculative duplicate attempt
         # whose commit message lost the race leaves an orphan
-        # part-*.jsonl.tmp. It is unreachable (readers go through the
-        # manifest) but costs disk; commit runs exactly once with the
-        # full winner set, so anything still *.jsonl.tmp here is dead.
+        # part-<job_tag>-*.jsonl.tmp. It is unreachable (readers go
+        # through the manifest) but costs disk; commit runs exactly
+        # once with the full winner set, so any tmp shard bearing THIS
+        # job's tag that isn't a winner is dead. Scoping by tag keeps
+        # a concurrent job's in-flight tmp shards on the same path
+        # untouched (last manifest wins, as before).
         committed = {m.tmp_name for m in messages}
+        mine = f"part-{self.job_tag}-"
         for name in os.listdir(self.path):
-            if name.endswith(".jsonl.tmp") and name not in committed:
+            if (
+                name.startswith(mine)
+                and name.endswith(".jsonl.tmp")
+                and name not in committed
+            ):
                 try:
                     os.remove(os.path.join(self.path, name))
                 except FileNotFoundError:

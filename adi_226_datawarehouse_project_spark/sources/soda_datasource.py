@@ -128,7 +128,14 @@ class SodaStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
         off = int(start["offset"])
         url = self._r.template.format(limit=self._r.page_size, offset=off)
-        recs = _fetch_page(url, self._r.timeout, past_end_ok=off > 0)
+        # past_end_ok stays True on the STREAMING surface, offset 0
+        # included: a polling stream that has not seen data yet is
+        # indistinguishable from a not-yet-recorded page 0, and raising
+        # here would kill (and keep killing, offset never advances) a
+        # legitimately empty-so-far append-only stream. The typo'd-path
+        # guard lives on the BATCH reader, where offset-0-missing is
+        # decidable (r13 review).
+        recs = _fetch_page(url, self._r.timeout)
         rows = [tuple(rec.get(n) for n in self._r.fields) for rec in recs]
         return iter(rows), {"offset": off + len(rows)}
 

@@ -135,22 +135,39 @@ def main() -> None:
                     file=sys.stderr,
                 )
 
-    # paired per-query summary: median over passes of (B - A) per query
+    # Paired per-query summary. Only queries present in EVERY pass of
+    # BOTH arms are compared — refs from different rounds can add or
+    # remove bench queries, and a missing key must not crash (or
+    # silently skew) the summary after the expensive passes ran.
     import statistics
 
-    qs = sorted(rows[0]["queries"])
+    common = set(rows[0]["queries"])
+    for r in rows[1:]:
+        common &= set(r["queries"])
+    dropped = sorted(
+        set().union(*(set(r["queries"]) for r in rows)) - common
+    )
+    a_rows = [r for r in rows if r["arm"] == "A"]
+    b_rows = [r for r in rows if r["arm"] == "B"]
     summary = {}
-    for q in qs:
-        a_meds = [r["queries"][q] for r in rows if r["arm"] == "A"]
-        b_meds = [r["queries"][q] for r in rows if r["arm"] == "B"]
+    for q in sorted(common):
+        a_meds = [r["queries"][q] for r in a_rows]
+        b_meds = [r["queries"][q] for r in b_rows]
+        # the PAIRED delta per pass (B_i - A_i, adjacent arms share box
+        # state), then the median over passes — this is what cancels
+        # co-tenant drift; difference-of-medians can pair measurements
+        # from non-adjacent passes and retain the drift.
+        paired = [b - a for a, b in zip(a_meds, b_meds)]
         summary[q] = {
             "a_median": round(statistics.median(a_meds), 3),
             "b_median": round(statistics.median(b_meds), 3),
-            "delta": round(
-                statistics.median(b_meds) - statistics.median(a_meds), 3
-            ),
+            "paired_delta_median": round(statistics.median(paired), 3),
+            "paired_deltas": [round(d, 3) for d in paired],
         }
-    print(json.dumps({"summary_b_minus_a": summary}))
+    out_summary = {"summary_b_minus_a": summary}
+    if dropped:
+        out_summary["not_in_both_arms"] = dropped
+    print(json.dumps(out_summary))
 
 
 if __name__ == "__main__":

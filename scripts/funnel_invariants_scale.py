@@ -46,17 +46,12 @@ sys.path.insert(0, _repo)
 from pyspark.sql import SparkSession  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
-from adi_226_datawarehouse_project_spark.functions import text as TX  # noqa: E402
-from adi_226_datawarehouse_project_spark.operators.dedup import (  # noqa: E402
-    dedup_exact,
-    near_dup_clusters,
-    ngram_jaccard_pairs,
-)
+# The stage chain comes from the REGISTRY's own builder — one
+# definition, so this verifier cannot drift from the pipeline it
+# certifies (r13 review).
 from adi_226_datawarehouse_project_spark.plans.operators_suite import (  # noqa: E402
-    _LSH_TRUTH_MIN_J,
-    _NGRAM_N,
+    _funnel_stages,
 )
-from adi_226_datawarehouse_project_spark.sources.catalog import load_table  # noqa: E402
 
 
 def main() -> None:
@@ -71,15 +66,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     t0 = time.time()
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    s1 = docs.filter(TX.lang_id("text") == "en")
-    s2 = s1.filter(TX.quality_score("text") >= 0.75)
-    s3 = dedup_exact(s2, ["text"], order_by=["doc_id"]).select("doc_id", "text")
-    edges = ngram_jaccard_pairs(
-        s3, "doc_id", "text", n=_NGRAM_N, min_jaccard=_LSH_TRUTH_MIN_J
-    ).select("id_a", "id_b")
-    comp = near_dup_clusters(s3.select("doc_id"), "doc_id", edges).cache()
-    s3 = s3.cache()
+    _docs, _s1, _s2, s3, edges, comp = _funnel_stages(spark, sf_dir)
+    comp = comp.cache()
+    s3 = s3.select("doc_id", "text").cache()
     edges = edges.cache()
 
     out: dict = {"sf_dir": sf_dir}

@@ -110,11 +110,26 @@ def test_commit_janitors_orphan_speculative_tmp_shards(tmp_path):
     )
 
     w = JsonlManifestWriter({"path": str(tmp_path)})
-    (tmp_path / "part-winner.jsonl.tmp").write_text('{"a": 1}\n')
-    # the speculative loser's shard: same data, different uuid, no message
-    (tmp_path / "part-loser.jsonl.tmp").write_text('{"a": 1}\n')
+    tag = w.job_tag
+    (tmp_path / f"part-{tag}-winner.jsonl.tmp").write_text('{"a": 1}\n')
+    # the speculative loser's shard: same job tag, different task uuid,
+    # no commit message
+    (tmp_path / f"part-{tag}-loser.jsonl.tmp").write_text('{"a": 1}\n')
+    # a CONCURRENT job's in-flight shard (different tag): must survive
+    (tmp_path / "part-deadbeef-other.jsonl.tmp").write_text('{"b": 2}\n')
     w.commit(
-        [ShardCommit(tmp_name="part-winner.jsonl.tmp", final_name="part-winner.jsonl", n_rows=1)]
+        [
+            ShardCommit(
+                tmp_name=f"part-{tag}-winner.jsonl.tmp",
+                final_name=f"part-{tag}-winner.jsonl",
+                n_rows=1,
+            )
+        ]
     )
-    names = sorted(p.name for p in tmp_path.iterdir())
-    assert names == ["_MANIFEST.json", "_SUCCESS", "part-winner.jsonl"], names
+    names = {p.name for p in tmp_path.iterdir()}
+    assert names == {
+        "_MANIFEST.json",
+        "_SUCCESS",
+        "part-deadbeef-other.jsonl.tmp",
+        f"part-{tag}-winner.jsonl",
+    }, names
