@@ -1031,9 +1031,13 @@ def _spark_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     previous batch's frontier). The state-store session merge under a
     non-dropping watermark must converge to the batch truth, which the
     DuckDB lag/cumsum oracle recomputes with session_window's boundary
-    semantics (split at diff >= gap; window end = last event + gap).
-    Session bounds are compared as epoch micros (BIGINT) to keep the
-    hash engine-neutral."""
+    semantics: split at diff > gap — the exact-gap case MERGES, the
+    same boundary as the SQL lag form, pinned empirically against
+    adversarial exact-gap layouts in
+    tests/test_session_window_properties.py (the r13 property sweep
+    falsified the previous "splits at >=" docstring claim; window end
+    = last event + gap). Session bounds are compared as epoch micros
+    (BIGINT) to keep the hash engine-neutral."""
     import glob as _glob
     import os
     import shutil
@@ -1101,7 +1105,7 @@ FROM (
   FROM (
     SELECT user_id, ts, event_id,
            CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                     OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) >= 1800000000
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
                 THEN 1 ELSE 0 END AS is_new
     FROM events
   ) x

@@ -186,14 +186,15 @@ def session_window_counts(
     watermarked stream; returns one row per (user, session) with the
     merged window bounds and event count.
 
-    Boundary semantics, for parity with the SQL lag/cumsum form
-    (`op_sessionize_events`): ``session_window`` merges an event into
-    the session while ``diff < gap`` and splits at ``diff >= gap``
-    (window end is exclusive), whereas the SQL form splits at
-    ``diff > gap``. The two disagree only for gaps EXACTLY equal to
-    the threshold — measure-zero on real micro-timestamped data, and
-    pinned empirically equal on the fixtures in
-    tests/test_session_window.py."""
+    Boundary semantics, pinned EMPIRICALLY (r13,
+    tests/test_session_window_properties.py — the previous claim here
+    was backwards): ``session_window`` merges an event into the
+    session while ``diff <= gap`` — the exact-gap case MERGES (two
+    events at 0s and 60s with a 60s gap form ONE session [0, 120)) —
+    and splits only at ``diff > gap``. That is the SAME boundary as
+    the SQL lag/cumsum form (`op_sessionize_events`, split at
+    ``> gap``), so the two agree at EVERY layout, exact-gap ties
+    included, not just on measure-zero-free data."""
     return df.groupBy(
         F.session_window(F.col("event_time"), gap).alias("session"),
         F.col("user_id"),
