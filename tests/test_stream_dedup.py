@@ -55,3 +55,63 @@ def test_key_summary_is_survivor_invariant(spark, sf_dir):
     a = dedup_key_summary(dedup_events(ev)).collect()
     b = dedup_key_summary(ev.select(*DEDUP_KEYS).distinct()).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_key_reappearing_past_watermark_horizon_reemits(spark, tmp_path):
+    """The bounded-state trade-off pinned EMPIRICALLY (r13):
+    dropDuplicatesWithinWatermark holds a key's state only within the
+    watermark horizon, so the SAME key reappearing far past it is
+    re-emitted — streaming dedup of an unbounded source is
+    exactly-once only within the horizon, at-least-once across it.
+    Two boundary details the test pins:
+
+    - state eviction happens at END of batch under the two-watermark
+      model, so the reappearance that arrives in the SAME batch that
+      evicts the old state (event 3) is still deduplicated against it
+      (and does NOT refresh the expiry — the expiration stays first
+      occurrence + delay);
+    - the NEXT reappearance (event 4, one batch later) finds no state
+      and re-emits.
+
+    Key K=(user 1,'view'): kept @10s, dup @30s dropped (within
+    horizon), another key @500s advances the watermark to 440s >>
+    K's 70s expiry, K @505s arrives with the eviction batch (still
+    dropped), K @510s re-emits."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base_us = 1_700_000_040_000_000
+
+    def w(name, rows, mt):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [base_us + r[1] * 1_000_000 for r in rows],
+                    pa.timestamp("us", tz="UTC"),
+                ),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows]),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array([None] * len(rows), pa.string()),
+            }
+        )
+        p = os.path.join(str(ev_dir), name)
+        pq.write_table(tbl, p)
+        os.utime(p, (mt, mt))
+
+    ev_dir = tmp_path / "events.parquet"
+    ev_dir.mkdir()
+    w("a.parquet", [(0, 10, 1, "view")], 1_000_000)
+    w("a2.parquet", [(1, 30, 1, "view")], 2_000_000)
+    w("b.parquet", [(2, 500, 2, "view")], 3_000_000)
+    w("c.parquet", [(3, 505, 1, "view")], 4_000_000)
+    w("d.parquet", [(4, 510, 1, "view")], 5_000_000)
+
+    out = run_dedup_stream_once(
+        spark, str(tmp_path), watermark="1 minute", maxFilesPerTrigger="1"
+    )
+    survivors = sorted(r["event_id"] for r in out.collect())
+    assert survivors == [0, 2, 4], survivors
