@@ -57,7 +57,16 @@ def _attribution_pairs(events: DataFrame) -> DataFrame:
     return _join_pairs(clicks, purchases)
 
 
-def _join_pairs(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+def _join_pairs(
+    clicks: DataFrame, purchases: DataFrame, how: str = "inner"
+) -> DataFrame:
+    """The attribution join, inner or leftOuter. LEFT OUTER is the
+    stream-stream shape with watermark-gated null emission: an
+    unmatched click's null-extended row can only be emitted once the
+    watermark proves no purchase inside [click_time, click_time +
+    range] can still arrive — until then it is withheld in state (the
+    append-mode contract; pinned in tests/test_stream_join.py). On the
+    batch twin the same builder is an ordinary left join."""
     return clicks.join(
         purchases,
         (clicks.user_id == F.col("user_id2"))
@@ -66,6 +75,7 @@ def _join_pairs(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
             F.col("purchase_time")
             <= F.col("click_time") + F.expr(f"INTERVAL {RANGE_SECONDS} SECONDS")
         ),
+        how,
     ).select("user_id", "click_time", "purchase_time")
 
 
@@ -77,6 +87,74 @@ def clicks_purchases_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_time", F.col("ts").cast("timestamp")
     )
     return _summarize(_attribution_pairs(ev))
+
+
+def stream_join_pairs_once(
+    spark: SparkSession,
+    sf_dir: str,
+    watermark: str = "30 minutes",
+    how: str = "inner",
+    query_name: str = "stream_join_pairs_out",
+    **stream_options: str,
+) -> DataFrame:
+    """Drive the streaming attribution join (inner or leftOuter) to
+    completion over the parquet file source and return the RAW pair
+    rows (null purchase columns for unmatched clicks in leftOuter).
+    ``stream_options`` pass through to the reader (e.g.
+    maxFilesPerTrigger='1' for per-file micro-batches)."""
+
+    def _stream() -> DataFrame:
+        return read_events_stream(spark, sf_dir, **stream_options).withColumn(
+            "event_time", F.col("ts").cast("timestamp")
+        )
+
+    clicks = (
+        _stream()
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("event_time").alias("click_time"))
+        .withWatermark("click_time", watermark)
+    )
+    purchases = (
+        _stream()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("user_id2"),
+            F.col("event_time").alias("purchase_time"),
+        )
+        .withWatermark("purchase_time", watermark)
+    )
+    pairs = _join_pairs(clicks, purchases, how=how)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        q = (
+            pairs.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(query_name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def clicks_purchases_batch_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the LEFT OUTER attribution join (same builder)."""
+    from ..sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_time", F.col("ts").cast("timestamp")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_time").alias("click_time")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("user_id2"),
+        F.col("event_time").alias("purchase_time"),
+    )
+    return _join_pairs(clicks, purchases, how="leftOuter")
 
 
 def run_stream_stream_join_once(
