@@ -35,7 +35,7 @@ def _summarize(pairs: DataFrame) -> DataFrame:
     )
 
 
-def _attribution_pairs(events: DataFrame) -> DataFrame:
+def _attribution_pairs(events: DataFrame, how: str = "inner") -> DataFrame:
     """The click→purchase attribution join, built ONCE and shared by
     the batch oracle and the streaming run: the differential test pins
     the stream EXECUTION (state, watermark eviction), so the declared
@@ -54,7 +54,7 @@ def _attribution_pairs(events: DataFrame) -> DataFrame:
         F.col("user_id").alias("user_id2"),
         F.col("event_time").alias("purchase_time"),
     )
-    return _join_pairs(clicks, purchases)
+    return _join_pairs(clicks, purchases, how=how)
 
 
 def _join_pairs(
@@ -124,6 +124,12 @@ def stream_join_pairs_once(
         .withWatermark("purchase_time", watermark)
     )
     pairs = _join_pairs(clicks, purchases, how=how)
+    # A stream-stream join keeps one state store per shuffle partition
+    # on EACH side; the partition count is fixed at query start (it is
+    # part of checkpointed state). Pin it to the executor-core count
+    # for the run instead of inheriting an analytics-sized session
+    # default (200 partitions → 400 tiny state stores → per-batch
+    # overhead dominates; measured 49s → ~8s at sf0.01).
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "32")
     try:
@@ -147,62 +153,18 @@ def clicks_purchases_batch_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").withColumn(
         "event_time", F.col("ts").cast("timestamp")
     )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", F.col("event_time").alias("click_time")
-    )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("user_id2"),
-        F.col("event_time").alias("purchase_time"),
-    )
-    return _join_pairs(clicks, purchases, how="leftOuter")
+    return _attribution_pairs(ev, how="leftOuter")
 
 
 def run_stream_stream_join_once(
     spark: SparkSession, sf_dir: str, watermark: str = "30 minutes"
 ) -> DataFrame:
-    """Drive the streaming join to completion over the parquet file
-    source and return the summarized matches."""
-    def _stream() -> DataFrame:
-        # Explicit cast: watermark columns must be TIMESTAMP, and the
-        # source schema must never be trusted across fixture layouts.
-        return read_events_stream(spark, sf_dir).withColumn(
-            "event_time", F.col("ts").cast("timestamp")
+    """Drive the streaming INNER join to completion over the parquet
+    file source and return the summarized matches (thin wrapper over
+    the shared raw-pairs driver — one definition of the side builders
+    and the join, so the stream/batch twins cannot drift)."""
+    return _summarize(
+        stream_join_pairs_once(
+            spark, sf_dir, watermark=watermark, query_name="stream_join_out"
         )
-
-    clicks = (
-        _stream()
-        .filter(F.col("event_type") == "click")
-        .select("user_id", F.col("event_time").alias("click_time"))
-        .withWatermark("click_time", watermark)
     )
-    purchases = (
-        _stream()
-        .filter(F.col("event_type") == "purchase")
-        .select(F.col("user_id").alias("user_id2"), F.col("event_time").alias("purchase_time"))
-        .withWatermark("purchase_time", watermark)
-    )
-    # Same declared join as the batch oracle (shared builder): only the
-    # per-side watermarks above are stream-specific.
-    pairs = _join_pairs(clicks, purchases)
-
-    # A stream-stream join keeps one state store per shuffle partition
-    # on EACH side; the partition count is fixed at query start (it is
-    # part of checkpointed state). Pin it to the executor-core count
-    # for the run instead of inheriting an analytics-sized session
-    # default (200 partitions → 400 tiny state stores → per-batch
-    # overhead dominates; measured 49s → ~8s at sf0.01).
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
-    name = "stream_join_out"
-    try:
-        q = (
-            pairs.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
-    return _summarize(spark.sql(f"SELECT * FROM {name}"))

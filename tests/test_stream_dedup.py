@@ -77,30 +77,10 @@ def test_key_reappearing_past_watermark_horizon_reemits(spark, tmp_path):
     horizon), another key @500s advances the watermark to 440s >>
     K's 70s expiry, K @505s arrives with the eviction batch (still
     dropped), K @510s re-emits."""
-    import os
-
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    base_us = 1_700_000_040_000_000
+    from conftest import write_events_file
 
     def w(name, rows, mt):
-        tbl = pa.table(
-            {
-                "event_id": pa.array([r[0] for r in rows], pa.int64()),
-                "ts": pa.array(
-                    [base_us + r[1] * 1_000_000 for r in rows],
-                    pa.timestamp("us", tz="UTC"),
-                ),
-                "user_id": pa.array([r[2] for r in rows], pa.int64()),
-                "event_type": pa.array([r[3] for r in rows]),
-                "value": pa.array([1.0] * len(rows), pa.float64()),
-                "props": pa.array([None] * len(rows), pa.string()),
-            }
-        )
-        p = os.path.join(str(ev_dir), name)
-        pq.write_table(tbl, p)
-        os.utime(p, (mt, mt))
+        write_events_file(ev_dir, name, rows, mt)
 
     ev_dir = tmp_path / "events.parquet"
     ev_dir.mkdir()

@@ -16,43 +16,29 @@ def test_stream_stream_join_matches_batch(spark):
     assert tuple(stream) == tuple(batch)
 
 
-def _write_events(ev_dir, name, rows, mt):
-    """rows: (event_id, sec, user_id, event_type)."""
-    import os
+from conftest import EVENTS_BASE_US, write_events_file
 
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    base_us = 1_700_000_040_000_000
-    tbl = pa.table(
-        {
-            "event_id": pa.array([r[0] for r in rows], pa.int64()),
-            "ts": pa.array(
-                [base_us + r[1] * 1_000_000 for r in rows],
-                pa.timestamp("us", tz="UTC"),
-            ),
-            "user_id": pa.array([r[2] for r in rows], pa.int64()),
-            "event_type": pa.array([r[3] for r in rows]),
-            "value": pa.array([1.0] * len(rows), pa.float64()),
-            "props": pa.array([None] * len(rows), pa.string()),
-        }
-    )
-    p = os.path.join(str(ev_dir), name)
-    pq.write_table(tbl, p)
-    os.utime(p, (mt, mt))
+_write_events = write_events_file
 
 
 def _left_rows(df):
-    base = 1_700_000_040
+    """Offsets extracted ENGINE-side (unix_seconds in the session's
+    pinned-UTC tz): client-side datetime.timestamp() interprets the
+    collected naive datetimes in the OS local zone, which would shift
+    every expected offset on a non-UTC box."""
+    base = EVENTS_BASE_US // 1_000_000
+    rows = df.selectExpr(
+        "user_id",
+        "unix_seconds(click_time) AS c",
+        "unix_seconds(purchase_time) AS p",
+    ).collect()
     return sorted(
         (
             r["user_id"],
-            int(r["click_time"].timestamp()) - base,
-            None
-            if r["purchase_time"] is None
-            else int(r["purchase_time"].timestamp()) - base,
+            int(r["c"]) - base,
+            None if r["p"] is None else int(r["p"]) - base,
         )
-        for r in df.collect()
+        for r in rows
     )
 
 

@@ -24,10 +24,7 @@ first run caught exactly that 20s skew)."""
 
 from __future__ import annotations
 
-import os
-
-import pyarrow as pa
-import pyarrow.parquet as pq
+from conftest import EVENTS_BASE_US, write_events_file
 
 from adi_226_datawarehouse_project_spark.streaming.events_stream import (
     _windowed,
@@ -35,26 +32,13 @@ from adi_226_datawarehouse_project_spark.streaming.events_stream import (
     read_events_stream,
 )
 
-BASE_US = 1_700_000_040_000_000  # divisible by 60s — epoch-aligned windows
+BASE_US = EVENTS_BASE_US  # divisible by 60s — epoch-aligned windows
 
 
 def _write_events(dir_path: str, name: str, seconds: list[int], mtime: int) -> None:
-    tbl = pa.table(
-        {
-            "event_id": pa.array(list(range(len(seconds))), pa.int64()),
-            "ts": pa.array(
-                [BASE_US + s * 1_000_000 for s in seconds],
-                pa.timestamp("us", tz="UTC"),
-            ),
-            "user_id": pa.array([1] * len(seconds), pa.int64()),
-            "event_type": pa.array(["view"] * len(seconds)),
-            "value": pa.array([1.0] * len(seconds), pa.float64()),
-            "props": pa.array([None] * len(seconds), pa.string()),
-        }
+    write_events_file(
+        dir_path, name, [(i, s, 1, "view") for i, s in enumerate(seconds)], mtime
     )
-    path = os.path.join(dir_path, name)
-    pq.write_table(tbl, path)
-    os.utime(path, (mtime, mtime))
 
 
 def _run(spark, sf_dir: str, query_name: str):
