@@ -54,18 +54,11 @@ from adi_226_datawarehouse_project_spark.plans.operators_suite import (  # noqa:
 )
 
 
-def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_x64"
-    spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.sql.ansi.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.shuffle.partitions", "32")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
+def compute_invariants(spark: SparkSession, sf_dir: str) -> dict:
+    """All five invariants over the registry's own stage chain;
+    importable so tests/test_funnel_invariants.py can run the same
+    checks at fixture scale every round (rot-guard for this script)."""
     t0 = time.time()
-
     _docs, _s1, _s2, s3, edges, comp = _funnel_stages(spark, sf_dir)
     comp = comp.cache()
     s3 = s3.select("doc_id", "text").cache()
@@ -138,6 +131,20 @@ def main() -> None:
     out["dropped"] = n_s3 - n_surv
     out["wall_sec"] = round(time.time() - t0, 1)
     out["all_ok"] = all(v["ok"] for k, v in out.items() if isinstance(v, dict))
+    return out
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_x64"
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.ansi.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", "32")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    out = compute_invariants(spark, sf_dir)
     print(json.dumps(out))
     sys.exit(0 if out["all_ok"] else 1)
 
