@@ -376,18 +376,35 @@ _REGISTERED_REFS: dict[int, object] = {}
 # (duplicated wave work) and one thread's clearCache can drop caches
 # the other is mid-filling. RLock because the entry points nest
 # (materialize_warehouse → register_star_views → _materialize_zone).
-# Keyed by id(spark) like the memo; entries are tiny and bounded by
-# sessions-per-process, so no eviction is needed.
+# Keyed by id(spark) like the memo, with the memo's weakref liveness
+# guard (VERDICT r13 watch item): retired sessions are pruned on the
+# next lock acquisition, so a long-lived multi-session driver does not
+# accumulate one RLock per dead session — and an id() reused by a NEW
+# session after GC cannot inherit the old session's lock entry.
 _SESSION_LOCKS: dict[int, threading.RLock] = {}
+_SESSION_LOCK_REFS: dict[int, object] = {}
 _SESSION_LOCKS_GUARD = threading.Lock()
 
 
 def _session_lock(spark: SparkSession) -> threading.RLock:
+    import weakref
+
     key = id(spark)
     with _SESSION_LOCKS_GUARD:
+        ref = _SESSION_LOCK_REFS.get(key)
+        if ref is not None and ref() is not spark:  # type: ignore[operator]
+            _SESSION_LOCKS.pop(key, None)
+            _SESSION_LOCK_REFS.pop(key, None)
+        for k in [k for k, r in _SESSION_LOCK_REFS.items() if r() is None]:  # type: ignore[operator]
+            _SESSION_LOCKS.pop(k, None)
+            _SESSION_LOCK_REFS.pop(k, None)
         lk = _SESSION_LOCKS.get(key)
         if lk is None:
             lk = _SESSION_LOCKS[key] = threading.RLock()
+            try:
+                _SESSION_LOCK_REFS[key] = weakref.ref(spark)
+            except TypeError:  # pragma: no cover - session not weakref-able
+                pass
         return lk
 
 

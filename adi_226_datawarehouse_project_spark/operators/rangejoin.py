@@ -65,9 +65,11 @@ def range_join(
     # bucket derivations AND the join condition — so a column name
     # containing a dot (or other identifier-breaking chars) parses as
     # one top-level field, not as nested-field access (ADVICE r12; the
-    # r13 review caught the derivations still unquoted).
+    # r13 review caught the derivations still unquoted). Embedded
+    # backticks double per Spark's quoted-identifier rule (ADVICE r13:
+    # a literal ` in the name would otherwise end the quote early).
     def qc(name: str) -> Column:
-        return F.col(f"`{name}`")
+        return F.col("`" + name.replace("`", "``") + "`")
 
     pb = points.withColumn("__bucket", b(qc(p_col))).alias("__rj_p")
     ib = intervals.withColumn(
@@ -75,7 +77,7 @@ def range_join(
     ).alias("__rj_i")
 
     def q(side: str, name: str) -> Column:
-        return F.col(f"{side}.`{name}`")
+        return F.col(f"{side}.`" + name.replace("`", "``") + "`")
 
     cond = (
         (F.col("__rj_p.__bucket") == F.col("__rj_i.__bucket"))

@@ -98,7 +98,14 @@ class JsonlManifestWriter(DataSourceWriter):
             ):
                 try:
                     os.remove(os.path.join(self.path, name))
-                except FileNotFoundError:
+                except OSError:
+                    # best-effort sweep (ADVICE r13): the winner shards
+                    # are already renamed into place, so a failed unlink
+                    # (permissions, sticky dir, non-POSIX open handle)
+                    # must not abort the commit after publication — it
+                    # would leave published-looking shards with no
+                    # manifest. A leaked tmp shard costs disk only;
+                    # readers go through the manifest.
                     pass
         with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
             json.dump(

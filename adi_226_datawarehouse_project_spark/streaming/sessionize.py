@@ -35,6 +35,13 @@ aggregation (`events_stream.session_window_counts`) — its
 state-store merge under a watermark is order-robust and is the
 production path; this operator is the applyInPandasWithState ESCAPE
 HATCH demo for imperative per-session logic.
+
+CHECKPOINT COMPATIBILITY (ADVICE r13): ``STATE_SCHEMA`` widened in r13
+from (last_ts, n_sessions) to include ``n_disorder``.
+applyInPandasWithState state rows are NOT checkpoint-versioned — a
+query resumed from a pre-r13 checkpoint fails decoding its state.
+Resuming across this change requires a FRESH checkpoint directory
+(and, for the file source, a replay of the input log).
 """
 
 from __future__ import annotations

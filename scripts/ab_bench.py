@@ -121,7 +121,11 @@ def main() -> None:
                     "protocol": protocol,
                     "note": args.note,
                     "total_sec": parsed.get("value"),
-                    "queries": parsed.get("queries"),
+                    # default {} not None: a ref whose bench.py predates
+                    # per-query output must not TypeError the paired
+                    # summary AFTER all the expensive passes ran
+                    # (ADVICE r13) — it just contributes no common keys.
+                    "queries": parsed.get("queries") or {},
                     "trials": parsed.get("trials"),
                     "loadavg": parsed.get("loadavg"),
                     "subprocess_wall": parsed.get("_subprocess_wall"),

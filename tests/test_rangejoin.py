@@ -64,3 +64,18 @@ def test_rejects_right_and_full_outer(spark):
     for how in ("right", "full", "full_outer"):
         with pytest.raises(ValueError, match="inner/left"):
             range_join(points, "p", intervals, "lo", "hi", 10.0, how=how)
+
+
+def test_range_join_awkward_column_names(spark):
+    """Dots AND embedded backticks in column names must resolve as
+    top-level fields (ADVICE r12/r13: quoting + backtick doubling)."""
+    points = spark.createDataFrame(
+        [(1, 10.0), (2, 99.0)], ["pid", "p.va`l"]
+    )
+    intervals = spark.createDataFrame(
+        [(7, 5.0, 15.0)], ["iid", "lo.b`nd", "hi.b`nd"]
+    )
+    rows = range_join(
+        points, "p.va`l", intervals, "lo.b`nd", "hi.b`nd", bucket_width=5.0
+    ).collect()
+    assert sorted(r["pid"] for r in rows) == [1]

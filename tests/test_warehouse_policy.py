@@ -536,3 +536,30 @@ def test_concurrent_first_use_registration_runs_once(spark, monkeypatch):
             star_mod._REGISTERED.pop(id(spark), None)
             star_mod._REGISTERED_REFS.pop(id(spark), None)
             spark.catalog.clearCache()
+
+
+def test_session_lock_of_collected_session_is_pruned():
+    """A retired session's RLock must not live forever in the
+    module-level dict (VERDICT r13 watch item): the weakref liveness
+    guard prunes dead entries on the next acquisition, and an id()
+    reused by a new session cannot inherit the old lock."""
+    import gc
+
+    class FakeSession:  # weakref-able stand-in; _session_lock only id()s it
+        pass
+
+    s = FakeSession()
+    lk = star._session_lock(s)
+    assert lk is star._session_lock(s)  # stable while alive
+    key = id(s)
+    assert key in star._SESSION_LOCKS
+    del s
+    gc.collect()
+    other = FakeSession()
+    lk2 = star._session_lock(other)  # any later acquisition prunes
+    try:
+        assert lk2 is not lk
+        assert lk not in star._SESSION_LOCKS.values()
+    finally:
+        star._SESSION_LOCKS.pop(id(other), None)
+        star._SESSION_LOCK_REFS.pop(id(other), None)
