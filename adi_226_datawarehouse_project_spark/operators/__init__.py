@@ -12,8 +12,11 @@ from .similarity import (
     cosine,
     cosine_self_topk,
     embedding_near_dup_pairs,
+    ivf_topk,
     lsh_bucket_topk,
     semantic_dedup,
+    tune_ivf_probes,
+    tune_srp_bands,
 )
 from .sketches import build_sketches, heavy_hitters, merge_sketches
 from .upsert import incremental_upsert
@@ -31,8 +34,11 @@ __all__ = [
     "heavy_hitters",
     "importance_weights",
     "incremental_upsert",
+    "ivf_topk",
     "latest_changes",
     "lsh_bucket_topk",
+    "tune_ivf_probes",
+    "tune_srp_bands",
     "merge_sketches",
     "minhash_near_dup_pairs",
     "minhash_signatures",

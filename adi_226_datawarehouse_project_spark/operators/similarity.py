@@ -171,19 +171,20 @@ def srp_band_buckets(vec_col: str, num_planes: int, bands: int) -> Column:
     return F.expr("array(" + ", ".join(band_exprs) + ")")
 
 
-def lsh_bucket_topk(
+def srp_candidates(
     df: DataFrame,
     id_col: str,
     vec_col: str,
-    k: int = 10,
     num_planes: int = 16,
-    bands: int = 4,
+    bands: int = 8,
     probe_ids: list[int] | None = None,
 ) -> DataFrame:
-    """Approximate top-k: SRP signature → banded buckets → equi-join
-    candidates → exact cosine re-rank within candidates. The join is
-    on (band, sub-signature) — shuffle-partitioned, never a cross
-    join; recall is tuned by num_planes/bands."""
+    """SRP banded candidate pairs ``(query_id, __qv, neighbor_id,
+    __nv)`` — the shared candidate generator behind
+    :func:`lsh_bucket_topk` and the recall/cost self-calibration
+    (:func:`tune_srp_bands` counts these rows: the candidate count IS
+    the re-rank cost). The join is on (band, sub-signature) —
+    shuffle-partitioned, never a cross join."""
     # NOTE: both self-join branches re-evaluate the SRP fold (no
     # exchange below it to reuse). A repartition("band","bucket")
     # barrier WAS tried to force ReusedExchange — measured 3.5× SLOWER
@@ -205,12 +206,17 @@ def lsh_bucket_topk(
     corpus = banded.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv"), "band", "bucket"
     )
-    cand = (
+    return (
         corpus.join(probes, ["band", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "__qv", "neighbor_id", "__nv")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+
+
+def _rerank_topk(cand: DataFrame, k: int) -> DataFrame:
+    """Exact-cosine re-rank of a candidate-pair frame to per-query
+    top-k (shared tail of every ANN path; ties cosine desc, id asc)."""
     scored = cand.withColumn("cosine", cosine(F.col("__qv"), F.col("__nv")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -220,6 +226,46 @@ def lsh_bucket_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def lsh_bucket_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    num_planes: int = 16,
+    bands: int = 8,
+    probe_ids: list[int] | None = None,
+    target_recall: float | None = None,
+    sample_queries: int = 50,
+) -> DataFrame:
+    """Approximate top-k: SRP signature → banded buckets → equi-join
+    candidates → exact cosine re-rank within candidates. Recall is
+    tuned by num_planes/bands.
+
+    OPERATING POINT (r13 measurement, `measurements/ann_recall_sf01.json`):
+    the old 16-plane/4-band default measured recall@5 ≈ 0.47 on
+    genuinely-spread vectors — correct but not a shippable default. The
+    default is now 8 bands (2-bit sub-signatures): recall@5 ≈ 0.97 at
+    ~2× candidate cost on the sf0.1 corpus. Pass ``target_recall=`` to
+    replace the static default with sampled self-calibration
+    (:func:`tune_srp_bands`): the band ladder is walked until measured
+    recall on a deterministic query sample reaches the target — cost is
+    one Q×n broadcast truth scan plus one candidate count per ladder
+    step, independent of corpus size beyond the scans themselves."""
+    if target_recall is not None:
+        report = tune_srp_bands(
+            df,
+            id_col,
+            vec_col,
+            k=k,
+            target_recall=target_recall,
+            num_planes=num_planes,
+            sample_queries=sample_queries,
+        )
+        bands = report["chosen_bands"]
+    cand = srp_candidates(df, id_col, vec_col, num_planes, bands, probe_ids)
+    return _rerank_topk(cand, k)
 
 
 def sample_centroids(df: DataFrame, id_col: str, vec_col: str, n_clusters: int) -> DataFrame:
@@ -419,32 +465,21 @@ def _nearest_centroid_lit(vec_col: str, cents: list[list[float]], dim: int) -> C
     return F.expr(f"CAST(-(array_max(array({', '.join(scored)})).nid) AS INT)")
 
 
-def ivf_topk(
+def ivf_candidates(
     df: DataFrame,
     id_col: str,
     vec_col: str,
-    k: int = 10,
     n_clusters: int = 16,
-    n_probe: int = 4,
+    n_probe: int = 8,
     probe_ids: list[int] | None = None,
     centroids: DataFrame | None = None,
 ) -> DataFrame:
-    """IVF (inverted-file) approximate top-k — the second scale path
-    next to SRP-LSH: partition the corpus into coarse cells, search
-    only the ``n_probe`` most promising cells per query.
-
-    ``centroids`` (schema ``(centroid_id, centroid)``) selects the
-    coarse quantizer: pass :func:`train_ivf_centroids` output for
-    k-means cells, or leave ``None`` for the deterministic-sample
-    default — bit-reproducible with zero training state, which the
-    DuckDB differential oracle re-derives identically. Every vector is
-    assigned to its max-cosine centroid (broadcast argmax — the
-    centroid table is tiny by construction); queries probe their
-    ``n_probe`` best cells and candidates come from an equi-join on
-    ``centroid_id`` — a shuffle-partitioned join over
-    ~n_probe/n_clusters of the corpus, never a cross join. Exact
-    cosine re-ranks candidates.
-    """
+    """IVF candidate pairs ``(query_id, __qv, neighbor_id, __nv)`` —
+    the shared candidate generator behind :func:`ivf_topk` and the
+    probe self-calibration (:func:`tune_ivf_probes` counts these rows).
+    Candidates come from an equi-join on ``centroid_id`` — a
+    shuffle-partitioned join over ~n_probe/n_clusters of the corpus,
+    never a cross join."""
     if centroids is None:
         centroids = sample_centroids(df, id_col, vec_col, n_clusters)
 
@@ -462,21 +497,220 @@ def ivf_topk(
         probes = probes.filter(F.col("query_id").isin(probe_ids))
     probed = assign_cells_multi(probes, "query_id", "__qv", centroids, n_probe=n_probe)
 
-    cand = (
+    return (
         assigned.join(probed, "centroid_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "__qv", "neighbor_id", "__nv")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.withColumn("cosine", cosine(F.col("__qv"), F.col("__nv")))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 8,
+    probe_ids: list[int] | None = None,
+    centroids: DataFrame | None = None,
+    target_recall: float | None = None,
+    sample_queries: int = 50,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the second scale path
+    next to SRP-LSH: partition the corpus into coarse cells, search
+    only the ``n_probe`` most promising cells per query.
+
+    ``centroids`` (schema ``(centroid_id, centroid)``) selects the
+    coarse quantizer: pass :func:`train_ivf_centroids` output for
+    k-means cells, or leave ``None`` for the deterministic-sample
+    default — bit-reproducible with zero training state, which the
+    DuckDB differential oracle re-derives identically. Exact cosine
+    re-ranks candidates.
+
+    OPERATING POINT (r13 measurement, `measurements/ann_recall_sf01.json`):
+    the old 4-probe default measured recall@5 ≈ 0.49 on genuinely-spread
+    vectors; the default is now 8 probes (≈ 0.78 with sample centroids —
+    coarse sample cells cap what static probing can buy). For a recall
+    floor, pass ``target_recall=``: the probe ladder is walked under
+    sampled self-calibration (:func:`tune_ivf_probes`) until measured
+    recall reaches the target — with n_probe = n_clusters as the exact
+    endpoint, so any target ≤ 1.0 is reachable. k-means centroids
+    (:func:`train_ivf_centroids`) reach a given recall at fewer probes.
+    """
+    if centroids is None:
+        centroids = sample_centroids(df, id_col, vec_col, n_clusters)
+    if target_recall is not None:
+        report = tune_ivf_probes(
+            df,
+            id_col,
+            vec_col,
+            k=k,
+            target_recall=target_recall,
+            n_clusters=n_clusters,
+            centroids=centroids,
+            sample_queries=sample_queries,
+        )
+        n_probe = report["chosen_n_probe"]
+    cand = ivf_candidates(
+        df, id_col, vec_col, n_clusters, n_probe, probe_ids, centroids
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
+    return _rerank_topk(cand, k)
+
+
+# --- recall self-calibration (r13 verdict task #1) -------------------
+# The r13 measurement showed static ANN defaults are an operating-POINT
+# choice, not a correctness property: 16p/4b SRP measured recall@5 0.47
+# on spread vectors. target_recall= turns the point into a contract:
+# exact truth for a deterministic query sample is ONE broadcast scan
+# (Q×n cosines — the corpus streams once, nothing corpus-sized is
+# collected), then the config ladder is walked cheapest-first until the
+# sample recall reaches the target. Driver state is bounded by Q·k ids.
+
+
+def _calibration_probe_ids(df: DataFrame, id_col: str, n_queries: int) -> list:
+    """Deterministic evenly-spaced query sample: ids ≡ 0 (mod ⌊n/Q⌋).
+    Requires a numeric id column (every embedding fixture/oracle id
+    here is). One count + one Q-row collect."""
+    n = df.count()
+    step = max(1, n // max(1, n_queries))
+    return [
+        r[0]
+        for r in df.filter((F.col(id_col) % step) == 0)
+        .select(id_col)
+        .orderBy(id_col)
+        .limit(n_queries)
+        .collect()
+    ]
+
+
+def _topk_id_sets(df: DataFrame) -> dict:
+    out: dict = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+def _recall_at_k(truth: dict, approx: dict) -> float:
+    per_q = [
+        len(truth[q] & approx.get(q, set())) / len(truth[q])
+        for q in truth
+        if truth[q]
+    ]
+    return sum(per_q) / len(per_q) if per_q else 1.0
+
+
+def tune_srp_bands(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    target_recall: float = 0.9,
+    num_planes: int = 16,
+    band_ladder: tuple[int, ...] | None = None,
+    sample_queries: int = 50,
+) -> dict:
+    """Pick the cheapest SRP band count whose measured recall@k on a
+    deterministic query sample reaches ``target_recall``. Returns a
+    report dict: ``chosen_bands`` plus the full recall/candidate-cost
+    ``curve`` (sample_candidates = candidate pairs generated for the Q
+    sample queries — the re-rank cost the config buys). More bands of
+    fewer bits each ⇒ more bucket collisions ⇒ higher recall at higher
+    candidate cost, so the ladder ascends recall; if even the last rung
+    misses the target the report says so (``met=False``) and the widest
+    rung is chosen — SRP recall has no exact endpoint short of
+    1-bit bands."""
+    if band_ladder is None:
+        band_ladder = tuple(
+            b for b in (4, 8, 16, 32, 64) if b <= num_planes and num_planes % b == 0
+        )
+    if not band_ladder:
+        raise ValueError(
+            f"no valid band ladder for num_planes={num_planes}"
+        )
+    probe_ids = _calibration_probe_ids(df, id_col, sample_queries)
+    truth = _topk_id_sets(
+        cosine_self_topk(df, id_col, vec_col, k=k, probe_ids=probe_ids)
     )
+    curve: list[dict] = []
+    chosen, met = band_ladder[-1], False
+    for bands in band_ladder:
+        cand = srp_candidates(df, id_col, vec_col, num_planes, bands, probe_ids)
+        n_cand = cand.count()
+        rec = _recall_at_k(truth, _topk_id_sets(_rerank_topk(cand, k)))
+        curve.append(
+            {"bands": bands, "recall_at_k": round(rec, 4), "sample_candidates": n_cand}
+        )
+        if rec >= target_recall:
+            chosen, met = bands, True
+            break
+    return {
+        "chosen_bands": chosen,
+        "met": met,
+        "target_recall": target_recall,
+        "num_planes": num_planes,
+        "k": k,
+        "n_queries": len(probe_ids),
+        "curve": curve,
+    }
+
+
+def tune_ivf_probes(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    target_recall: float = 0.9,
+    n_clusters: int = 16,
+    probe_ladder: tuple[int, ...] | None = None,
+    centroids: DataFrame | None = None,
+    sample_queries: int = 50,
+) -> dict:
+    """Pick the cheapest IVF probe count whose measured recall@k on a
+    deterministic query sample reaches ``target_recall``. The ladder
+    always ends at ``n_probe = n_clusters`` (probe every cell = the
+    exact top-k by construction), so any target ≤ 1.0 is reachable —
+    at brute-force candidate cost on the final rung. Pass the SAME
+    ``centroids`` you will query with: recall is a property of the
+    (quantizer, probes) pair, and k-means cells reach a target at fewer
+    probes than the deterministic sample default."""
+    if centroids is None:
+        centroids = sample_centroids(df, id_col, vec_col, n_clusters)
+    if probe_ladder is None:
+        probe_ladder = tuple(
+            p for p in (4, 8, 12, 16, n_clusters) if p < n_clusters
+        ) + (n_clusters,)
+    probe_ids = _calibration_probe_ids(df, id_col, sample_queries)
+    truth = _topk_id_sets(
+        cosine_self_topk(df, id_col, vec_col, k=k, probe_ids=probe_ids)
+    )
+    curve: list[dict] = []
+    chosen, met = probe_ladder[-1], False
+    for n_probe in probe_ladder:
+        cand = ivf_candidates(
+            df, id_col, vec_col, n_clusters, n_probe, probe_ids, centroids
+        )
+        n_cand = cand.count()
+        rec = _recall_at_k(truth, _topk_id_sets(_rerank_topk(cand, k)))
+        curve.append(
+            {
+                "n_probe": n_probe,
+                "recall_at_k": round(rec, 4),
+                "sample_candidates": n_cand,
+            }
+        )
+        if rec >= target_recall:
+            chosen, met = n_probe, True
+            break
+    return {
+        "chosen_n_probe": chosen,
+        "met": met,
+        "target_recall": target_recall,
+        "n_clusters": n_clusters,
+        "k": k,
+        "n_queries": len(probe_ids),
+        "curve": curve,
+    }
 
 
 def assign_cells(

@@ -35,8 +35,14 @@ from pyspark.sql import functions as F  # noqa: E402
 from adi_226_datawarehouse_project_spark.operators.similarity import (  # noqa: E402
     cosine_self_topk,
     finite_vectors,
+    ivf_candidates,
     ivf_topk,
     lsh_bucket_topk,
+    sample_centroids,
+    srp_candidates,
+    train_ivf_centroids,
+    tune_ivf_probes,
+    tune_srp_bands,
 )
 from adi_226_datawarehouse_project_spark.sources.catalog import load_table  # noqa: E402
 
@@ -91,22 +97,57 @@ def main() -> None:
     )
     exact_wall = round(time.time() - t, 1)
 
+    # r14: defaults moved to 8 bands / 8 probes (r13 verdict task #1);
+    # the 4-band/4-probe rungs stay in the sweep as the cost curve's
+    # cheap end. Each leg also counts its candidate pairs for the probe
+    # set — the re-rank cost the config buys.
+    kmeans_cents = train_ivf_centroids(
+        emb, "vec_id", "embedding", n_clusters=16, n_iter=5
+    )
+    sample_cents = sample_centroids(emb, "vec_id", "embedding", 16)
     legs = {
-        "srp_16p_4b": lambda: lsh_bucket_topk(
-            emb, "vec_id", "embedding", k=K, num_planes=16, bands=4,
-            probe_ids=probe_ids,
+        "srp_16p_4b": (
+            lambda: lsh_bucket_topk(
+                emb, "vec_id", "embedding", k=K, num_planes=16, bands=4,
+                probe_ids=probe_ids,
+            ),
+            lambda: srp_candidates(
+                emb, "vec_id", "embedding", 16, 4, probe_ids
+            ),
         ),
-        "srp_16p_8b": lambda: lsh_bucket_topk(
-            emb, "vec_id", "embedding", k=K, num_planes=16, bands=8,
-            probe_ids=probe_ids,
+        "srp_16p_8b_DEFAULT": (
+            lambda: lsh_bucket_topk(
+                emb, "vec_id", "embedding", k=K, probe_ids=probe_ids
+            ),
+            lambda: srp_candidates(
+                emb, "vec_id", "embedding", 16, 8, probe_ids
+            ),
         ),
-        "ivf_16c_4p": lambda: ivf_topk(
-            emb, "vec_id", "embedding", k=K, n_clusters=16, n_probe=4,
-            probe_ids=probe_ids,
+        "ivf_16c_4p": (
+            lambda: ivf_topk(
+                emb, "vec_id", "embedding", k=K, n_clusters=16, n_probe=4,
+                probe_ids=probe_ids,
+            ),
+            lambda: ivf_candidates(
+                emb, "vec_id", "embedding", 16, 4, probe_ids, sample_cents
+            ),
         ),
-        "ivf_16c_8p": lambda: ivf_topk(
-            emb, "vec_id", "embedding", k=K, n_clusters=16, n_probe=8,
-            probe_ids=probe_ids,
+        "ivf_16c_8p_DEFAULT": (
+            lambda: ivf_topk(
+                emb, "vec_id", "embedding", k=K, probe_ids=probe_ids
+            ),
+            lambda: ivf_candidates(
+                emb, "vec_id", "embedding", 16, 8, probe_ids, sample_cents
+            ),
+        ),
+        "ivf_16c_8p_kmeans": (
+            lambda: ivf_topk(
+                emb, "vec_id", "embedding", k=K, n_clusters=16, n_probe=8,
+                probe_ids=probe_ids, centroids=kmeans_cents,
+            ),
+            lambda: ivf_candidates(
+                emb, "vec_id", "embedding", 16, 8, probe_ids, kmeans_cents
+            ),
         ),
     }
     out = {
@@ -116,13 +157,50 @@ def main() -> None:
         "k": K,
         "exact_truth_wall_s": exact_wall,
     }
-    for name, fn in legs.items():
+    for name, (fn, cand_fn) in legs.items():
         t = time.time()
         approx = _topk_sets(fn())
+        wall = round(time.time() - t, 1)
         out[name] = {
             "recall_at_k": _recall(truth, approx),
-            "wall_s": round(time.time() - t, 1),
+            "wall_s": wall,
+            "probe_candidates": cand_fn().count(),
         }
+
+    # auto-tune legs: the target_recall contract, with the calibration
+    # curve the tuner actually walked
+    t = time.time()
+    srp_rep = tune_srp_bands(
+        emb, "vec_id", "embedding", k=K, target_recall=0.9, sample_queries=50
+    )
+    srp_tuned = _topk_sets(
+        lsh_bucket_topk(
+            emb, "vec_id", "embedding", k=K, bands=srp_rep["chosen_bands"],
+            probe_ids=probe_ids,
+        )
+    )
+    out["srp_autotune_t90"] = {
+        "recall_at_k": _recall(truth, srp_tuned),
+        "wall_s": round(time.time() - t, 1),
+        "report": srp_rep,
+    }
+    t = time.time()
+    ivf_rep = tune_ivf_probes(
+        emb, "vec_id", "embedding", k=K, target_recall=0.9, n_clusters=16,
+        centroids=kmeans_cents, sample_queries=50,
+    )
+    ivf_tuned = _topk_sets(
+        ivf_topk(
+            emb, "vec_id", "embedding", k=K, n_clusters=16,
+            n_probe=ivf_rep["chosen_n_probe"], probe_ids=probe_ids,
+            centroids=kmeans_cents,
+        )
+    )
+    out["ivf_autotune_t90_kmeans"] = {
+        "recall_at_k": _recall(truth, ivf_tuned),
+        "wall_s": round(time.time() - t, 1),
+        "report": ivf_rep,
+    }
     out["total_wall_s"] = round(time.time() - t0, 1)
     print(json.dumps(out))
 
