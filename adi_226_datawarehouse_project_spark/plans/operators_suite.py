@@ -1494,8 +1494,11 @@ FROM lineitem WHERE extract(year FROM l_shipdate) = 1996
 _DUCK_TOKENS = r"list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')"
 
 
-def _spark_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+def _spark_token_stats(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
     return (
         docs.select("lang", TX.token_count("text").alias("tc"))
         .groupBy("lang")
@@ -1517,12 +1520,15 @@ GROUP BY lang ORDER BY lang
 """
 
 
-def _spark_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _spark_explode_tokens(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """Explode (UDTF-shaped row generator): corpus-level token
     frequencies via explode(word_tokens) — one row per token, then a
     plain re-aggregation. Scale: explode is a narrow transformation
     (no shuffle); only the tiny token-frequency agg shuffles."""
-    docs = load_table(spark, sf_dir, "documents")
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
     return (
         docs.select(F.explode(TX.word_tokens("text")).alias("token"))
         .groupBy("token")
@@ -1552,20 +1558,23 @@ _SPLIT_CASE = """CASE WHEN substring(md5(CAST(doc_id AS {stype})), 1, 2) < '1a' 
      ELSE 'train' END"""
 
 
-def _split_sql(d: str) -> str:
+def _split_sql(d: str, table: str = "documents") -> str:
+    """``table`` lets the Spark side read a cached shared projection
+    (text_features_suite's shared scan) — same rows, same values; the
+    DuckDB oracle always reads ``documents``."""
     stype = "STRING" if d == D.SPARK else "VARCHAR"
     case = _SPLIT_CASE.format(stype=stype)
     return f"""
 SELECT {case} AS split,
        COUNT(*) AS n_docs,
        CAST(sum(len({_DUCK_TOKENS}) ) AS BIGINT) AS total_tokens
-FROM documents
+FROM {table}
 GROUP BY 1 ORDER BY split
 """ if d != D.SPARK else f"""
 SELECT {case} AS split,
        COUNT(*) AS n_docs,
        CAST(sum(size(filter(split(lower(trim(text)), '\\\\s+'), x -> x != ''))) AS BIGINT) AS total_tokens
-FROM documents
+FROM {table}
 GROUP BY 1 ORDER BY split
 """
 
@@ -2814,18 +2823,32 @@ _PASSAGE_N = 5  # word-gram width for the passage-scrub differential
 def _spark_text_token_features(
     spark: SparkSession, sf_dir: str, ordered: bool = True
 ) -> DataFrame:
-    stats = _spark_token_stats(spark, sf_dir).select(
+    # SHARED SCAN (r13 verdict task #8): the five parts used to be five
+    # independent scans of the documents parquet (~2–2.7s each at sf0.1,
+    # measurements/text_features_breakdown_r13.json). Persist the one
+    # narrow projection they all consume and fan the parts out over it —
+    # one scan, identical values. persist() of the same analyzed plan is
+    # idempotent (CacheManager dedupes), so repeated invocations reuse
+    # one cache entry; footprint is bounded by (doc_id, text, lang) and
+    # MEMORY_AND_DISK spills gracefully at replicated-corpus scale.
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", "lang")
+        .persist()
+    )
+    base.createOrReplaceTempView("__text_docs_shared")
+    stats = _spark_token_stats(spark, sf_dir, docs=base).select(
         F.lit("token_stats").alias("part"), F.col("lang").alias("k"),
         F.col("n_docs").cast("bigint").alias("n"),
         F.col("total_tokens").cast("bigint").alias("n2"),
         F.col("avg_tokens").cast("double").alias("v"),
     )
-    top = _spark_explode_tokens(spark, sf_dir).select(
+    top = _spark_explode_tokens(spark, sf_dir, docs=base).select(
         F.lit("top_tokens").alias("part"), F.col("token").alias("k"),
         F.col("occurrences").cast("bigint").alias("n"),
         F.lit(None).cast("bigint").alias("n2"), F.lit(None).cast("double").alias("v"),
     )
-    split = _sql(_split_sql(D.SPARK))(spark, sf_dir).select(
+    split = spark.sql(_split_sql(D.SPARK, table="__text_docs_shared")).select(
         F.lit("hash_split").alias("part"), F.col("split").alias("k"),
         F.col("n_docs").cast("bigint").alias("n"),
         F.col("total_tokens").cast("bigint").alias("n2"),
@@ -2833,7 +2856,7 @@ def _spark_text_token_features(
     )
     # Rabin-Karp rolling fingerprint, one row per doc: full value oracle
     # of the order-sensitive polynomial hash (functions.text).
-    roll = load_table(spark, sf_dir, "documents").select(
+    roll = base.select(
         F.lit("rolling_fp").alias("part"),
         F.col("doc_id").cast("string").alias("k"),
         TX.rolling_fingerprint("text").cast("bigint").alias("n"),
@@ -2844,7 +2867,7 @@ def _spark_text_token_features(
     # the hash; n2 packs (n_tokens, covered_tokens).
     from ..operators.passage_dedup import remove_repeated_passages
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = base.select("doc_id", "text")
     scrub = remove_repeated_passages(
         docs, "doc_id", "text", n=_PASSAGE_N, min_docs=2, keep="first"
     ).select(

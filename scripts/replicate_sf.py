@@ -19,7 +19,19 @@ Replication policy (the salting rationale is scale_sweep.py's):
   structure repeats; the fixed event-time span gets K× denser.
 - ``embeddings``: vec_id offset; vectors copied verbatim (top-k and
   bucketing costs depend on count and distribution shape, not on
-  vector novelty).
+  vector novelty). For RECALL measurement the verbatim copies are a
+  degenerate truth distribution (63 exact cosine-1.0 duplicates per
+  vector — every banded scheme retrieves them; the r13 64× recall of
+  1.0 on every leg was vacuous). ``--perturb-emb`` fixes that: copy 0
+  stays verbatim; copy c > 0 adds deterministic pseudo-random noise
+  (xxhash64(vec_id, i) → uniform [-1,1), scaled to the vector's own
+  norm) at an epsilon cycling through ``_PERTURB_COS_BANDS`` — for
+  near-orthogonal unit-scaled noise u, cos(v, v+εu) ≈ 1/√(1+ε²), so
+  ε = √(1/t²−1) targets band t. Each base vector then has genuinely
+  NEAR-but-not-identical neighbors spread across known cosine bands
+  (~12 replicas per band at 64×), and recall@k measures retrieval of
+  spread neighbors, not duplicate lookup. All copies cast the
+  embedding to array<double> so the union is type-consistent.
 - ``lineitem``/``orders``/``customer``: fact and mid-size dim keys
   offset per copy, with ``o_custkey`` re-pointed at the same copy's
   customers so per-customer order structure is constant — the TPC-H
@@ -75,7 +87,8 @@ doc, UNSALTED and shared across copies, so:
 Usage::
 
     python scripts/replicate_sf.py 64 [--sf /root/testdata/sf0.1] \
-        [--out /tmp/spark_graft_sf_x64] [--zipf] [--zipf-text]
+        [--out /tmp/spark_graft_sf_x64] [--zipf] [--zipf-text] \
+        [--perturb-emb] [--tables embeddings,events]
 """
 
 from __future__ import annotations
@@ -135,6 +148,49 @@ def _hot_block(c: int):
         )
         expr = F.when(F.col("lang") == lang, F.element_at(blocks, rot.cast("int") + 1)).otherwise(expr)
     return expr
+
+
+# target cosine bands for --perturb-emb replica noise (module docstring)
+_PERTURB_COS_BANDS = (0.995, 0.98, 0.95, 0.9, 0.8)
+
+
+def _perturbed_copy(emb: DataFrame, c: int, id_offset: int) -> DataFrame:
+    """Copy ``c`` of the embeddings table with banded deterministic
+    noise (``--perturb-emb``): copy 0 verbatim, copy c > 0 at the
+    epsilon for band ``_PERTURB_COS_BANDS[(c-1) % len(bands)]``.
+    Noise is a pure Column expression — xxhash64 of (offset vec_id,
+    component index), identical on every executor, no state."""
+    d = emb.select(
+        (F.col("vec_id") + F.lit(c * id_offset)).alias("vec_id"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
+        "label",
+    )
+    if c == 0:
+        return d
+    t = _PERTURB_COS_BANDS[(c - 1) % len(_PERTURB_COS_BANDS)]
+    eps = (1.0 / (t * t) - 1.0) ** 0.5
+    d = d.withColumn(
+        "__u",
+        F.expr(
+            "transform(sequence(0, size(embedding) - 1),"
+            " i -> CAST(pmod(xxhash64(vec_id, i), 1048576) AS DOUBLE)"
+            " / 524288.0D - 1.0D)"
+        ),
+    ).withColumn(
+        "__s",
+        F.expr(
+            f"{eps!r}D * sqrt("
+            " aggregate(zip_with(embedding, embedding, (x, y) -> x * y),"
+            "           0.0D, (a, x) -> a + x)"
+            " / aggregate(zip_with(__u, __u, (x, y) -> x * y),"
+            "             0.0D, (a, x) -> a + x))"
+        ),
+    )
+    return d.select(
+        "vec_id",
+        F.expr("zip_with(embedding, __u, (x, y) -> x + __s * y)").alias("embedding"),
+        "label",
+    )
 
 
 def _stack(copies: list[DataFrame]) -> DataFrame:
@@ -204,9 +260,20 @@ def replicate(
     out: Path,
     zipf: bool = False,
     zipf_text: bool = False,
+    perturb_emb: bool = False,
+    tables: set[str] | None = None,
 ) -> None:
+    """``tables=None`` builds the full set; a subset builds only those
+    (e.g. {"embeddings"} for the ANN-recall corpus — no need to pay for
+    a 153M-row lineitem stack to measure vector retrieval)."""
+
+    def want(tbl: str) -> bool:
+        return tables is None or tbl in tables
+
     out.mkdir(parents=True, exist_ok=True)
     for tbl in COPY_AS_IS:
+        if not want(tbl):
+            continue
         src = Path(sf) / f"{tbl}.parquet"
         dst = out / f"{tbl}.parquet"
         if src.is_dir():
@@ -215,50 +282,55 @@ def replicate(
             shutil.copy2(src, dst)
     n = _offsets(spark, sf)
 
-    docs = load_table(spark, sf, "documents")
-    _stack(
-        [
-            docs.select(
-                (F.col("doc_id") + F.lit(c * n["doc_id"])).alias("doc_id"),
-                (
-                    F.concat(_salted_text(c), _hot_block(c))
-                    if zipf_text
-                    else _salted_text(c)
-                ).alias("text"),
-                "lang",
-                "source",
-                "n_chars",
-            )
-            for c in range(mult)
-        ]
-    ).write.mode("overwrite").parquet(str(out / "documents.parquet"))
+    if want("documents"):
+        docs = load_table(spark, sf, "documents")
+        _stack(
+            [
+                docs.select(
+                    (F.col("doc_id") + F.lit(c * n["doc_id"])).alias("doc_id"),
+                    (
+                        F.concat(_salted_text(c), _hot_block(c))
+                        if zipf_text
+                        else _salted_text(c)
+                    ).alias("text"),
+                    "lang",
+                    "source",
+                    "n_chars",
+                )
+                for c in range(mult)
+            ]
+        ).write.mode("overwrite").parquet(str(out / "documents.parquet"))
 
-    events = load_table(spark, sf, "events")
-    _stack(
-        [
-            events.select(
-                (F.col("event_id") + F.lit(c * n["event_id"])).alias("event_id"),
-                (F.col("user_id") + F.lit(c * n["user_id"])).alias("user_id"),
-                "event_type",
-                "ts",
-                "value",
-                "props",
-            )
-            for c in range(mult)
-        ]
-    ).write.mode("overwrite").parquet(str(out / "events.parquet"))
+    if want("events"):
+        events = load_table(spark, sf, "events")
+        _stack(
+            [
+                events.select(
+                    (F.col("event_id") + F.lit(c * n["event_id"])).alias("event_id"),
+                    (F.col("user_id") + F.lit(c * n["user_id"])).alias("user_id"),
+                    "event_type",
+                    "ts",
+                    "value",
+                    "props",
+                )
+                for c in range(mult)
+            ]
+        ).write.mode("overwrite").parquet(str(out / "events.parquet"))
 
-    emb = load_table(spark, sf, "embeddings")
-    _stack(
-        [
-            emb.select(
-                (F.col("vec_id") + F.lit(c * n["vec_id"])).alias("vec_id"),
-                "embedding",
-                "label",
-            )
-            for c in range(mult)
-        ]
-    ).write.mode("overwrite").parquet(str(out / "embeddings.parquet"))
+    if want("embeddings"):
+        emb = load_table(spark, sf, "embeddings")
+        _stack(
+            [
+                _perturbed_copy(emb, c, n["vec_id"])
+                if perturb_emb
+                else emb.select(
+                    (F.col("vec_id") + F.lit(c * n["vec_id"])).alias("vec_id"),
+                    "embedding",
+                    "label",
+                )
+                for c in range(mult)
+            ]
+        ).write.mode("overwrite").parquet(str(out / "embeddings.parquet"))
 
     if zipf and mult < 4:
         raise ValueError(
@@ -267,54 +339,57 @@ def replicate(
         )
     hot_copies = mult // 4 if zipf else 0
 
-    li = load_table(spark, sf, "lineitem")
-    li_stacked = _stack(
-        [
-            li.select(
-                (F.col("l_orderkey") + F.lit(c * n["l_orderkey"])).alias("l_orderkey"),
-                *[col for col in li.columns if col != "l_orderkey"],
-            )
-            for c in range(mult - hot_copies)
-        ]
-    )
-    if hot_copies:
-        n_li = li.count()
-        li_stacked = li_stacked.unionByName(
-            _hot_lineitem_block(spark, hot_copies * n_li, mult * n["l_orderkey"] * 10)
+    if want("lineitem"):
+        li = load_table(spark, sf, "lineitem")
+        li_stacked = _stack(
+            [
+                li.select(
+                    (F.col("l_orderkey") + F.lit(c * n["l_orderkey"])).alias("l_orderkey"),
+                    *[col for col in li.columns if col != "l_orderkey"],
+                )
+                for c in range(mult - hot_copies)
+            ]
         )
-    li_stacked.write.mode("overwrite").parquet(str(out / "lineitem.parquet"))
-
-    orders = load_table(spark, sf, "orders")
-    hot_ck = (
-        load_table(spark, sf, "customer").agg(F.min("c_custkey")).collect()[0][0]
-        if hot_copies
-        else None
-    )
-    _stack(
-        [
-            orders.select(
-                (F.col("o_orderkey") + F.lit(c * n["o_orderkey"])).alias("o_orderkey"),
-                (
-                    F.lit(hot_ck)
-                    if c >= mult - hot_copies
-                    else F.col("o_custkey") + F.lit(c * n["c_custkey"])
-                ).alias("o_custkey"),
-                *[col for col in orders.columns if col not in ("o_orderkey", "o_custkey")],
+        if hot_copies:
+            n_li = li.count()
+            li_stacked = li_stacked.unionByName(
+                _hot_lineitem_block(spark, hot_copies * n_li, mult * n["l_orderkey"] * 10)
             )
-            for c in range(mult)
-        ]
-    ).write.mode("overwrite").parquet(str(out / "orders.parquet"))
+        li_stacked.write.mode("overwrite").parquet(str(out / "lineitem.parquet"))
 
-    cust = load_table(spark, sf, "customer")
-    _stack(
-        [
-            cust.select(
-                (F.col("c_custkey") + F.lit(c * n["c_custkey"])).alias("c_custkey"),
-                *[col for col in cust.columns if col != "c_custkey"],
-            )
-            for c in range(mult)
-        ]
-    ).write.mode("overwrite").parquet(str(out / "customer.parquet"))
+    if want("orders"):
+        orders = load_table(spark, sf, "orders")
+        hot_ck = (
+            load_table(spark, sf, "customer").agg(F.min("c_custkey")).collect()[0][0]
+            if hot_copies
+            else None
+        )
+        _stack(
+            [
+                orders.select(
+                    (F.col("o_orderkey") + F.lit(c * n["o_orderkey"])).alias("o_orderkey"),
+                    (
+                        F.lit(hot_ck)
+                        if c >= mult - hot_copies
+                        else F.col("o_custkey") + F.lit(c * n["c_custkey"])
+                    ).alias("o_custkey"),
+                    *[col for col in orders.columns if col not in ("o_orderkey", "o_custkey")],
+                )
+                for c in range(mult)
+            ]
+        ).write.mode("overwrite").parquet(str(out / "orders.parquet"))
+
+    if want("customer"):
+        cust = load_table(spark, sf, "customer")
+        _stack(
+            [
+                cust.select(
+                    (F.col("c_custkey") + F.lit(c * n["c_custkey"])).alias("c_custkey"),
+                    *[col for col in cust.columns if col != "c_custkey"],
+                )
+                for c in range(mult)
+            ]
+        ).write.mode("overwrite").parquet(str(out / "customer.parquet"))
 
 
 def main() -> int:
@@ -327,15 +402,32 @@ def main() -> int:
         "--zipf-text", action="store_true",
         help="stopword-hot documents (see module docstring)",
     )
+    ap.add_argument(
+        "--perturb-emb", action="store_true",
+        help="banded deterministic noise on embedding replicas (see module docstring)",
+    )
+    ap.add_argument(
+        "--tables", default=None,
+        help="comma-separated subset of tables to build (default: all)",
+    )
     args = ap.parse_args()
-    suffix = ("zipf_" if args.zipf else "") + ("zipftext_" if args.zipf_text else "")
+    suffix = (
+        ("zipf_" if args.zipf else "")
+        + ("zipftext_" if args.zipf_text else "")
+        + ("perturb_" if args.perturb_emb else "")
+    )
     out = Path(args.out or f"/tmp/spark_graft_sf_{suffix}x{args.mult}")
     spark = get_spark("replicate_sf", shuffle_partitions=32)
     t0 = time.time()
-    replicate(spark, args.sf, args.mult, out, zipf=args.zipf, zipf_text=args.zipf_text)
+    replicate(
+        spark, args.sf, args.mult, out, zipf=args.zipf, zipf_text=args.zipf_text,
+        perturb_emb=args.perturb_emb,
+        tables=set(args.tables.split(",")) if args.tables else None,
+    )
     print(
         f"# replicated {args.sf} x{args.mult} zipf={args.zipf} "
-        f"zipf_text={args.zipf_text} -> {out} in {time.time()-t0:.1f}s"
+        f"zipf_text={args.zipf_text} perturb_emb={args.perturb_emb} "
+        f"tables={args.tables or 'all'} -> {out} in {time.time()-t0:.1f}s"
     )
     return 0
 

@@ -101,6 +101,27 @@ def main() -> None:
     )
     parts["passage_scrub"] = {"rows": n, "sec": t}
 
+    # r14 shared-scan effect: the SUITE now persists one narrow docs
+    # projection and fans the five parts over it (operators_suite.py),
+    # so the suite total should undercut the sum of the independent
+    # per-part scans above. Two timed passes: cold (first persist
+    # materialization included) and warm (cache resident).
+    from adi_226_datawarehouse_project_spark.plans.operators_suite import (
+        _spark_text_token_features,
+    )
+    from adi_226_datawarehouse_project_spark.measure import hash_consume
+
+    suite = {}
+    _, t = _timed(
+        lambda: hash_consume(_spark_text_token_features(spark, sf_dir, ordered=False))
+    )
+    suite["cold_s"] = t
+    _, t = _timed(
+        lambda: hash_consume(_spark_text_token_features(spark, sf_dir, ordered=False))
+    )
+    suite["warm_s"] = t
+    suite["sum_of_parts_s"] = round(sum(d["sec"] for d in parts.values()), 2)
+
     t0 = time.perf_counter()
     funnel = passage_funnel(docs.select("doc_id", "text"), _PASSAGE_N)
     funnel_t = round(time.perf_counter() - t0, 2)
@@ -123,6 +144,7 @@ def main() -> None:
                 "sf_dir": sf_dir,
                 "n_docs": n_docs,
                 "parts": parts,
+                "suite_shared_scan": suite,
                 "passage_funnel": funnel,
             }
         )
