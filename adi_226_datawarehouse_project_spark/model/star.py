@@ -524,7 +524,19 @@ def _register_star_views_locked(
     from concurrent.futures import ThreadPoolExecutor
 
     def _create(name: str) -> None:
-        spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {STAR_TABLES[name](D.SPARK)}")
+        # DataFrame-backed view, not `CREATE TEMPORARY VIEW ... AS sql`:
+        # a SQL-created temp view stores the PARSED plan, so every query
+        # re-ANALYZES the whole upstream view chain (fixture expression
+        # trees + the geohash/timestamp cleaning expressions, expanded
+        # once per dim/fact reference) — measured 0.8-1.0s of driver
+        # time per golden query at sf0.1, as large as the execution
+        # itself (guide §3.3/§7.3: enormous plans make planning the
+        # bottleneck). createOrReplaceTempView on the analyzed DataFrame
+        # stores the ANALYZED plan: the chain is analyzed once here
+        # (wave-parallel), and per-query analysis drops ~15× (g01 build
+        # 0.999s → 0.067s) while CacheManager substitution still fires
+        # (the stored plan IS the plan cacheTable registered).
+        spark.sql(STAR_TABLES[name](D.SPARK)).createOrReplaceTempView(name)
 
     for wave in _REGISTER_WAVES:
         with ThreadPoolExecutor(len(wave)) as ex:
@@ -1027,9 +1039,8 @@ def _materialize_zone_locked(
     register_base_views(spark, sf_dir)
 
     def _create(name: str) -> None:
-        spark.sql(
-            f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {STAR_TABLES[name](D.SPARK)}"
-        )
+        # analyzed-plan view, same rationale as the cache-path _create
+        spark.sql(STAR_TABLES[name](D.SPARK)).createOrReplaceTempView(name)
 
     def _write_and_repoint(name: str) -> None:
         part = _ZONE_FACT_PARTITIONS.get(name)
