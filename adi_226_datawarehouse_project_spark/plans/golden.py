@@ -181,6 +181,21 @@ LIMIT 20
     # fact to geohash grain FIRST, then join the tiny per-cell rollups.
     # Output is row-identical to the naive form (oracle runs this same
     # text; equivalence to the naive form is pinned by a pytest).
+    #
+    # LOCATION-JOIN ELISION (r14, guide §2.4 "remove shuffles
+    # outright"): the complaint rollup used to go through
+    # dim_311_location (JOIN ... ON c.location_key = l311.location_key
+    # ... GROUP BY l311.geohash). That join is 1:1 and
+    # geohash-preserving BY CONSTRUCTION of the fact: every fact row
+    # passed `s.geohash IS NOT NULL AND s.latitude/longitude IS NOT
+    # NULL`, dim_311_location is the DISTINCT of exactly those staging
+    # tuples, and the fact's location LEFT JOIN matches on the full
+    # tuple with l.geohash = s.geohash — so location_key is never NULL,
+    # matches exactly one dim row, and that row's geohash equals the
+    # fact's own geohash column. Grouping the fact by its own geohash is
+    # therefore row-identical and drops a fact×(fact-sized-dim) shuffle
+    # join per query. Pinned by test_golden_rewrites (join form ==
+    # elided form) and by the DuckDB oracle (same text, both engines).
     "g07_airbnb_complaint_ratio": """
 SELECT g.borough,
        g.neighbourhood_name AS neighbourhood,
@@ -191,10 +206,9 @@ SELECT g.borough,
          AS airbnb_per_complaint
 FROM (SELECT DISTINCT geohash, borough, neighbourhood_name
       FROM dim_airbnb_location WHERE borough IS NOT NULL) g
-LEFT JOIN (SELECT l311.geohash, COUNT(DISTINCT c.complaint_id) AS cnt
-           FROM dim_311_location l311
-           JOIN fact_311_complaint c ON c.location_key = l311.location_key
-           GROUP BY l311.geohash) cg ON cg.geohash = g.geohash
+LEFT JOIN (SELECT c.geohash, COUNT(DISTINCT c.complaint_id) AS cnt
+           FROM fact_311_complaint c
+           GROUP BY c.geohash) cg ON cg.geohash = g.geohash
 LEFT JOIN (SELECT geohash, COUNT(DISTINCT listing_id) AS cnt
            FROM fact_airbnb_listings GROUP BY geohash) ag ON ag.geohash = g.geohash
 GROUP BY g.borough, g.neighbourhood_name
@@ -204,7 +218,8 @@ LIMIT 50
 """,
     # cell 1: complaints-per-listing by geohash cell (same
     # aggregate-below-join rewrite as g07; grain is already geohash so
-    # the per-cell rollups join 1:1 — no re-aggregation needed).
+    # the per-cell rollups join 1:1 — no re-aggregation needed; same
+    # location-join elision as g07).
     "g08_geohash_density": """
 SELECT g.geohash,
        g.borough,
@@ -214,10 +229,9 @@ SELECT g.geohash,
              / nullif(CAST(coalesce(ag.cnt, 0) AS DOUBLE), 0.0), 2)
          AS complaints_per_listing
 FROM (SELECT DISTINCT geohash, borough FROM dim_airbnb_location) g
-LEFT JOIN (SELECT l311.geohash, COUNT(DISTINCT c.complaint_id) AS cnt
-           FROM dim_311_location l311
-           JOIN fact_311_complaint c ON c.location_key = l311.location_key
-           GROUP BY l311.geohash) cg ON cg.geohash = g.geohash
+LEFT JOIN (SELECT c.geohash, COUNT(DISTINCT c.complaint_id) AS cnt
+           FROM fact_311_complaint c
+           GROUP BY c.geohash) cg ON cg.geohash = g.geohash
 LEFT JOIN (SELECT geohash, COUNT(DISTINCT listing_id) AS cnt
            FROM fact_airbnb_listings GROUP BY geohash) ag ON ag.geohash = g.geohash
 WHERE coalesce(ag.cnt, 0) > 5
