@@ -45,12 +45,20 @@ def _price_ok() -> Column:
 
 
 def _g01(spark: SparkSession) -> DataFrame:
+    # Alias-qualified join condition (r14): the star views store
+    # ANALYZED plans (model/star.py), so the fact's lineage embeds the
+    # same dim-plan instances the dim views hand out — a fact⋈dim join
+    # is a shared-lineage self-join, and a bare Dataset-attribute
+    # condition (loc.borough == b.borough_name) is ambiguous after
+    # deduplication. Qualifying through explicit aliases is the
+    # standard Spark idiom for joins over shared lineage; string-key
+    # (USING) joins resolve by name and need nothing.
     f = spark.table("fact_311_complaint")
-    loc = spark.table("dim_311_location")
-    b = spark.table("dim_311_borough")
+    loc = spark.table("dim_311_location").alias("__loc")
+    b = spark.table("dim_311_borough").alias("__b")
     agg = (
         f.join(loc, "location_key")
-        .join(b, loc.borough == b.borough_name)
+        .join(b, F.col("__loc.borough") == F.col("__b.borough_name"))
         .groupBy(F.col("borough_name").alias("borough"))
         .agg(F.count("*").alias("total_complaints"))
     )
@@ -68,12 +76,12 @@ def _g01(spark: SparkSession) -> DataFrame:
 def _g02(spark: SparkSession) -> DataFrame:
     f = spark.table("fact_311_complaint")
     c = spark.table("dim_311_complaint")
-    loc = spark.table("dim_311_location")
-    b = spark.table("dim_311_borough")
+    loc = spark.table("dim_311_location").alias("__loc")  # see _g01
+    b = spark.table("dim_311_borough").alias("__b")
     return (
         f.join(c, "complaint_type_key")
         .join(loc, "location_key")
-        .join(b, loc.borough == b.borough_name)
+        .join(b, F.col("__loc.borough") == F.col("__b.borough_name"))
         .filter(F.col("complaint_type_name").isNotNull())
         .groupBy(
             F.col("complaint_type_name").alias("complaint_type"),
