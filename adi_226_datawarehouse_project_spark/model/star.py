@@ -555,6 +555,20 @@ def _register_star_views_locked(
         # (wave-parallel), and per-query analysis drops ~15× (g01 build
         # 0.999s → 0.067s) while CacheManager substitution still fires
         # (the stored plan IS the plan cacheTable registered).
+        #
+        # INVARIANTS this trades away (vs self-healing parsed views):
+        # 1. Upstream replacement: the stored plan embeds the upstream
+        #    views' plan INSTANCES at analysis time, so any path that
+        #    replaces an upstream view must re-run _create for every
+        #    DOWNSTREAM view in wave order (_materialize_zone does
+        #    exactly this after repointing staging; a new code path
+        #    that swaps a view in place must do the same or serve
+        #    silently stale star views).
+        # 2. Frozen session conf: analysis-time conf that shapes the
+        #    plan (e.g. spark.sql.session.timeZone inside timestamp
+        #    parsing) is baked in at _create; flipping such conf
+        #    mid-session requires a re-registration (clearCache + memo
+        #    pop), not just spark.conf.set.
         spark.sql(STAR_TABLES[name](D.SPARK)).createOrReplaceTempView(name)
 
     for wave in _REGISTER_WAVES:
@@ -1058,7 +1072,11 @@ def _materialize_zone_locked(
     register_base_views(spark, sf_dir)
 
     def _create(name: str) -> None:
-        # analyzed-plan view, same rationale as the cache-path _create
+        # analyzed-plan view — same rationale AND the same two
+        # invariants as the cache-path _create (upstream replacement
+        # must re-create downstream views, which the gold loop below
+        # does after repointing staging; analysis-time conf is frozen
+        # into the stored plan)
         spark.sql(STAR_TABLES[name](D.SPARK)).createOrReplaceTempView(name)
 
     def _write_and_repoint(name: str) -> None:

@@ -563,3 +563,33 @@ def test_session_lock_of_collected_session_is_pruned():
     finally:
         star._SESSION_LOCKS.pop(id(other), None)
         star._SESSION_LOCK_REFS.pop(id(other), None)
+
+
+def test_dim_date_explode_matches_union_derivation(spark):
+    """The Spark dim_date derives its date set with
+    explode(array(...)) from ONE scan per staging table (r14
+    optimization); the DuckDB oracle keeps the reference's 4-branch
+    UNION. Equivalence previously rested on a one-off manual exceptAll
+    described in a star.py comment plus indirect g09/g10 oracle
+    coverage (ADVICE r14 low #1) — this pins it: the UNION form, run
+    via spark.sql over the same staging views, must be row-identical
+    to the live dim_date view in both directions. Any future edit to
+    either branch that changes the derived date set fails here at
+    sf0.001 instead of surfacing as a cross-dialect hash mismatch."""
+    star.register_star_views(spark, SF)
+    union_src = """
+      SELECT CAST(created_ts AS DATE) AS dt FROM staging_311 WHERE created_ts IS NOT NULL
+      UNION
+      SELECT CAST(closed_ts AS DATE) AS dt FROM staging_311 WHERE closed_ts IS NOT NULL
+      UNION
+      SELECT last_scraped AS dt FROM staging_airbnb WHERE last_scraped IS NOT NULL
+      UNION
+      SELECT host_since AS dt FROM staging_airbnb WHERE host_since IS NOT NULL
+    """
+    union_dates = spark.sql(f"SELECT dt FROM ({union_src}) u WHERE dt IS NOT NULL")
+    live_dates = spark.table("dim_date").select(F.col("date_value").alias("dt"))
+    assert union_dates.exceptAll(live_dates).count() == 0
+    assert live_dates.exceptAll(union_dates).count() == 0
+    # dim_date rows are a deterministic projection of the date set, one
+    # row per date — so set equality above pins full-row equality too
+    assert live_dates.distinct().count() == live_dates.count()
