@@ -228,9 +228,19 @@ def rolling_fingerprint(col: Column | str) -> Column:
     derivation is engine-portable integer arithmetic (no xxhash64,
     which the DuckDB oracle lacks). Pure fold expression — linear,
     shuffle-free, no UDF."""
+    return rolling_fingerprint_of_tokens(word_tokens(col))
+
+
+def rolling_fingerprint_of_tokens(toks: Column) -> Column:
+    """:func:`rolling_fingerprint` over an already-tokenized array —
+    the shared-tokenization entry point (a caller that derives several
+    token-level features from one persisted ``word_tokens`` column
+    must not re-tokenize per feature). Same expression tree as the
+    text form, so values are bit-identical; NULL array → NULL fp,
+    mirroring NULL text."""
     return F.aggregate(
         F.transform(
-            word_tokens(col),
+            toks,
             lambda t: F.conv(F.substring(F.md5(t), 1, 12), 16, 10).cast("bigint")
             % _ROLL_MOD,
         ),

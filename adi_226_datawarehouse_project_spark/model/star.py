@@ -75,33 +75,21 @@ def _regexp_like(d: str, expr: str, pattern: str) -> str:
     return f"{fn}({expr}, '{pattern}')"
 
 
-def staging_311_sql(d: str) -> str:
+# The dedup ordering of staging_311 (D1): keep the EARLIEST record per
+# unique_key (created_ts, then closed_ts; lat/lon as final guard for
+# pathological full-tie inputs). NULLS FIRST pinned on every key:
+# Spark and DuckDB default opposite null orderings.
+_STAGING_311_ORDER_KEYS = ("created_ts", "closed_ts", "latitude", "longitude")
+
+
+def _staging_311_parsed_sql(d: str) -> str:
+    """The parse/clean subquery of staging_311 BEFORE dedup (one row
+    per raw record surviving the bbox filter) — exposed so the
+    dedup-strategy measurement protocol (scripts/staging_dedup_scale.py)
+    composes its variants over exactly the SQL the build runs."""
     parse_created = D.parse_timestamp(d, "created_date")
     parse_closed = D.parse_timestamp(d, "closed_date")
-    dur = (
-        f"({_epoch_seconds(d, 'closed_ts')} - {_epoch_seconds(d, 'created_ts')}) / 3600.0"
-    )
-    # Deterministic business-key dedup (D1: the reference's
-    # dropDuplicates(["unique_key"]), glue_job_clean_311.py:131, but
-    # with an explicit keep rule — vanilla dropDuplicates keeps an
-    # arbitrary partition-dependent row). Keep the EARLIEST record per
-    # key (created_ts, then closed_ts; lat/lon as final guard for
-    # pathological full-tie inputs). NULLS FIRST pinned on every key:
-    # Spark and DuckDB default opposite null orderings.
-    order_keys = ", ".join(
-        f"{c} NULLS FIRST"
-        for c in ("created_ts", "closed_ts", "latitude", "longitude")
-    )
     return f"""
-SELECT unique_key, created_ts, closed_ts, agency, borough, complaint_type,
-       descriptor, city, status, resolution_description, latitude, longitude,
-       CAST(extract(year FROM created_ts) AS INT) AS created_year,
-       CASE WHEN closed_ts IS NOT NULL THEN {dur} END AS duration_hours,
-       {geohash_sql("latitude", "longitude", 7, d)} AS geohash
-FROM (
-  SELECT *,
-         row_number() OVER (PARTITION BY unique_key ORDER BY {order_keys}) AS __rn
-  FROM (
     SELECT unique_key,
            {D.to_utc(d, "created_ts_local")} AS created_ts,
            {D.to_utc(d, "closed_ts_local")} AS closed_ts,
@@ -121,6 +109,36 @@ FROM (
     WHERE lat_d IS NOT NULL AND lon_d IS NOT NULL
       AND lat_d >= 40.4 AND lat_d <= 41.0
       AND lon_d >= -74.3 AND lon_d <= -73.7
+"""
+
+
+def staging_311_derived_cols_sql(d: str) -> str:
+    """The post-dedup derived columns (shared by every dedup-strategy
+    variant): created_year, duration_hours, geohash."""
+    dur = (
+        f"({_epoch_seconds(d, 'closed_ts')} - {_epoch_seconds(d, 'created_ts')}) / 3600.0"
+    )
+    return f"""CAST(extract(year FROM created_ts) AS INT) AS created_year,
+       CASE WHEN closed_ts IS NOT NULL THEN {dur} END AS duration_hours,
+       {geohash_sql("latitude", "longitude", 7, d)} AS geohash"""
+
+
+def staging_311_sql(d: str) -> str:
+    # Deterministic business-key dedup (D1: the reference's
+    # dropDuplicates(["unique_key"]), glue_job_clean_311.py:131, but
+    # with an explicit keep rule — vanilla dropDuplicates keeps an
+    # arbitrary partition-dependent row); ordering pinned by
+    # _STAGING_311_ORDER_KEYS above.
+    order_keys = ", ".join(f"{c} NULLS FIRST" for c in _STAGING_311_ORDER_KEYS)
+    return f"""
+SELECT unique_key, created_ts, closed_ts, agency, borough, complaint_type,
+       descriptor, city, status, resolution_description, latitude, longitude,
+       {staging_311_derived_cols_sql(d)}
+FROM (
+  SELECT *,
+         row_number() OVER (PARTITION BY unique_key ORDER BY {order_keys}) AS __rn
+  FROM (
+{_staging_311_parsed_sql(d)}
   ) __c
 ) __r
 WHERE __rn = 1

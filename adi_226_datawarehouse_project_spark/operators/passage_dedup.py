@@ -44,10 +44,21 @@ from pyspark.sql import functions as F
 from ..functions.text import _let, word_tokens
 
 
-def _gram_starts(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+def _tokens(text_col: str, tokens_col: str | None):
+    """The token-array expression every stage derives grams/rebuilds
+    from: ``tokens_col`` (a pre-tokenized ``word_tokens`` array, the
+    shared-tokenization path) when given, else tokenize ``text_col``
+    in place. Both produce the identical array, so output values do
+    not depend on which path the caller picks."""
+    return F.col(tokens_col) if tokens_col else word_tokens(F.col(text_col))
+
+
+def _gram_starts(
+    df: DataFrame, id_col: str, text_col: str, n: int, tokens_col: str | None = None
+) -> DataFrame:
     """(id, start, gram) — one row per n-gram occurrence; start is the
     0-based token index; gram is the xxhash64 of the joined tokens."""
-    toks = df.select(F.col(id_col), word_tokens(F.col(text_col)).alias("__toks"))
+    toks = df.select(F.col(id_col), _tokens(text_col, tokens_col).alias("__toks"))
     grams = toks.select(
         id_col,
         F.posexplode(
@@ -73,15 +84,18 @@ def repeated_passage_spans(
     n: int = 8,
     min_docs: int = 2,
     keep: str = "all",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Flagged duplicated-span starts: ``(id, start)`` rows where the
     word ``n``-gram at ``start`` occurs in ≥ ``min_docs`` distinct
     docs. ``keep="first"`` exempts the lowest-id document containing
     each gram (its occurrence survives); ``keep="all"`` flags every
-    occurrence."""
+    occurrence. ``tokens_col`` optionally names a pre-tokenized
+    ``word_tokens`` array column to derive grams from (``text_col``
+    is then ignored)."""
     if keep not in ("all", "first"):
         raise ValueError(f"unknown keep mode: {keep!r}")
-    occ = _gram_starts(df, id_col, text_col, n)
+    occ = _gram_starts(df, id_col, text_col, n, tokens_col)
     per_doc = occ.groupBy(id_col, "gram").agg(F.min("start").alias("__s0"))
     freq = per_doc.groupBy("gram").agg(
         F.count(F.lit(1)).alias("__df"), F.min(id_col).alias("__owner")
@@ -100,6 +114,7 @@ def remove_repeated_passages(
     n: int = 8,
     min_docs: int = 2,
     keep: str = "all",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Scrub duplicated spans: every token position covered by a
     flagged ``n``-gram start (positions ``[start, start+n)``) is
@@ -110,8 +125,11 @@ def remove_repeated_passages(
     no flagged span pass through with ``covered_tokens = 0`` and
     ``clean_text = `` the normalized (lowercased, space-joined) token
     stream — normalization is what makes byte-exact cross-engine
-    verification possible."""
-    spans = repeated_passage_spans(df, id_col, text_col, n, min_docs, keep)
+    verification possible. ``tokens_col`` optionally names a
+    pre-tokenized ``word_tokens`` array column (shared-tokenization
+    path: gram derivation AND the rebuild read it; ``text_col`` is
+    ignored) — output values are identical either way."""
+    spans = repeated_passage_spans(df, id_col, text_col, n, min_docs, keep, tokens_col)
     covered = (
         spans.select(
             id_col,
@@ -123,7 +141,7 @@ def remove_repeated_passages(
         .agg(F.collect_set("pos").alias("__covered"))
     )
     out = df.join(covered, id_col, "left")
-    toks = word_tokens(F.col(text_col))
+    toks = _tokens(text_col, tokens_col)
     kept = _let(
         F.coalesce(F.col("__covered"), F.array().cast("array<int>")),
         lambda cov: F.filter(

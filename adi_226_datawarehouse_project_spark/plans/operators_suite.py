@@ -2823,43 +2823,86 @@ _PASSAGE_N = 5  # word-gram width for the passage-scrub differential
 def _spark_text_token_features(
     spark: SparkSession, sf_dir: str, ordered: bool = True
 ) -> DataFrame:
-    # SHARED SCAN (r13 verdict task #8): the five parts used to be five
-    # independent scans of the documents parquet (~2–2.7s each at sf0.1,
-    # measurements/text_features_breakdown_r13.json). Persist the one
-    # narrow projection they all consume and fan the parts out over it —
-    # one scan, identical values. persist() of the same analyzed plan is
-    # idempotent (CacheManager dedupes), so repeated invocations reuse
-    # one cache entry; footprint is bounded by (doc_id, text, lang) and
-    # MEMORY_AND_DISK spills gracefully at replicated-corpus scale.
+    # SHARED SCAN + SHARED TOKENIZATION (r13 verdict task #8; r15
+    # VERDICT task #3): the five parts used to be five independent
+    # scans of the documents parquet (~2–2.7s each at sf0.1,
+    # measurements/text_features_breakdown_r13.json); r13 folded them
+    # onto one persisted (doc_id, text, lang) projection, but every
+    # part still re-ran word_tokens(text) — 6 tokenizations per action
+    # (token_stats, top_tokens, hash_split, rolling_fp, and 2 inside
+    # passage_scrub's gram/rebuild stages). Persist the TOKEN ARRAY
+    # once (guide §2.3 "don't compute things twice") and fan the parts
+    # out over it: tokenize-once, identical values — every part's
+    # token expression is derived from the same word_tokens tree, so
+    # outputs are bit-identical (pinned by the text_features_suite
+    # oracle and tests/test_text_features_shared.py's exceptAll).
+    # persist() of the same analyzed plan is idempotent (CacheManager
+    # dedupes); footprint is the token arrays instead of the text
+    # (same order of bytes) and MEMORY_AND_DISK spills gracefully at
+    # replicated-corpus scale.
     base = (
         load_table(spark, sf_dir, "documents")
-        .select("doc_id", "text", "lang")
+        .select("doc_id", "lang", TX.word_tokens("text").alias("tk"))
         .persist()
     )
-    base.createOrReplaceTempView("__text_docs_shared")
-    stats = _spark_token_stats(spark, sf_dir, docs=base).select(
-        F.lit("token_stats").alias("part"), F.col("lang").alias("k"),
-        F.col("n_docs").cast("bigint").alias("n"),
-        F.col("total_tokens").cast("bigint").alias("n2"),
-        F.col("avg_tokens").cast("double").alias("v"),
+    # token_stats ≡ _spark_token_stats over the shared tokens:
+    # token_count(text) = size(word_tokens(text)) guarded NULL-in/
+    # NULL-out — tk is NULL exactly when text is NULL, so the guard
+    # carries over unchanged.
+    tc = F.when(F.col("tk").isNotNull(), F.size("tk"))
+    stats = (
+        base.select("lang", tc.alias("tc"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tc").alias("total_tokens"),
+            F.round(F.sum("tc").cast("double") / F.count("*"), 4).alias("avg_tokens"),
+        )
+        .select(
+            F.lit("token_stats").alias("part"), F.col("lang").alias("k"),
+            F.col("n_docs").cast("bigint").alias("n"),
+            F.col("total_tokens").cast("bigint").alias("n2"),
+            F.col("avg_tokens").cast("double").alias("v"),
+        )
     )
-    top = _spark_explode_tokens(spark, sf_dir, docs=base).select(
-        F.lit("top_tokens").alias("part"), F.col("token").alias("k"),
-        F.col("occurrences").cast("bigint").alias("n"),
-        F.lit(None).cast("bigint").alias("n2"), F.lit(None).cast("double").alias("v"),
+    # top_tokens ≡ _spark_explode_tokens: explode(word_tokens(text))
+    # and explode(tk) skip NULL/empty arrays identically.
+    top = (
+        base.select(F.explode("tk").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("occurrences"))
+        .orderBy(F.desc("occurrences"), "token")
+        .limit(20)
+        .select(
+            F.lit("top_tokens").alias("part"), F.col("token").alias("k"),
+            F.col("occurrences").cast("bigint").alias("n"),
+            F.lit(None).cast("bigint").alias("n2"), F.lit(None).cast("double").alias("v"),
+        )
     )
-    split = spark.sql(_split_sql(D.SPARK, table="__text_docs_shared")).select(
-        F.lit("hash_split").alias("part"), F.col("split").alias("k"),
-        F.col("n_docs").cast("bigint").alias("n"),
-        F.col("total_tokens").cast("bigint").alias("n2"),
-        F.lit(None).cast("double").alias("v"),
+    # hash_split ≡ _split_sql(D.SPARK): the SQL's total_tokens term is
+    # sum(size(<word_tokens expr>)) with NO null guard — size("tk") is
+    # the same expression over the same array, so NULL-text rows
+    # contribute identically under either session flavor.
+    split = (
+        base.select(
+            F.expr(_SPLIT_CASE.format(stype="STRING")).alias("split"),
+            F.size("tk").alias("__sz"),
+        )
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.sum("__sz").alias("total_tokens"))
+        .select(
+            F.lit("hash_split").alias("part"), F.col("split").alias("k"),
+            F.col("n_docs").cast("bigint").alias("n"),
+            F.col("total_tokens").cast("bigint").alias("n2"),
+            F.lit(None).cast("double").alias("v"),
+        )
     )
     # Rabin-Karp rolling fingerprint, one row per doc: full value oracle
     # of the order-sensitive polynomial hash (functions.text).
     roll = base.select(
         F.lit("rolling_fp").alias("part"),
         F.col("doc_id").cast("string").alias("k"),
-        TX.rolling_fingerprint("text").cast("bigint").alias("n"),
+        TX.rolling_fingerprint_of_tokens(F.col("tk")).cast("bigint").alias("n"),
         F.lit(None).cast("bigint").alias("n2"), F.lit(None).cast("double").alias("v"),
     )
     # Repeated-passage scrub (keep-one semantic): clean-text CONTENT is
@@ -2867,9 +2910,10 @@ def _spark_text_token_features(
     # the hash; n2 packs (n_tokens, covered_tokens).
     from ..operators.passage_dedup import remove_repeated_passages
 
-    docs = base.select("doc_id", "text")
+    docs = base.select("doc_id", "tk")
     scrub = remove_repeated_passages(
-        docs, "doc_id", "text", n=_PASSAGE_N, min_docs=2, keep="first"
+        docs, "doc_id", "tk", n=_PASSAGE_N, min_docs=2, keep="first",
+        tokens_col="tk",
     ).select(
         F.lit("passage_scrub").alias("part"),
         F.col("doc_id").cast("string").alias("k"),

@@ -1,7 +1,8 @@
-"""Capture .explain('formatted') for every bench query → plans/r14/.
+"""Capture .explain('formatted') for every bench query → plans/<dir>
+(default r15; override with SPARK_GRAFT_PLANS_SUBDIR).
 
 Usage: python scripts/capture_plans.py <suffix> [query ...]
-Writes plans/r14/<query>_<suffix>.txt for each bench query (default:
+Writes plans/<dir>/<query>_<suffix>.txt for each bench query (default:
 all of bench.BENCH_QUERIES + warehouse terminals). Runs the same
 build_queries() registry the bench times, over the same materialized
 warehouse, so the captured plan is the plan the bench executes.
@@ -28,7 +29,8 @@ def main() -> None:
     suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
     wanted = sys.argv[2:] or list(bench.BENCH_QUERIES)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = Path(__file__).resolve().parent.parent / "plans" / "r14"
+    sub = os.environ.get("SPARK_GRAFT_PLANS_SUBDIR", "r15")
+    out_dir = Path(__file__).resolve().parent.parent / "plans" / sub
     out_dir.mkdir(parents=True, exist_ok=True)
     spark = get_spark("capture_plans")
     materialize_warehouse(spark, sf_dir)
