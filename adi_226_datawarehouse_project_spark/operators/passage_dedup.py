@@ -57,18 +57,33 @@ def _gram_starts(
     df: DataFrame, id_col: str, text_col: str, n: int, tokens_col: str | None = None
 ) -> DataFrame:
     """(id, start, gram) — one row per n-gram occurrence; start is the
-    0-based token index; gram is the xxhash64 of the joined tokens."""
+    0-based token index; gram is a 64-bit hash identifying the n token
+    strings.
+
+    Gram key derivation (r15, guide §1.2 "per-task work"): each token
+    is xxhash64-ed ONCE per document, and a gram's key is xxhash64 over
+    its n token hashes — pure fixed-width integer reads, no per-gram
+    string build. The previous form (xxhash64(concat_ws(" ",
+    slice(tokens, i+1, n)))) allocated and hashed a fresh ~30-char
+    string per gram, which dominated the gram stage's executor CPU at
+    the 64× corpus. Two grams collide iff their token-hash tuples
+    collide — same equality semantics and the same ~m²/2⁶⁵ collision
+    posture as hashing the joined string (the DuckDB oracle re-derives
+    spans from the literal gram STRINGS, so the key change is invisible
+    to every value check by construction)."""
     toks = df.select(F.col(id_col), _tokens(text_col, tokens_col).alias("__toks"))
     grams = toks.select(
         id_col,
         F.posexplode(
             _let(
-                F.col("__toks"),
-                lambda t: F.when(
-                    F.size(t) >= n,
+                F.transform(F.col("__toks"), lambda t: F.xxhash64(t)),
+                lambda th: F.when(
+                    F.size(th) >= n,
                     F.transform(
-                        F.sequence(F.lit(0), F.size(t) - n),
-                        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(t, i + 1, n))),
+                        F.sequence(F.lit(0), F.size(th) - n),
+                        lambda i: F.xxhash64(
+                            *[F.element_at(th, i + k) for k in range(1, n + 1)]
+                        ),
                     ),
                 ).otherwise(F.array().cast("array<bigint>")),
             )
@@ -95,16 +110,44 @@ def repeated_passage_spans(
     is then ignored)."""
     if keep not in ("all", "first"):
         raise ValueError(f"unknown keep mode: {keep!r}")
+    # ONE linear pass over the gram occurrences (r15; guide §2.3/§2.4).
+    # The previous shape consumed the occurrence frame TWICE — once for
+    # the doc-frequency aggregate and once for the flagged-gram
+    # join-back — and since `occ` was an unshared subtree, the whole
+    # tokenize/slice/hash gram derivation executed twice per action
+    # (measured at the 64× corpus: the two gram stages were ~172s
+    # executor CPU EACH, dominating text_token_features). A first
+    # attempt that shared a collapsed (id, gram, starts) aggregate
+    # between the two branches still double-computed: column pruning
+    # rewrites the frequency branch's copy WITHOUT the starts
+    # collect_set, so the two exchanges are no longer canonically equal
+    # and AQE stage reuse cannot fire. This shape instead computes the
+    # doc frequency and owner as WINDOW functions over the collapsed
+    # frame — a single linear DAG with no shared subtree at all, so
+    # grams are derived exactly once by construction:
+    #   occ → partial-agg/Exchange(id, gram) → collect_set
+    #       → Exchange(gram) → window [count(*), min(id) per gram]
+    #       → filter → explode(starts) → distinct
+    # count(*) per gram over the (id, gram)-distinct rows IS the
+    # distinct-doc frequency, and min(id) the keep="first" owner —
+    # exactly what the aggregate+join derived. collect_set is safe:
+    # starts are distinct per (id, gram) by construction and order is
+    # irrelevant (the exploded hits feed a distinct()).
+    from pyspark.sql import Window
+
     occ = _gram_starts(df, id_col, text_col, n, tokens_col)
-    per_doc = occ.groupBy(id_col, "gram").agg(F.min("start").alias("__s0"))
-    freq = per_doc.groupBy("gram").agg(
-        F.count(F.lit(1)).alias("__df"), F.min(id_col).alias("__owner")
+    per_doc = occ.groupBy(id_col, "gram").agg(
+        F.collect_set("start").alias("__starts")
     )
-    flagged = freq.filter(F.col("__df") >= min_docs).select("gram", "__owner")
-    hits = occ.join(flagged, "gram")
+    w = Window.partitionBy("gram")
+    hits = per_doc.withColumn("__df", F.count(F.lit(1)).over(w)).withColumn(
+        "__owner", F.min(id_col).over(w)
+    ).filter(F.col("__df") >= min_docs)
     if keep == "first":
         hits = hits.filter(F.col(id_col) != F.col("__owner"))
-    return hits.select(id_col, "start").distinct()
+    return hits.select(
+        id_col, F.explode("__starts").alias("start")
+    ).distinct()
 
 
 def remove_repeated_passages(
