@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import char_ngrams, word_ngrams, word_tokens
+from ..functions.text import char_ngrams, word_ngram_hashes, word_ngrams, word_tokens
 
 
 def dedup_exact(df: DataFrame, keys: list[str], order_by: list[str] | None = None) -> DataFrame:
@@ -556,23 +556,37 @@ def ngram_jaccard_pairs(
     Candidates are then verified with the true intersection over the
     full shingle sets. Costs one extra frequency aggregation and one
     per-doc rank window (keyed by doc — no skew); wins whenever hot
-    shingles dominate the naive join's candidate volume. The shingle
-    frame feeds several plan branches un-persisted — deliberate: the
-    function returns a LAZY frame (nowhere safe to unpersist), the
-    rebuilt chain is narrow (tokenize/explode/hash), and the measured
-    hot-corpus win (α 1.07 → 0.21) already pays that recompute;
-    callers looping over many actions on one corpus should persist
-    their own shingle frame and inline the stages instead.
+    shingles dominate the naive join's candidate volume.
+
+    The shingle frame is PERSISTED (r15; guide §5 "reused AND
+    recomputation more expensive"): it feeds 3 plan branches in naive
+    mode and 5 in prefix mode (frequency, rank window, both join
+    sides, sizes) plus the auto probe, and each branch re-derived the
+    whole tokenize/explode/hash chain — stage attribution at the 64×
+    corpus showed five ~200s-CPU shingle stages under one
+    dedup_ngram_prefix action, 86% of its executor time. (r14 left it
+    un-persisted after sf0.1 measurements where idle cores hid the
+    recompute; the 64× yardstick overturned that.) The entry is
+    MEMORY_AND_DISK, deduped by CacheManager across repeated calls on
+    the same corpus; the frame is (id, bigint) — far smaller than its
+    recompute at any scale.
     """
     # array_distinct already guarantees per-doc shingle uniqueness, so
     # no dedup shuffle is needed. The inverted index carries an 8-byte
-    # xxhash64 of each shingle instead of the string: the self-join
-    # shuffles fixed-width keys (collision odds for |shingles| n are
-    # ~n²/2⁶⁵ — negligible against corpus sizes).
+    # hash key of each shingle, never the string — and since r15 the
+    # gram string is never even BUILT: word_ngram_hashes derives the
+    # key from per-token hashes (same equality classes modulo 64-bit
+    # collisions, which the string-hash path already accepted; the
+    # DuckDB oracle re-derives jaccard from literal gram strings, so a
+    # collision could not self-confirm). Measured on the 64× corpus:
+    # the shingle stage's executor CPU drops ~5× vs hashing
+    # word_ngrams strings.
     sh = df.select(
         F.col(id_col),
-        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("__g"),
-    ).select(F.col(id_col), F.xxhash64(F.col("__g")).alias("__g"))
+        F.explode(
+            F.array_distinct(word_ngram_hashes(F.col(text_col), n))
+        ).alias("__g"),
+    ).persist()
     if max_shingle_freq is not None:
         # Broadcast the STOP list (shingles above the cap), not the keep
         # list: stop-shingles are a tiny head of the frequency
@@ -592,7 +606,14 @@ def ngram_jaccard_pairs(
     a = sh.select(F.col(id_col).alias("id_a"), "__g")
     b = sh.select(F.col(id_col).alias("id_b"), "__g")
     if prefix_filter:
-        pref = _prefix_rows(sh, id_col, min_jaccard)
+        # pref feeds BOTH sides of the candidate self-join; without a
+        # persist the whole frequency-join + rank-window chain executes
+        # twice (64× stage attribution: duplicated window stages even
+        # though the exchange below them was reused — the post-exchange
+        # sort/window/filter re-ran per side). Prefix rows are a subset
+        # of the cached shingle frame, so the entry is strictly smaller
+        # than sh's.
+        pref = _prefix_rows(sh, id_col, min_jaccard).persist()
         cand = (
             pref.select(F.col(id_col).alias("id_a"), "__g")
             .join(pref.select(F.col(id_col).alias("id_b"), "__g"), "__g")
