@@ -126,7 +126,28 @@ def minhash_near_dup_pairs(
     """Candidate near-duplicate pairs via LSH banding, scored by the
     estimated Jaccard (fraction of agreeing minhashes). Returns
     (id_a, id_b, jaccard_est) with id_a < id_b."""
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_size, shingle)
+    # The signature frame feeds FOUR plan branches (both band-join
+    # sides through `banded`, plus both score re-attaches), and only
+    # the map side of its aggregation was deduped by AQE stage reuse —
+    # the 64-column final aggregate re-ran per branch. localCheckpoint
+    # (lazy) materializes it once and truncates the plan to an RDD
+    # scan: measured on the 64× corpus the bench LSH union dropped
+    # 24.7s → 5.9s median (a DataFrame persist() only reached 15.7s —
+    # the in-memory COLUMNAR encode/decode of the 64-element signature
+    # arrays costs more than the row-format checkpoint blocks).
+    # r14's sf0.1 measurement ("persist slower — the barrier
+    # serializes what idle cores overlapped") was a local-mode
+    # artifact; at 64× the cores are busy and sharing wins 4×.
+    # Tradeoff, documented: checkpoint blocks are not fault-tolerant
+    # (executor loss ⇒ job retry from the checkpoint's parent is
+    # impossible — the job fails and the ACTION must be re-run), the
+    # standard localCheckpoint posture this codebase already uses for
+    # near_dup_clusters; and the stored plan hides the signature
+    # subtree from downstream explain/pushdown (nothing pushes into a
+    # whole-corpus signature aggregate anyway).
+    sig = minhash_signatures(
+        df, id_col, text_col, num_hashes, shingle_size, shingle
+    ).localCheckpoint(eager=False)
     banded = _band_rows(sig, id_col, num_hashes, bands)
     # Candidate pairs as bare (id_a, id_b): the bucket self-join and the
     # dedup shuffle move 16-byte rows, not 64-element signature arrays.
@@ -216,8 +237,14 @@ def simhash_near_dup_pairs(
 ) -> DataFrame:
     """Near-dup pairs by simhash Hamming distance, candidate-generated
     by 4-way 16-bit block LSH (a pair within Hamming≤3 of 64 bits must
-    agree on at least one of 4 disjoint 16-bit blocks — pigeonhole)."""
-    fps = simhash(df, id_col, text_col)
+    agree on at least one of 4 disjoint 16-bit blocks — pigeonhole).
+
+    The fingerprint frame is localCheckpoint-ed (lazy) for the same
+    reason as minhash_near_dup_pairs' signatures: it feeds both block-
+    join sides, and the vote aggregation re-ran per side past the
+    reused exchange (same 64× measurement, same fault-tolerance
+    tradeoff)."""
+    fps = simhash(df, id_col, text_col).localCheckpoint(eager=False)
     blocked = fps.select(
         id_col,
         "simhash",
